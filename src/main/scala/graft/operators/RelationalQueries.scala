@@ -1,0 +1,313 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational operator inventory — SURVEY.md §2.3 (filters), §2.4 (joins),
+  * §2.5 (aggregations), §2.6–2.7 (windows/sorts/pagination), §2.8 (set ops),
+  * re-expressed over the driver's TPC-H-ish tables.
+  *
+  * Each entry has a DuckDB oracle in [[oracles]]. Column names are aligned
+  * between the Spark plan and the SQL; aggregates over doubles are rounded
+  * identically on both sides so the driver's hash compare is stable.
+  *
+  * Scale notes (100 TB): every query here keeps filters/projection at the
+  * scan (pushdown), broadcasts dimension tables (region/nation/customer at
+  * real scale would be the small side), and aggregates with map-side
+  * partial aggregation (Spark's default HashAggregate pair). Pagination is
+  * a global-sort window — bounded by the pushed `limit`-style filter on
+  * `row_number`, which Spark executes as a single final sort of the
+  * filtered keys, not a full materialization.
+  */
+object RelationalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // §2.5 A4/A-style: the contract's flagship aggregation (map-side
+    // partial agg → final agg; 3 distinct groups so near-zero shuffle).
+    "q1_agg" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(sum("l_quantity").as("sum_qty"))
+    }),
+
+    // P1 search-predicate builder (search_functions.py:9-65): conjunctive
+    // equality + OR-list (isin) + range + negation — all pushed to parquet.
+    "p1_search_filter" -> ((s, d) => {
+      Tables.events(s, d)
+        .filter(col("event_type").isin("signup", "purchase") &&
+          col("value") >= 10.0 && col("value") <= 400.0 &&
+          col("event_type") =!= "error")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          round(col("value"), 2).as("value"))
+    }),
+
+    // P2 attribute projection + pushdown filter (helpers.py:42-43).
+    "p2_projection" -> ((s, d) => {
+      Tables.part(s, d)
+        .filter(col("p_size") > 20)
+        .select(col("p_partkey"), col("p_name"), col("p_size"))
+    }),
+
+    // P3 null/empty filtering + F21 JSON extraction (get_json_object over
+    // the events `props` payload — from_json path in SURVEY §2.9 F21).
+    "p3_json_extract" -> ((s, d) => {
+      Tables.events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .filter(col("k").isNotNull && col("k") > 50)
+        .select("event_id", "k")
+    }),
+
+    // P4 format-whitelist filter (Glue cell 5): keep rows whose categorical
+    // column is in an allowed set, count per group.
+    "p4_whitelist_count" -> ((s, d) => {
+      Tables.documents(s, d)
+        .filter(col("lang").isin("en", "de", "fr"))
+        .groupBy("lang").agg(count("*").as("n_docs"))
+    }),
+
+    // J1 left equi-join docs ⋈ enrichments (search_functions.py:100-128):
+    // orders ⋈ customer, preserving orders with no customer row.
+    "j1_left_join" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d).select(col("c_custkey"), col("c_name"),
+        col("c_mktsegment"))
+      o.join(c, o("o_custkey") === c("c_custkey"), "left")
+        .select(col("o_orderkey"), col("c_name"), col("c_mktsegment"),
+          round(col("o_totalprice"), 2).as("total"))
+    }),
+
+    // J2 broadcast dim join (legislation_table_update.py:75-78 — 42-row
+    // dim): nation ⋈ broadcast(region). At 100 TB the dim is still tiny →
+    // broadcast-hash-join, zero shuffle of the fact side.
+    "j2_broadcast_dim" -> ((s, d) => {
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name").agg(count("*").as("n_nations"))
+    }),
+
+    // J3 outer equi-join inputs ⋈ enrichments (Glue cell 7): customers
+    // full-outer orders; count orders per customer incl. zero-order rows.
+    "j3_outer_join" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+        .groupBy("c_custkey")
+        .agg(count("o_orderkey").as("n_orders"))
+        .filter(col("c_custkey").isNotNull)
+    }),
+
+    // J4/semi: insert-if-present probe — customers having ≥1 order
+    // (EXISTS ≙ left_semi; SURVEY §2.4 note on implicit semi-joins).
+    "j4_semi_join" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).select(col("o_custkey"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    }),
+
+    // J5/anti: archive-exclusion / insert-if-absent (check_duplicate.py:100,
+    // record_handler.py:110-126) — customers with NO orders.
+    "j5_anti_join" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).select(col("o_custkey"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    }),
+
+    // J6 graph 2-hop traversal (search_functions.py:21-27): doc→edge→entity
+    // ≙ lineitem→orders→customer; revenue per market segment.
+    "j6_two_hop" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      val c = Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"),
+          count("*").as("n_items"))
+    }),
+
+    // A1 group-collect attribute pivot (helpers.py:50-59): one row per
+    // entity with a sorted set-valued cell.
+    "a1_collect_attrs" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(array_sort(collect_set(col("event_type"))).as("event_types"),
+          count("*").as("n_events"))
+    }),
+
+    // A2 argmax (check_duplicate.py:128-151): per event_type, the row with
+    // max value — window row_number with deterministic tie-break.
+    "a2_argmax" -> ((s, d) => {
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("value").desc, col("event_id").asc)
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("event_id"),
+          round(col("value"), 2).as("value"))
+    }),
+
+    // A5 latest-record selection (tdb_query_helpers.py:76-82): newest event
+    // per user by timestamp.
+    "a5_latest_by" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"))
+    }),
+
+    // O1+O2 sort + deterministic window pagination (search_functions.py:
+    // 98,121-123): page 2 of size 20 ordered by ts desc.
+    "o2_paginate" -> ((s, d) => {
+      val w = Window.orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn").between(21, 40))
+        .select(col("rn"), col("event_id"), col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"))
+    }),
+
+    // O3 hard result cap / top-k (search_functions.py:64): top-10 orders by
+    // price with full tie-break → TakeOrderedAndProject (no global sort).
+    "o3_topk" -> ((s, d) => {
+      Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("total"))
+    }),
+
+    // T1 union of frames (Glue cell 5 pd.concat).
+    "t1_union" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val a = e.filter(col("event_type") === "signup")
+        .select("event_id", "user_id", "event_type")
+      val b = e.filter(col("event_type") === "error")
+        .select("event_id", "user_id", "event_type")
+      a.unionByName(b)
+    }),
+
+    // T2 dedup by key (drop_duplicates): distinct (user, type) pairs.
+    "t2_dedup" -> ((s, d) => {
+      Tables.events(s, d).select("user_id", "event_type").distinct()
+    }),
+
+    // T3 set ops on array columns (keyword union / changed-attr xor,
+    // record_handler.py:16-25): per-user intersect/except against a fixed
+    // vocabulary.
+    "t3_array_setops" -> ((s, d) => {
+      val vocab = array(lit("signup"), lit("purchase"))
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(array_sort(collect_set(col("event_type"))).as("types"))
+        .select(col("user_id"),
+          array_sort(array_intersect(col("types"), vocab)).as("common"),
+          array_sort(array_except(col("types"), vocab)).as("extra"))
+    }),
+
+    // T4 explode (legislation_table_update.py:80) + word-frequency agg:
+    // documents text → words → counts. The classic shuffle-heavy op; at
+    // scale the map-side partial agg collapses per-partition duplicates
+    // before the exchange.
+    "t4_explode_wordcount" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word").agg(count("*").as("n"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      "SELECT l_returnflag, sum(l_quantity) AS sum_qty FROM lineitem GROUP BY 1",
+    "p1_search_filter" ->
+      """SELECT event_id, user_id, event_type, round(value, 2) AS value
+        |FROM events
+        |WHERE event_type IN ('signup','purchase')
+        |  AND value >= 10.0 AND value <= 400.0 AND event_type <> 'error'""".stripMargin,
+    "p2_projection" ->
+      "SELECT p_partkey, p_name, p_size FROM part WHERE p_size > 20",
+    "p3_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50""".stripMargin,
+    "p4_whitelist_count" ->
+      """SELECT lang, count(*) AS n_docs FROM documents
+        |WHERE lang IN ('en','de','fr') GROUP BY lang""".stripMargin,
+    "j1_left_join" ->
+      """SELECT o_orderkey, c_name, c_mktsegment, round(o_totalprice, 2) AS total
+        |FROM orders LEFT JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "j2_broadcast_dim" ->
+      """SELECT r_name, count(*) AS n_nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+    "j3_outer_join" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+        |FROM customer FULL OUTER JOIN orders ON c_custkey = o_custkey
+        |WHERE c_custkey IS NOT NULL
+        |GROUP BY c_custkey""".stripMargin,
+    "j4_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "j5_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "j6_two_hop" ->
+      """SELECT c_mktsegment,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    "a1_collect_attrs" ->
+      """SELECT user_id, list_sort(list(DISTINCT event_type)) AS event_types,
+        |       count(*) AS n_events
+        |FROM events GROUP BY user_id""".stripMargin,
+    "a2_argmax" ->
+      """SELECT event_type, event_id, round(value, 2) AS value FROM (
+        |  SELECT event_type, event_id, value,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY value DESC, event_id ASC) AS rn
+        |  FROM events) t WHERE rn = 1""".stripMargin,
+    "a5_latest_by" ->
+      """SELECT user_id, event_id, event_type,
+        |       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |                               ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) t WHERE rn = 1""".stripMargin,
+    "o2_paginate" ->
+      """SELECT rn, event_id, event_type,
+        |       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s FROM (
+        |  SELECT *, row_number() OVER (ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) t WHERE rn BETWEEN 21 AND 40""".stripMargin,
+    "o3_topk" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS total
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "t1_union" ->
+      """SELECT event_id, user_id, event_type FROM events WHERE event_type = 'signup'
+        |UNION ALL
+        |SELECT event_id, user_id, event_type FROM events WHERE event_type = 'error'""".stripMargin,
+    "t2_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
+    "t3_array_setops" ->
+      """SELECT user_id,
+        |       list_sort(list_intersect(types, ['signup','purchase'])) AS common,
+        |       list_sort(list_filter(types, x -> x NOT IN ('signup','purchase'))) AS extra
+        |FROM (SELECT user_id, list_sort(list(DISTINCT event_type)) AS types
+        |      FROM events GROUP BY user_id) t""".stripMargin,
+    "t4_explode_wordcount" ->
+      """SELECT word, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+        |WHERE word <> ''
+        |GROUP BY word""".stripMargin
+  )
+}
