@@ -16,10 +16,16 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    operators.RelationalQueries.queries
+    operators.RelationalQueries.queries ++
+      operators.TextQueries.queries ++
+      operators.DedupQueries.queries ++
+      operators.SimilarityQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    operators.RelationalQueries.oracles
+    operators.RelationalQueries.oracles ++
+      operators.TextQueries.oracles ++
+      operators.DedupQueries.oracles ++
+      operators.SimilarityQueries.oracles
 }

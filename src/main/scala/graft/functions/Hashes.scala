@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** MinHash / SimHash / banding primitives — SURVEY.md §2.9 F6–F8, §2.4 J8.
+  *
+  * Two families:
+  *  - *Portable* (this file): permutations derived from salted md5, so the
+  *    DuckDB oracle can reproduce signatures bit-for-bit
+  *    (`('0x'||substr(md5(s||'#'||i),1,15))::BIGINT` ≡ [[Texts.md5Long]]).
+  *  - *Native* ([[MinHashSig]] / [[SimHash64]] Catalyst expressions):
+  *    xxhash64-based single-pass variants for the hot path (no oracle).
+  *
+  * Reference semantics: 256-perm seed-1 datasketch MinHash over k=5 char
+  * shingles (`lambdas/check_duplicate/utils.py:22-40`), banded LSH probe
+  * with stride 6 (`check_duplicate.py:90-93`).
+  */
+object Hashes {
+
+  /** Mersenne-ish prime modulus for the permutation family (2^31−1).
+    * Keeps every intermediate product < 2^62, so the arithmetic is
+    * overflow-free in both Spark (Long) and DuckDB (BIGINT, which errors
+    * on overflow rather than wrapping). */
+  val MinHashPrime = 2147483647L
+
+  /** Portable MinHash signature with the standard universal-hash
+    * permutation family: each shingle is md5-hashed ONCE (the expensive
+    * op), then `sig[i] = min over shingles of (a_i·h + b_i) mod p` —
+    * the same construction datasketch uses (`check_duplicate/utils.py:25`,
+    * 256 perms), with md5 instead of sha1 so DuckDB reproduces it
+    * bit-for-bit. Spark's higher-order-function lambdas are interpreted
+    * (no codegen), so keeping the per-perm work to two mul/mod is what
+    * makes this linear-speed; hashing per (shingle × perm) was ~20×
+    * slower. */
+  def minhashSignature(shingles: Column, numPerms: Int): Column = {
+    val p = lit(MinHashPrime)
+    val hashes = transform(shingles, s => Texts.md5Long(s) % p)
+    transform(sequence(lit(0), lit(numPerms - 1)), i => {
+      val a = (lit(2654435761L) * (i + 1)) % p
+      val b = (lit(40503L) * (i + 7)) % p
+      array_min(transform(hashes, h => (a * h + b) % p))
+    })
+  }
+
+  /** LSH banding (reference stride-6 windows over the 256 signature,
+    * `check_duplicate.py:90-93`): signature → array of (band_id, band_key)
+    * structs; equal band_key ⇒ candidate pair. band_key is the '_'-joined
+    * render the reference also uses at sinks (`check_duplicate.py:266`). */
+  def bands(sig: Column, numBands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(numBands - 1)),
+      b => struct(b.as("band_id"),
+        array_join(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), "_")
+          .as("band_key")))
+
+  /** Estimated Jaccard from two equal-length MinHash signatures:
+    * fraction of agreeing components. */
+  def minhashJaccard(a: Column, b: Column): Column =
+    round(size(filter(zip_with(a, b, (x, y) => x === y), e => e))
+      .cast("double") / size(a), 6)
+
+  /** Exact Jaccard over two (deduplicated) string arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    round(inter / (size(a) + size(b) - inter), 6)
+  }
+
+  /** Portable 16-bit SimHash over a token array: bit b of the fingerprint
+    * is 1 iff Σ_tokens (±1 by bit b of md5Long(token)) > 0. Tokens are
+    * hashed once, then re-used across all 16 bit positions (same
+    * interpreted-lambda economics as [[minhashSignature]]). DuckDB mirror
+    * uses `>>`/`&` on the same md5-derived hashes. */
+  def simhash16(toks: Column): Column = {
+    val hashes = transform(toks, t => Texts.md5Long(t))
+    val bitVals = transform(sequence(lit(0), lit(15)), b => {
+      val contrib = aggregate(hashes, lit(0L), (acc, h) =>
+        acc + when(call_function("shiftright", h, b)
+          .bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+      when(contrib > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))
+    })
+    aggregate(bitVals, lit(0L), (acc, x) => acc + x)
+  }
+
+  /** Hamming distance between two small (≤32-bit) fingerprints. */
+  def hamming(a: Column, b: Column): Column = {
+    val x = a.bitwiseXOR(b)
+    aggregate(sequence(lit(0), lit(15)), lit(0),
+      (acc, bit) => acc + call_function("shiftright", x, bit)
+        .bitwiseAND(lit(1L)).cast("int"))
+  }
+}

@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector primitives over `array<float|double>` embedding columns —
+  * SURVEY.md §2.9 F19 (cosine over signatures, `check_duplicate.py:128-151`)
+  * generalized to the embedding-similarity operators the LLM-pipeline
+  * surface needs (brute-force / bucketed ANN).
+  *
+  * All math is done in double with a strict left-to-right fold
+  * (`aggregate`), matching DuckDB's sequential list kernels closely enough
+  * that results agree to ~1e-15; oracle queries round to 4 decimals.
+  */
+object Vectors {
+
+  /** Σ a_i·b_i as a left fold in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity (reference thresholds 0.95 / 0.995,
+    * `check_duplicate.py:19`, `record_handler.py:12`). */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine rounded for cross-engine hash-stability. */
+  def cosineRounded(a: Column, b: Column, scale: Int = 4): Column =
+    round(cosine(a, b), scale)
+
+  /** Euclidean (L2) distance. */
+  def l2(a: Column, b: Column): Column =
+    sqrt(aggregate(zip_with(a, b, (x, y) => {
+      val dxy = x.cast("double") - y.cast("double")
+      dxy * dxy
+    }), lit(0.0), (acc, x) => acc + x))
+
+  /** Coarse LSH bucket for embedding vectors: sign bits of the first
+    * `nBits` components (a random-hyperplane LSH specialization — the
+    * planes are axis-aligned, which is deterministic and portable).
+    * Vectors sharing a bucket are ANN candidates. */
+  def signBucket(a: Column, nBits: Int): Column =
+    aggregate(sequence(lit(0), lit(nBits - 1)), lit(0L), (acc, i) =>
+      acc + when(element_at(a, i + 1) > 0,
+        call_function("shiftleft", lit(1L), i)).otherwise(lit(0L)))
+}

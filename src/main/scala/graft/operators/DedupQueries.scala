@@ -1,0 +1,225 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.{Hashes, Texts}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operator family — SURVEY.md §2.4 J8 / §2.10 ST7 plus the
+  * LLM-pipeline dedup surface: exact (hash-groupBy), MinHash+LSH banding,
+  * SimHash, n-gram Jaccard with blocking, embedding-cosine near-dup.
+  *
+  * Scale design: every variant turns the O(n²) similarity join into an
+  * equi-join on a candidate key (fingerprint / LSH band / block key /
+  * coarse bucket) — the same trick the reference's band `contains` probe
+  * plays (`check_duplicate.py:90-101`) — so at 100 TB the shuffle is keyed
+  * and skew is bounded by band width, never a cross join.
+  */
+object DedupQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** documents with cleaned text + sorted distinct content-word sets
+    * (shared prep for the dedup family). */
+  private def prepared(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("text"),
+        array_sort(array_distinct(Texts.tokens(col("text")))).as("ws"))
+
+  val queries: Map[String, Q] = Map(
+    // Exact dedup by content fingerprint: hash-groupBy, keep the minimum
+    // id as canonical (drop_duplicates semantics, T2).
+    "dd_exact" -> ((s, d) => {
+      prepared(s, d)
+        .withColumn("fingerprint", md5(array_join(col("ws"), " ")))
+        .groupBy("fingerprint")
+        .agg(min("doc_id").as("canonical_id"), count("*").as("n_dups"))
+        .filter(col("n_dups") > 1)
+    }),
+
+    // n-gram (distinct-word-set) Jaccard near-dup with (lang, size-bucket)
+    // blocking: candidate pairs only within a block → keyed equi-join, not
+    // a cross join. Threshold 0.9.
+    "dd_ngram_jaccard" -> ((s, d) => {
+      val base = prepared(s, d)
+        .withColumn("bkt", (size(col("ws")) / 8).cast("int"))
+      val a = base.select(col("doc_id").as("a_id"), col("lang"),
+        col("bkt"), col("ws").as("a_ws"))
+      val b = base.select(col("doc_id").as("b_id"), col("lang"),
+        col("bkt"), col("ws").as("b_ws"))
+      a.join(b, Seq("lang", "bkt"))
+        .filter(col("a_id") < col("b_id"))
+        .withColumn("jac", Hashes.jaccard(col("a_ws"), col("b_ws")))
+        .filter(col("jac") >= 0.9)
+        .select("a_id", "b_id", "jac")
+    }),
+
+    // MinHash + LSH banding (portable md5 permutations, 16 perms = 4
+    // bands × 4 rows): shingle-explode → codegen'd per-row hash → one
+    // groupBy(doc_id) carrying 16 min-aggregates → band explode →
+    // band-key equi-join → signature-agreement estimate ≥ 0.5.
+    // The reference's J8/ST7 pipeline with the TypeDB `contains` probe
+    // replaced by a hash join on band keys.
+    //
+    // Deliberately explode-based, NOT nested higher-order functions:
+    // HOF lambdas are interpreted (no codegen) and CollapseProject
+    // inlines staged projections into them, re-evaluating the whole
+    // shingle subtree per (perm × shingle). The explode shape keeps
+    // every expression row-level (whole-stage codegen) and the only
+    // shuffle is the keyed partial-min aggregation — the plan that
+    // survives a 100 TB corpus.
+    "dd_minhash_lsh" -> ((s, d) => {
+      val P = Hashes.MinHashPrime
+      val nPerms = 16
+      val cleaned = Tables.documents(s, d)
+        .select(col("doc_id"),
+          Texts.smartShorten(Texts.cleanText(col("text")), 24).as("ct"))
+      val hashed = cleaned
+        .select(col("doc_id"), col("ct"),
+          explode(sequence(lit(1), greatest(length(col("ct")) - 4, lit(1))))
+            .as("i"))
+        .select(col("doc_id"),
+          (Texts.md5Long(col("ct").substr(col("i"), lit(5))) % P).as("h"))
+      val permAggs = (0 until nPerms).map { i =>
+        val a = (2654435761L * (i + 1)) % P
+        val b = (40503L * (i + 7)) % P
+        min((lit(a) * col("h") + lit(b)) % P).as(s"s$i")
+      }
+      val sig = hashed.groupBy("doc_id")
+        .agg(permAggs.head, permAggs.tail: _*)
+        .select(col("doc_id"),
+          array((0 until nPerms).map(i => col(s"s$i")): _*).as("sig"))
+      val banded = sig.select(col("doc_id"), col("sig"),
+        explode(Hashes.bands(col("sig"), 4, 4)).as("band"))
+        .select(col("doc_id"), col("sig"),
+          col("band.band_id"), col("band.band_key"))
+      val a = banded.select(col("doc_id").as("a_id"), col("sig").as("a_sig"),
+        col("band_id"), col("band_key"))
+      val b = banded.select(col("doc_id").as("b_id"), col("sig").as("b_sig"),
+        col("band_id"), col("band_key"))
+      a.join(b, Seq("band_id", "band_key"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          Hashes.minhashJaccard(col("a_sig"), col("b_sig")).as("est_jac"))
+        .distinct()
+        .filter(col("est_jac") >= 0.5)
+    }),
+
+    // SimHash near-dup clusters: identical 16-bit portable fingerprint ⇒
+    // candidate cluster (hamming-0 specialization). Same explode + 16
+    // codegen'd sum-aggregates shape as dd_minhash_lsh (one keyed
+    // shuffle; no interpreted HOF lambdas in the hot path).
+    "dd_simhash" -> ((s, d) => {
+      val bitSums = (0 until 16).map { b =>
+        sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
+          .otherwise(-1L)).as(s"b$b")
+      }
+      val fingerprint = (0 until 16).map { b =>
+        when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      prepared(s, d)
+        .select(col("doc_id"), explode(col("ws")).as("w"))
+        .select(col("doc_id"), Texts.md5Long(col("w")).as("h"))
+        .groupBy("doc_id")
+        .agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"), fingerprint.as("simhash"))
+        .groupBy("simhash")
+        .agg(min("doc_id").as("canonical_id"), count("*").as("n_docs"),
+          array_sort(collect_set(col("doc_id"))).as("members"))
+        .filter(col("n_docs") > 1)
+    }),
+
+    // Embedding-cosine near-dup: label-blocked pairwise cosine ≥ 0.3
+    // (labels are the blocking key standing in for an IVF coarse
+    // quantizer; the data's vectors are near-orthogonal so 0.3 is the
+    // meaningful "near" band — see SimilarityQueries for top-k ANN).
+    "dd_embed_cosine" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+      val a = e.select(col("vec_id").as("a_id"), col("label"), col("v").as("a_v"))
+      val b = e.select(col("vec_id").as("b_id"), col("label"), col("v").as("b_v"))
+      a.join(b, Seq("label"))
+        .filter(col("a_id") < col("b_id"))
+        .withColumn("sim", graft.functions.Vectors.cosineRounded(col("a_v"), col("b_v")))
+        .filter(col("sim") >= 0.3)
+        .select("label", "a_id", "b_id", "sim")
+    })
+  )
+
+  private val wsSql =
+    "list_sort(list_distinct(list_filter(string_split(text, ' '), x -> x <> '')))"
+
+  private val cleanSql =
+    """lower(trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |text, '<[^>]*>', ' ', 'g'), '\.\.\.+', '.', 'g'),
+      |'([.]|,|;|:|!|\?)[.,;:!?]+', '.', 'g'), '\s+', ' ', 'g')))""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "dd_exact" ->
+      s"""SELECT md5(array_to_string($wsSql, ' ')) AS fingerprint,
+         |  min(doc_id) AS canonical_id, count(*) AS n_dups
+         |FROM documents GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+    "dd_ngram_jaccard" ->
+      s"""WITH t AS (SELECT doc_id, lang, $wsSql AS ws FROM documents),
+         |b AS (SELECT *, CAST(len(ws) // 8 AS INT) AS bkt FROM t)
+         |SELECT a.doc_id AS a_id, c.doc_id AS b_id,
+         |  round(len(list_intersect(a.ws, c.ws))::DOUBLE /
+         |    (len(a.ws) + len(c.ws) - len(list_intersect(a.ws, c.ws))), 6) AS jac
+         |FROM b a JOIN b c ON a.lang = c.lang AND a.bkt = c.bkt AND a.doc_id < c.doc_id
+         |WHERE round(len(list_intersect(a.ws, c.ws))::DOUBLE /
+         |    (len(a.ws) + len(c.ws) - len(list_intersect(a.ws, c.ws))), 6) >= 0.9""".stripMargin,
+    "dd_minhash_lsh" ->
+      s"""WITH cleaned AS (
+         |  SELECT doc_id,
+         |    array_to_string((string_split($cleanSql, ' '))[1:24], ' ') AS ct
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id,
+         |    list_transform(generate_series(1, greatest(strlen(ct) - 4, 1)),
+         |                   i -> substr(ct, i, 5)) AS shingles
+         |  FROM cleaned),
+         |hs AS (
+         |  SELECT doc_id,
+         |    list_transform(shingles, s ->
+         |      ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) AS hashes
+         |  FROM sh),
+         |sig AS (
+         |  SELECT doc_id,
+         |    list_transform(generate_series(0, 15), p ->
+         |      list_min(list_transform(hashes, h ->
+         |        ((2654435761 * (p+1) % 2147483647) * h
+         |         + (40503 * (p+7) % 2147483647)) % 2147483647))) AS sig
+         |  FROM hs),
+         |banded AS (
+         |  SELECT doc_id, sig, b AS band_id,
+         |    array_to_string(sig[b*4+1 : b*4+4], '_') AS band_key
+         |  FROM sig, unnest(generate_series(0, 3)) AS u(b)),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, c.doc_id AS b_id,
+         |    round(len(list_filter(generate_series(1, 16),
+         |      i -> a.sig[i] = c.sig[i]))::DOUBLE / 16, 6) AS est_jac
+         |  FROM banded a JOIN banded c
+         |    ON a.band_id = c.band_id AND a.band_key = c.band_key
+         |   AND a.doc_id < c.doc_id)
+         |SELECT a_id, b_id, est_jac FROM pairs WHERE est_jac >= 0.5""".stripMargin,
+    "dd_simhash" ->
+      s"""WITH t AS (SELECT doc_id, $wsSql AS ws FROM documents),
+         |h AS (SELECT doc_id,
+         |  list_transform(ws, w -> ('0x' || substr(md5(w), 1, 15))::BIGINT) AS hs
+         |  FROM t),
+         |f AS (SELECT doc_id,
+         |  list_sum(list_transform(generate_series(0, 15), b ->
+         |    CASE WHEN list_sum(list_transform(hs,
+         |           h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         |         THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS simhash
+         |  FROM h)
+         |SELECT simhash, min(doc_id) AS canonical_id, count(*) AS n_docs,
+         |  list_sort(list(doc_id)) AS members
+         |FROM f GROUP BY simhash HAVING count(*) > 1""".stripMargin,
+    "dd_embed_cosine" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,
+        |  round(list_cosine_similarity(a.v, b.v), 4) AS sim
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.3""".stripMargin
+  )
+}

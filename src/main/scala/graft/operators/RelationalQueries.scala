@@ -213,6 +213,45 @@ object RelationalQueries {
           array_sort(array_except(col("types"), vocab)).as("extra"))
     }),
 
+    // §2.6 windows: running cumulative sum per key (order-dependent frame;
+    // Spark computes it stream-wise inside each partition — one shuffle on
+    // the partition key, then sorted within).
+    "w_running_sum" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .withColumn("cum_total", round(sum("o_totalprice").over(w), 2))
+        .select("o_custkey", "o_orderkey", "cum_total")
+    }),
+
+    // §2.6/§2.10 sessionization: 30-min-gap rule via lag(), then session
+    // count per user — the batch shape of the streaming dedup-gate state.
+    "w_lag_sessionize" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, d)
+        .withColumn("prev_ts", lag("ts", 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            (unix_micros(col("ts")) - unix_micros(col("prev_ts"))) > 1800L * 1000000L,
+            1L).otherwise(0L))
+        .groupBy("user_id")
+        .agg(sum("new_sess").as("n_sessions"), count("*").as("n_events"))
+    }),
+
+    // W4 sentence segmentation + first-match position
+    // (legislative_origin_extraction.py:104-127): index of the first
+    // '.'-delimited sentence containing the probe word — computed as a
+    // narrow per-row expression (no explode needed).
+    "w4_first_sentence_match" -> ((s, d) => {
+      val pos = instr(col("text"), "join")
+      Tables.documents(s, d)
+        .filter(pos > 0)
+        .select(col("doc_id"),
+          size(split(col("text").substr(lit(1), pos), "\\.", -1)).as("sent_pos"))
+    }),
+
     // T4 explode (legislation_table_update.py:80) + word-frequency agg:
     // documents text → words → counts. The classic shuffle-heavy op; at
     // scale the map-side partial agg collapses per-partition duplicates
@@ -308,6 +347,25 @@ object RelationalQueries {
       """SELECT word, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
         |WHERE word <> ''
-        |GROUP BY word""".stripMargin
+        |GROUP BY word""".stripMargin,
+    "w_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate ASC, o_orderkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_total
+        |FROM orders""".stripMargin,
+    "w_lag_sessionize" ->
+      """SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events FROM (
+        |  SELECT user_id,
+        |    CASE WHEN prev_ts IS NULL
+        |              OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id
+        |          ORDER BY ts ASC, event_id ASC) AS prev_ts FROM events) a) b
+        |GROUP BY user_id""".stripMargin,
+    "w4_first_sentence_match" ->
+      """SELECT doc_id,
+        |  len(string_split(substr(text, 1, strpos(text, 'join')), '.')) AS sent_pos
+        |FROM documents WHERE strpos(text, 'join') > 0""".stripMargin
   )
 }

@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Vectors
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over the `embeddings` table —
+  * the LLM-pipeline similarity-search surface.
+  *
+  * Two paths:
+  *  - `sim_ann_bruteforce`: exact top-k by cosine. Query side is tiny →
+  *    Spark broadcasts it; the corpus side streams — at 100 TB this is a
+  *    single scan + per-partition top-k (TakeOrdered-shaped), no shuffle
+  *    of the corpus.
+  *  - `sim_ann_bucketed`: sign-bit LSH bucket (axis-aligned hyperplanes)
+  *    as the IVF-style coarse quantizer — candidates only within the
+  *    query's bucket, turning the scan into a keyed equi-join.
+  */
+object SimilarityQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val K = 5
+
+  private def emb(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+
+  val queries: Map[String, Q] = Map(
+    // Exact brute-force top-k cosine for the first 20 vectors as queries.
+    "sim_ann_bruteforce" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+      val cand = e.select(col("vec_id").as("n_id"), col("v").as("n_v"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("sim").desc, col("n_id").asc)
+      q.join(broadcast(cand), col("q_id") =!= col("n_id"))
+        .withColumn("sim", Vectors.cosineRounded(col("q_v"), col("n_v")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= K)
+        .select("q_id", "n_id", "sim", "rk")
+    }),
+
+    // LSH-bucketed ANN: 8 sign bits of the leading components as the
+    // coarse bucket; top-3 within bucket.
+    "sim_ann_bucketed" -> ((s, d) => {
+      val e = emb(s, d).withColumn("bucket", Vectors.signBucket(col("v"), 8))
+      val q = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("q_id"), col("v").as("q_v"), col("bucket"))
+      val cand = e.select(col("vec_id").as("n_id"), col("v").as("n_v"),
+        col("bucket"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("sim").desc, col("n_id").asc)
+      q.join(cand, Seq("bucket"))
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("sim", Vectors.cosineRounded(col("q_v"), col("n_v")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select("bucket", "q_id", "n_id", "sim", "rk")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "sim_ann_bruteforce" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |s AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |    round(list_cosine_similarity(q.v, c.v), 4) AS sim
+         |  FROM e q JOIN e c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |        ORDER BY sim DESC, n_id ASC) AS rk FROM s)
+         |SELECT q_id, n_id, sim, rk FROM r WHERE rk <= $K""".stripMargin,
+    "sim_ann_bucketed" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    list_sum(list_transform(generate_series(0, 7), i ->
+        |      CASE WHEN v[i+1] > 0 THEN (1::BIGINT << i) ELSE 0 END))::BIGINT AS bucket
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT q.bucket, q.vec_id AS q_id, c.vec_id AS n_id,
+        |    round(list_cosine_similarity(q.v, c.v), 4) AS sim
+        |  FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 50),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+        |        ORDER BY sim DESC, n_id ASC) AS rk FROM s)
+        |SELECT bucket, q_id, n_id, sim, rk FROM r WHERE rk <= 3""".stripMargin
+  )
+}

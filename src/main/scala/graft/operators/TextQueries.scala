@@ -1,0 +1,221 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Texts._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text / scalar-function operators — SURVEY.md §2.9 (F1–F24) and the
+  * text-analysis surface of the LLM-pipeline extension (language-ID,
+  * quality scoring, token counting, fingerprinting) over the `documents`
+  * table.
+  *
+  * All per-document computations are narrow (no shuffle) — at 100 TB they
+  * scale linearly with input splits; the only wide stages here are the
+  * explicit final aggregations.
+  */
+object TextQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Language marker vocabularies for the n-gram-heuristic language ID.
+    * Pinned so the DuckDB oracle mirrors exactly. */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to"),
+    "de" -> Seq("der", "die", "und", "das"),
+    "es" -> Seq("el", "la", "los", "que"),
+    "fr" -> Seq("le", "les", "et", "dans"))
+
+  val queries: Map[String, Q] = Map(
+    // F1–F3 clean_text normalization chain (pdf_to_orpml.py:29-57).
+    "f1_clean_text" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), cleanText(col("text")).as("cleaned"))
+    }),
+
+    // F4 stopword removal + tokenization (check_duplicate/utils.py:13-19).
+    "f4_stopword_tokens" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          array_sort(array_distinct(
+            removeStopwords(tokens(col("text")), StopWords))).as("content_words"))
+    }),
+
+    // F8 stable node-id hashing (shake-256 ids → portable md5-60bit here;
+    // functions.py:5-7, data_preprocess.py:21-23).
+    "f8_hash_id" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5Long(concat_ws("_", col("source"), col("doc_id"))).as("node_id"))
+    }),
+
+    // F11 smart_shortener: first-N-words prefix (summarisation/utils.py:4-15).
+    "f11_smart_shorten" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), smartShorten(col("text"), 20).as("short_text"))
+    }),
+
+    // F13 PDF-style date parse round-trip: `D:YYYYMMDDHHMMSS` slice →
+    // timestamp (pdf_to_orpml.py:98-106).
+    "f13_date_parse" -> ((s, d) => {
+      Tables.events(s, d)
+        .withColumn("pdf_date",
+          concat(lit("D:"), date_format(col("ts"), "yyyyMMddHHmmss")))
+        .select(col("event_id"),
+          date_format(to_timestamp(col("pdf_date").substr(lit(3), lit(14)),
+            "yyyyMMddHHmmss"), "yyyy-MM-dd HH:mm:ss").as("parsed"))
+    }),
+
+    // F16 ±3-month window reconciliation (date_generation.py:77-100):
+    // orders within 92 days of an anchor date.
+    "f16_date_window" -> ((s, d) => {
+      Tables.orders(s, d)
+        .withColumn("d_days",
+          datediff(col("o_orderdate").cast("date"), lit("2024-06-30").cast("date")))
+        .filter(abs(col("d_days")) <= 92)
+        .select("o_orderkey", "d_days")
+    }),
+
+    // F18 numeric-token extraction (year detection,
+    // legislative_origin_extraction.py:45-53).
+    "f18_extract_numbers" -> ((s, d) => {
+      Tables.customer(s, d)
+        .select(col("c_custkey"), extractNumbers(col("c_name")).as("nums"))
+    }),
+
+    // F24 hierarchical topic-path expansion (Glue get_topic_path): deepest
+    // path = assigned topic (search_functions.py:137-140).
+    "f24_topic_paths" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("topic", concat_ws("/", col("lang"), col("source")))
+        .select(col("doc_id"), topicPaths(col("topic")).as("paths"),
+          col("topic").as("assigned"))
+    }),
+
+    // Text analysis: token count + length stats per document.
+    "ta_token_stats" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"),
+          avgTokenLen(col("text")).as("avg_tok_len"), col("n_chars"))
+    }),
+
+    // Text analysis: composite quality score from stopword ratio and
+    // length (reference quality gates are length/score thresholds,
+    // title_generation.py:73-94).
+    "ta_quality_score" -> ((s, d) => {
+      val nTok = tokenCount(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), stopwordRatio(col("text")).as("stop_ratio"),
+          round((lit(1.0) - stopwordRatio(col("text"))) *
+            least(lit(1.0), nTok.cast("double") / 50.0), 6).as("quality"))
+    }),
+
+    // Text analysis: marker-vote language ID vs the labeled lang column
+    // (langdetect replacement, summarisation.py:34-41 / M4).
+    "ta_lang_id" -> ((s, d) => {
+      val toks = tokens(col("text"))
+      val votes = langMarkers.map { case (lang, ms) =>
+        lang -> size(filter(toks, t => t.isin(ms.map(x => x: Any): _*)))
+      }
+      val Seq(en, de, es, fr) = votes.map(_._2)
+      val predicted = when(en >= de && en >= es && en >= fr, "en")
+        .when(de >= es && de >= fr, "de")
+        .when(es >= fr, "es").otherwise("fr")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), predicted.as("predicted"),
+          (predicted === col("lang")).as("correct"))
+    }),
+
+    // Text analysis: bag-of-words document fingerprint (rolling-hash
+    // fingerprint analogue) — input to exact dedup.
+    "ta_fingerprint" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(array_join(array_sort(array_distinct(tokens(col("text")))), " "))
+            .as("fingerprint"))
+    })
+  )
+
+  private val cleanSql =
+    """lower(trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |text, '<[^>]*>', ' ', 'g'), '\.\.\.+', '.', 'g'),
+      |'([.]|,|;|:|!|\?)[.,;:!?]+', '.', 'g'), '\s+', ' ', 'g')))""".stripMargin
+
+  private val toksSql = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+  val oracles: Map[String, String] = Map(
+    "f1_clean_text" ->
+      s"SELECT doc_id, $cleanSql AS cleaned FROM documents",
+    "f4_stopword_tokens" ->
+      s"""SELECT doc_id,
+         |  list_sort(list_distinct(list_filter($toksSql,
+         |    x -> x NOT IN ('the','a','an','and','or','of','to','in','is','it',
+         |                   'for','on','with','this','that','be','as','at','by'))))
+         |  AS content_words
+         |FROM documents""".stripMargin,
+    "f8_hash_id" ->
+      """SELECT doc_id,
+        |  ('0x' || substr(md5(concat_ws('_', source, doc_id)), 1, 15))::BIGINT AS node_id
+        |FROM documents""".stripMargin,
+    "f11_smart_shorten" ->
+      """SELECT doc_id,
+        |  array_to_string((string_split(text, ' '))[1:20], ' ') AS short_text
+        |FROM documents""".stripMargin,
+    "f13_date_parse" ->
+      """SELECT event_id,
+        |  strftime(strptime(substr('D:' || strftime(ts, '%Y%m%d%H%M%S'), 3, 14),
+        |           '%Y%m%d%H%M%S'), '%Y-%m-%d %H:%M:%S') AS parsed
+        |FROM events""".stripMargin,
+    "f16_date_window" ->
+      """SELECT o_orderkey,
+        |  date_diff('day', DATE '2024-06-30', o_orderdate::DATE) AS d_days
+        |FROM orders
+        |WHERE abs(date_diff('day', DATE '2024-06-30', o_orderdate::DATE)) <= 92""".stripMargin,
+    "f18_extract_numbers" ->
+      "SELECT c_custkey, regexp_extract_all(c_name, '[0-9]+') AS nums FROM customer",
+    "f24_topic_paths" ->
+      """SELECT doc_id,
+        |  list_transform(generate_series(1, len(p)),
+        |                 i -> array_to_string(p[1:i], '/')) AS paths,
+        |  concat_ws('/', lang, source) AS assigned
+        |FROM (SELECT doc_id, lang, source,
+        |             string_split(concat_ws('/', lang, source), '/') AS p
+        |      FROM documents) t""".stripMargin,
+    "ta_token_stats" ->
+      s"""SELECT doc_id, len($toksSql) AS n_tokens,
+         |  round(list_sum(list_transform($toksSql, t -> strlen(t)))::DOUBLE /
+         |        greatest(len($toksSql), 1), 6) AS avg_tok_len,
+         |  n_chars
+         |FROM documents""".stripMargin,
+    "ta_quality_score" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, len($toksSql) AS n_tokens,
+         |    round(len(list_filter($toksSql,
+         |      x -> x IN ('the','a','an','and','or','of','to','in','is','it',
+         |                 'for','on','with','this','that','be','as','at','by')))::DOUBLE /
+         |      greatest(len($toksSql), 1), 6) AS stop_ratio
+         |  FROM documents)
+         |SELECT doc_id, stop_ratio,
+         |  round((1.0 - stop_ratio) * least(1.0, n_tokens / 50.0), 6) AS quality
+         |FROM t""".stripMargin,
+    "ta_lang_id" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |    len(list_filter($toksSql, x -> x IN ('the','and','of','to'))) AS en,
+         |    len(list_filter($toksSql, x -> x IN ('der','die','und','das'))) AS de,
+         |    len(list_filter($toksSql, x -> x IN ('el','la','los','que'))) AS es,
+         |    len(list_filter($toksSql, x -> x IN ('le','les','et','dans'))) AS fr
+         |  FROM documents)
+         |SELECT doc_id, lang,
+         |  CASE WHEN en >= de AND en >= es AND en >= fr THEN 'en'
+         |       WHEN de >= es AND de >= fr THEN 'de'
+         |       WHEN es >= fr THEN 'es' ELSE 'fr' END AS predicted,
+         |  (CASE WHEN en >= de AND en >= es AND en >= fr THEN 'en'
+         |        WHEN de >= es AND de >= fr THEN 'de'
+         |        WHEN es >= fr THEN 'es' ELSE 'fr' END) = lang AS correct
+         |FROM t""".stripMargin,
+    "ta_fingerprint" ->
+      s"""SELECT doc_id,
+         |  md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fingerprint
+         |FROM documents""".stripMargin
+  )
+}
