@@ -19,7 +19,8 @@ object SparkEntry {
     operators.RelationalQueries.queries ++
       operators.TextQueries.queries ++
       operators.DedupQueries.queries ++
-      operators.SimilarityQueries.queries
+      operators.SimilarityQueries.queries ++
+      operators.OrpQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +28,6 @@ object SparkEntry {
     operators.RelationalQueries.oracles ++
       operators.TextQueries.oracles ++
       operators.DedupQueries.oracles ++
-      operators.SimilarityQueries.oracles
+      operators.SimilarityQueries.oracles ++
+      operators.OrpQueries.oracles
 }

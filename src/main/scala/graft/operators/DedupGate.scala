@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ingest-time duplicate gate — SURVEY.md §2.10 ST7 (reference
+  * `lambdas/check_duplicate/check_duplicate.py:183-289`): each incoming
+  * document is classified three ways against the stored corpus:
+  *
+  *  - `duplicate` — a non-archived stored doc is effectively identical
+  *    (reference: LSH shortlist + cosine ≥ 0.95 + metadata equality)
+  *  - `version`   — same logical document, changed content (cosine ≥ 0.95,
+  *    metadata differs) → carries the stored node id forward
+  *  - `new`       — no candidate above threshold
+  *
+  * Implementation is the J8 decomposition: band-key equi-join for the
+  * candidate shortlist (never a cross join), then the exact similarity
+  * check only on candidates, then a 3-way outcome column. Within-batch
+  * self-duplicates are resolved first (earlier id wins), mirroring the
+  * reference's serial processing order — SURVEY §7.4 hard-part 5.
+  */
+object DedupGate {
+
+  val DuplicateThreshold = 0.95 // check_duplicate.py:19
+
+  /** Classify `incoming` (uid, fingerprint, sig, meta_key) against
+    * `corpus` (same columns + node_id, status). `sig` is a MinHash
+    * signature array; fingerprint an exact-content hash; meta_key the
+    * metadata-equality probe.
+    *
+    * Returns incoming + (outcome, matched_node_id, best_sim).
+    */
+  def classify(incoming: DataFrame, corpus: DataFrame,
+      numBands: Int, rowsPerBand: Int): DataFrame = {
+    import graft.functions.Hashes
+
+    def banded(df: DataFrame, idCol: String) =
+      df.select(col(idCol), col("sig"),
+        explode(Hashes.bands(col("sig"), numBands, rowsPerBand)).as("band"))
+        .select(col(idCol), col("sig"),
+          col("band.band_id"), col("band.band_key"))
+
+    // The reference processes serially, so by the time a document is
+    // checked, earlier documents of the same batch are already in the
+    // store. We reproduce that by treating batch-earlier twins as corpus
+    // candidates: candidate set = live corpus ∪ {batch rows with smaller
+    // uid}, ranked by (sim desc, corpus-first, id asc).
+    val corpusLive = corpus.filter(col("status") =!= "archive")
+    val corpusCand = banded(incoming, "uid").alias("q")
+      .join(banded(corpusLive, "node_id").alias("c"), Seq("band_id", "band_key"))
+      .select(col("q.uid").as("uid"), col("c.node_id").as("match_id"),
+        Hashes.minhashJaccard(col("q.sig"), col("c.sig")).as("sim"),
+        lit(true).as("from_corpus"))
+
+    val inB = banded(incoming, "uid")
+    val batchCand = inB.alias("a")
+      .join(inB.alias("b"), Seq("band_id", "band_key"))
+      .filter(col("a.uid") > col("b.uid"))
+      .select(col("a.uid").as("uid"), col("b.uid").as("match_id"),
+        Hashes.minhashJaccard(col("a.sig"), col("b.sig")).as("sim"),
+        lit(false).as("from_corpus"))
+
+    val candidates = corpusCand.unionByName(batchCand)
+      .distinct()
+      .filter(col("sim") >= DuplicateThreshold)
+
+    // Best candidate per doc: max sim, corpus wins ties, then lowest id
+    // (A2 argmax with full tie-break).
+    val best = candidates
+      .groupBy("uid")
+      .agg(max(struct(col("sim"), col("from_corpus"),
+        (-col("match_id")).as("neg_id"))).as("m"))
+      .select(col("uid"), col("m.sim").as("best_sim"),
+        col("m.from_corpus").as("from_corpus"),
+        (-col("m.neg_id")).cast("long").as("match_id"))
+
+    // Metadata of the best match: from the corpus row or the batch twin.
+    val metaOfMatch = best
+      .join(corpusLive.select(col("node_id").as("match_id"),
+        col("meta_key").as("corpus_meta")), Seq("match_id"), "left")
+      .join(incoming.select(col("uid").as("match_id"),
+        col("meta_key").as("batch_meta")), Seq("match_id"), "left")
+      .select(col("uid"), col("best_sim"), col("from_corpus"), col("match_id"),
+        when(col("from_corpus"), col("corpus_meta")).otherwise(col("batch_meta"))
+          .as("matched_meta"))
+
+    // Metadata equality decides duplicate vs version
+    // (check_duplicate.py:154-180).
+    incoming.alias("in")
+      .join(metaOfMatch, Seq("uid"), "left")
+      .withColumn("outcome",
+        when(col("best_sim").isNotNull && col("matched_meta") === col("meta_key"),
+          "duplicate")
+          .when(col("best_sim").isNotNull, "version")
+          .otherwise("new"))
+      .select(col("uid"), col("outcome"),
+        when(col("from_corpus"), col("match_id")).as("matched_node_id"),
+        col("best_sim"),
+        when(!col("from_corpus"), col("match_id")).as("batch_twin"))
+  }
+}

@@ -68,26 +68,8 @@ object DedupQueries {
     // shuffle is the keyed partial-min aggregation — the plan that
     // survives a 100 TB corpus.
     "dd_minhash_lsh" -> ((s, d) => {
-      val P = Hashes.MinHashPrime
-      val nPerms = 16
-      val cleaned = Tables.documents(s, d)
-        .select(col("doc_id"),
-          Texts.smartShorten(Texts.cleanText(col("text")), 24).as("ct"))
-      val hashed = cleaned
-        .select(col("doc_id"), col("ct"),
-          explode(sequence(lit(1), greatest(length(col("ct")) - 4, lit(1))))
-            .as("i"))
-        .select(col("doc_id"),
-          (Texts.md5Long(col("ct").substr(col("i"), lit(5))) % P).as("h"))
-      val permAggs = (0 until nPerms).map { i =>
-        val a = (2654435761L * (i + 1)) % P
-        val b = (40503L * (i + 7)) % P
-        min((lit(a) * col("h") + lit(b)) % P).as(s"s$i")
-      }
-      val sig = hashed.groupBy("doc_id")
-        .agg(permAggs.head, permAggs.tail: _*)
-        .select(col("doc_id"),
-          array((0 until nPerms).map(i => col(s"s$i")): _*).as("sig"))
+      val sig = MinHashPipeline.signatures(
+        Tables.documents(s, d), "doc_id", col("text"))
       val banded = sig.select(col("doc_id"), col("sig"),
         explode(Hashes.bands(col("sig"), 4, 4)).as("band"))
         .select(col("doc_id"), col("sig"),
@@ -168,27 +150,8 @@ object DedupQueries {
          |WHERE round(len(list_intersect(a.ws, c.ws))::DOUBLE /
          |    (len(a.ws) + len(c.ws) - len(list_intersect(a.ws, c.ws))), 6) >= 0.9""".stripMargin,
     "dd_minhash_lsh" ->
-      s"""WITH cleaned AS (
-         |  SELECT doc_id,
-         |    array_to_string((string_split($cleanSql, ' '))[1:24], ' ') AS ct
-         |  FROM documents),
-         |sh AS (
-         |  SELECT doc_id,
-         |    list_transform(generate_series(1, greatest(strlen(ct) - 4, 1)),
-         |                   i -> substr(ct, i, 5)) AS shingles
-         |  FROM cleaned),
-         |hs AS (
-         |  SELECT doc_id,
-         |    list_transform(shingles, s ->
-         |      ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) AS hashes
-         |  FROM sh),
-         |sig AS (
-         |  SELECT doc_id,
-         |    list_transform(generate_series(0, 15), p ->
-         |      list_min(list_transform(hashes, h ->
-         |        ((2654435761 * (p+1) % 2147483647) * h
-         |         + (40503 * (p+7) % 2147483647)) % 2147483647))) AS sig
-         |  FROM hs),
+      s"""WITH sig AS (
+         |${MinHashPipeline.signaturesSql("documents", "doc_id", "text")}),
          |banded AS (
          |  SELECT doc_id, sig, b AS band_id,
          |    array_to_string(sig[b*4+1 : b*4+4], '_') AS band_key

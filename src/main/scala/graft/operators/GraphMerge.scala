@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Versioned upsert into the document/graph store — SURVEY.md §2.10
+  * ST2–ST6 (reference `misc/stream_update_process/record_handler.py`):
+  *
+  *  - insert-if-absent (new docs get version 1)              ST6
+  *  - in-place merge when content is nearly identical         ST5
+  *  - SCD-2 version fork when content changed materially:     ST4
+  *    new row version+1, old row's status flipped to archive
+  *  - pure attribute update when only metadata changed        ST3
+  *
+  * The reference mutates TypeDB row-by-row; on Spark the same semantics
+  * are a deterministic join + union rewrite of the table per batch
+  * (Delta-MERGE-shaped: at 100 TB each branch is a keyed equi-join on
+  * `uid`, so the rewrite shuffles only on the merge key; with a real
+  * lakehouse table format the same frames feed `MERGE WHEN MATCHED`).
+  *
+  * Similarity is the caller's column (`sim` ∈ [0,1] on the incoming
+  * frame, cosine of signature vectors in the reference —
+  * `record_handler.py:28-34`); the fork threshold is 0.995
+  * (`record_handler.py:12`).
+  */
+object GraphMerge {
+
+  val VersionForkThreshold = 0.995 // record_handler.py:12
+
+  /** Merge `incoming` into `current`.
+    *
+    * @param current  store: one live row per uid (+ archived history);
+    *                 columns: uid, payload..., version, status
+    * @param incoming batch: uid, payload..., sim (similarity to the
+    *                 current live row, null/1.0 when uid is new)
+    * @param payloadCols payload column names common to both frames
+    */
+  def merge(current: DataFrame, incoming: DataFrame,
+      payloadCols: Seq[String]): DataFrame = {
+    val live = current.filter(col("status") =!= "archive")
+    val archived = current.filter(col("status") === "archive")
+
+    val in = incoming.alias("in")
+    val cur = live.alias("cur")
+    val joined = in.join(cur, col("in.uid") === col("cur.uid"), "left")
+
+    def inCols = payloadCols.map(c => col(s"in.$c").as(c))
+
+    // ST6: unseen uid → insert version 1.
+    val inserts = joined.filter(col("cur.uid").isNull)
+      .select((col("in.uid").as("uid") +: inCols) :+
+        lit(1L).as("version") :+ lit("published").as("status"): _*)
+
+    // ST4: matched + changed materially → fork: new row version+1 …
+    val forked = joined
+      .filter(col("cur.uid").isNotNull && col("in.sim") < VersionForkThreshold)
+      .select((col("in.uid").as("uid") +: inCols) :+
+        (col("cur.version") + 1L).as("version") :+
+        lit("published").as("status"): _*)
+
+    // … and the superseded live row flips to archive.
+    val forkedUids = joined
+      .filter(col("cur.uid").isNotNull && col("in.sim") < VersionForkThreshold)
+      .select(col("cur.uid").as("uid"))
+    val newlyArchived = live.join(forkedUids, Seq("uid"), "left_semi")
+      .withColumn("status", lit("archive"))
+
+    // ST3/ST5: matched + near-identical → in-place attribute overwrite
+    // (keep version).
+    val updated = joined
+      .filter(col("cur.uid").isNotNull && col("in.sim") >= VersionForkThreshold)
+      .select((col("in.uid").as("uid") +: inCols) :+
+        col("cur.version").as("version") :+ col("cur.status").as("status"): _*)
+
+    // Untouched live rows pass through.
+    val untouched = live.join(in.select(col("uid")), Seq("uid"), "left_anti")
+
+    val cols = ("uid" +: payloadCols) :+ "version" :+ "status"
+    Seq(archived, newlyArchived, untouched, updated, inserts, forked)
+      .map(_.select(cols.map(col): _*))
+      .reduce(_ unionByName _)
+  }
+}

@@ -1,0 +1,274 @@
+package graft.operators
+
+import graft.Tables
+import graft.streaming.StreamPipeline
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** ORP-domain end-to-end operators — SURVEY.md §3 lifecycles wired over
+  * the driver's test tables: the search API slice (§3.2), graph-element
+  * extraction + SCD-2 merge (§2.10 ST2–ST6), the ingest dedup gate (ST7),
+  * and the streaming throughput aggregation, each oracle-checked in batch
+  * form (the streaming path itself is exercised in ScalaTest via
+  * AvailableNow triggers).
+  */
+object OrpQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // §3.2 search slice: conjunctive predicate → order → deterministic
+    // page 2 — the reference's query_builder + sort + iloc page
+    // (search_functions.py:9-65,98,118-123). documents stands in for the
+    // docs table: lang≙topic, n_chars≙date ordering key.
+    "orp_search" -> ((s, d) => {
+      val req = Search.Request(
+        topicEquals = Some("en"),
+        keywordAnd = Seq("join", "filter"),
+        excludeStatus = None,
+        page = 1, pageSize = 10, hardCap = 10000)
+      val b = Search.Binding(uid = "doc_id", topic = "lang", text = "text",
+        docType = "source", status = "source", title = "text",
+        date = "n_chars")
+      Search.plan(Tables.documents(s, d), req, b)
+        .select(col("rn"), col("doc_id"), col("lang"), col("n_chars"))
+    }),
+
+    // ST2 graph-element extraction, entity half (extract_graph_elems.py:
+    // 20-110): event rows → typed entity nodes with hash-derived ids.
+    "g_extract_entities" -> ((s, d) => {
+      val (entities, _) = StreamPipeline.extractElements(Tables.events(s, d))
+      entities.distinct()
+    }),
+
+    // ST2 link half: publication edges user→event.
+    "g_extract_links" -> ((s, d) => {
+      val (_, links) = StreamPipeline.extractElements(Tables.events(s, d))
+      links.select(col("link_type"), col("src_id"), col("dst_id"))
+    }),
+
+    // ST3–ST6 SCD-2 merge: current store ⊕ incoming batch → versioned
+    // rows with archive flips (record_handler.py:39-80). Incoming is a
+    // deterministic mutation of documents: every 3rd doc re-ingested
+    // (forking when sim < 0.995), every 7th doc arrives as a brand-new
+    // uid.
+    "g_scd2_merge" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val current = docs.select(
+        col("doc_id").cast("string").as("uid"),
+        col("text"), col("lang"), lit(1L).as("version"),
+        when(col("doc_id") % 10 === 9, "archive").otherwise("published")
+          .as("status"))
+      val incoming = docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id").cast("string").as("uid"),
+          concat(col("text"), lit(" amended")).as("text"), col("lang"),
+          when(col("doc_id") % 6 === 0, 0.9).otherwise(0.999).as("sim"))
+        .unionByName(docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000).cast("string").as("uid"),
+            col("text"), col("lang"), lit(1.0).as("sim")))
+      GraphMerge.merge(current, incoming, Seq("text", "lang"))
+        .select(col("uid"), col("lang"), col("version"), col("status"),
+          length(col("text")).as("tlen"))
+    }),
+
+    // Streaming throughput aggregation (batch form of the ST1 metrics
+    // stream): tumbling 1-hour windows per event type.
+    "st_throughput" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count("*").as("n"), round(sum("value"), 2).as("total_value"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+          col("event_type"), col("n"), col("total_value"))
+    }),
+
+    // A3 keyword dedup-max + top-k (keyword_extraction.py:95-101): per
+    // group keep max score per member, then top-3.
+    "a3_topk_per_group" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("mx").desc, col("event_type").asc)
+      Tables.events(s, d)
+        .groupBy("user_id", "event_type")
+        .agg(round(max("value"), 2).as("mx"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+    }),
+
+    // ST7 ingest dedup gate: 3-way outcome (new/version/duplicate) for a
+    // deterministic mutation batch vs the stored corpus
+    // (check_duplicate.py:183-289): every 5th doc re-arrives; every 10th
+    // with replaced content (→ new), every 15th with changed metadata
+    // (→ version), the rest identical (→ duplicate).
+    "dg_dedup_gate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val inc0 = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("uid"),
+          when(col("doc_id") % 10 === 0,
+            concat(lit("completely different content block "), col("doc_id")))
+            .otherwise(col("text")).as("itext"),
+          when(col("doc_id") % 15 === 0, lit("xx")).otherwise(col("lang"))
+            .as("meta_key"))
+      val incoming = inc0.join(
+        MinHashPipeline.signatures(inc0, "uid", col("itext")), "uid")
+      val corp0 = docs.select(col("doc_id").as("node_id"), col("text"),
+        col("lang").as("meta_key"),
+        when(col("doc_id") % 10 === 9, "archive").otherwise("published")
+          .as("status"))
+      val corpus = corp0.join(
+        MinHashPipeline.signatures(corp0, "node_id", col("text")), "node_id")
+      DedupGate.classify(incoming, corpus, 4, 4)
+    }),
+
+    // O4 within-row top-n (keyword top-10 after lemma-dedup): top-5
+    // distinct words per document, descending.
+    "o4_topn_within_row" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          slice(reverse(array_sort(array_distinct(
+            graft.functions.Texts.tokens(col("text"))))), 1, 5).as("top_words"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "orp_search" ->
+      """SELECT rn, doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |         row_number() OVER (ORDER BY n_chars DESC, doc_id DESC) AS rn
+        |  FROM documents
+        |  WHERE lang = 'en' AND text LIKE '%join%' AND text LIKE '%filter%') t
+        |WHERE rn BETWEEN 11 AND 20""".stripMargin,
+    "g_extract_entities" ->
+      """SELECT DISTINCT * FROM (
+        |  SELECT ('0x' || substr(md5('user_' || user_id), 1, 15))::BIGINT AS node_id,
+        |         'regulatoryAgent' AS entity_type, user_id::VARCHAR AS key
+        |  FROM events
+        |  UNION ALL
+        |  SELECT ('0x' || substr(md5('event_' || event_id), 1, 15))::BIGINT,
+        |         'regulatoryDocument', event_id::VARCHAR
+        |  FROM events) t""".stripMargin,
+    "g_extract_links" ->
+      """SELECT 'publication' AS link_type,
+        |  ('0x' || substr(md5('user_' || user_id), 1, 15))::BIGINT AS src_id,
+        |  ('0x' || substr(md5('event_' || event_id), 1, 15))::BIGINT AS dst_id
+        |FROM events""".stripMargin,
+    "g_scd2_merge" ->
+      """WITH cur AS (
+        |  SELECT doc_id::VARCHAR AS uid, text, lang, 1::BIGINT AS version,
+        |    CASE WHEN doc_id % 10 = 9 THEN 'archive' ELSE 'published' END AS status
+        |  FROM documents),
+        |inc AS (
+        |  SELECT doc_id::VARCHAR AS uid, text || ' amended' AS text, lang,
+        |    CASE WHEN doc_id % 6 = 0 THEN 0.9 ELSE 0.999 END AS sim
+        |  FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT (doc_id + 1000000)::VARCHAR, text, lang, 1.0
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |live AS (SELECT * FROM cur WHERE status <> 'archive'),
+        |archived AS (SELECT * FROM cur WHERE status = 'archive'),
+        |matched AS (SELECT i.*, l.version AS cur_version
+        |            FROM inc i JOIN live l USING (uid)),
+        |inserts AS (
+        |  SELECT i.uid, i.text, i.lang, 1::BIGINT AS version,
+        |         'published' AS status
+        |  FROM inc i LEFT JOIN live l USING (uid) WHERE l.uid IS NULL),
+        |forked AS (
+        |  SELECT uid, text, lang, cur_version + 1 AS version,
+        |         'published' AS status
+        |  FROM matched WHERE sim < 0.995),
+        |newly_archived AS (
+        |  SELECT l.uid, l.text, l.lang, l.version, 'archive' AS status
+        |  FROM live l WHERE l.uid IN (SELECT uid FROM matched WHERE sim < 0.995)),
+        |updated AS (
+        |  SELECT uid, text, lang, cur_version AS version, 'published' AS status
+        |  FROM matched WHERE sim >= 0.995),
+        |untouched AS (
+        |  SELECT * FROM live WHERE uid NOT IN (SELECT uid FROM inc)),
+        |unioned AS (
+        |  SELECT * FROM archived UNION ALL SELECT * FROM newly_archived
+        |  UNION ALL SELECT * FROM untouched UNION ALL SELECT * FROM updated
+        |  UNION ALL SELECT * FROM inserts UNION ALL SELECT * FROM forked)
+        |SELECT uid, lang, version, status, strlen(text) AS tlen FROM unioned""".stripMargin,
+    "st_throughput" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ws,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "a3_topk_per_group" ->
+      """SELECT user_id, event_type, mx, rk FROM (
+        |  SELECT user_id, event_type, mx,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY mx DESC, event_type ASC) AS rk
+        |  FROM (SELECT user_id, event_type, round(max(value), 2) AS mx
+        |        FROM events GROUP BY 1, 2) a) b
+        |WHERE rk <= 3""".stripMargin,
+    "dg_dedup_gate" -> {
+      val estJac =
+        "round(len(list_filter(generate_series(1, 16), i -> a.sig[i] = c.sig[i]))::DOUBLE / 16, 6)"
+      s"""WITH inc0 AS (
+         |  SELECT doc_id AS uid,
+         |    CASE WHEN doc_id % 10 = 0
+         |         THEN 'completely different content block ' || doc_id
+         |         ELSE text END AS itext,
+         |    CASE WHEN doc_id % 15 = 0 THEN 'xx' ELSE lang END AS meta_key
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |incsig AS (
+         |${MinHashPipeline.signaturesSql("inc0", "uid", "itext")}),
+         |corp0 AS (
+         |  SELECT doc_id AS node_id, text, lang AS meta_key,
+         |    CASE WHEN doc_id % 10 = 9 THEN 'archive' ELSE 'published' END AS status
+         |  FROM documents),
+         |corpsig AS (
+         |${MinHashPipeline.signaturesSql("corp0", "node_id", "text")}),
+         |incband AS (
+         |  SELECT uid, sig, b AS band_id,
+         |    array_to_string(sig[b*4+1 : b*4+4], '_') AS band_key
+         |  FROM incsig, unnest(generate_series(0, 3)) AS u(b)),
+         |corpband AS (
+         |  SELECT s.node_id, s.sig, b AS band_id,
+         |    array_to_string(s.sig[b*4+1 : b*4+4], '_') AS band_key
+         |  FROM corpsig s JOIN corp0 c0 ON s.node_id = c0.node_id
+         |       AND c0.status <> 'archive',
+         |       unnest(generate_series(0, 3)) AS u(b)),
+         |candidates AS (
+         |  SELECT DISTINCT a.uid, c.node_id AS match_id, $estJac AS sim,
+         |         true AS from_corpus
+         |  FROM incband a JOIN corpband c
+         |    ON a.band_id = c.band_id AND a.band_key = c.band_key
+         |  WHERE $estJac >= 0.95
+         |  UNION
+         |  SELECT DISTINCT a.uid, c.uid AS match_id, $estJac AS sim,
+         |         false AS from_corpus
+         |  FROM incband a JOIN incband c
+         |    ON a.band_id = c.band_id AND a.band_key = c.band_key
+         |   AND a.uid > c.uid
+         |  WHERE $estJac >= 0.95),
+         |best AS (
+         |  SELECT uid, match_id, sim, from_corpus FROM (
+         |    SELECT uid, match_id, sim, from_corpus,
+         |      row_number() OVER (PARTITION BY uid
+         |        ORDER BY sim DESC, from_corpus DESC, match_id ASC) AS rk
+         |    FROM candidates) r WHERE rk = 1),
+         |meta AS (
+         |  SELECT b.uid, b.sim AS best_sim, b.from_corpus, b.match_id,
+         |    CASE WHEN b.from_corpus THEN cm.meta_key ELSE bm.meta_key END
+         |      AS matched_meta
+         |  FROM best b
+         |  LEFT JOIN corp0 cm ON b.from_corpus AND b.match_id = cm.node_id
+         |  LEFT JOIN inc0 bm ON NOT b.from_corpus AND b.match_id = bm.uid)
+         |SELECT i.uid,
+         |  CASE WHEN m.best_sim IS NOT NULL AND m.matched_meta = i.meta_key
+         |            THEN 'duplicate'
+         |       WHEN m.best_sim IS NOT NULL THEN 'version'
+         |       ELSE 'new' END AS outcome,
+         |  CASE WHEN m.from_corpus THEN m.match_id END AS matched_node_id,
+         |  m.best_sim,
+         |  CASE WHEN NOT m.from_corpus THEN m.match_id END AS batch_twin
+         |FROM inc0 i
+         |LEFT JOIN meta m ON i.uid = m.uid""".stripMargin
+    },
+    "o4_topn_within_row" ->
+      """SELECT doc_id,
+        |  (list_sort(list_distinct(list_filter(string_split(text, ' '),
+        |                                       x -> x <> '')), 'DESC'))[1:5]
+        |  AS top_words
+        |FROM documents""".stripMargin
+  )
+}

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The search API's query planner — SURVEY.md §2.3 P1/P2, §2.7 O1–O3,
+  * §3.2: reference `lambdas/typedb_search_query/search_functions.py:9-65`
+  * (query_builder) + `handler.py:47-88` (search_module).
+  *
+  * The reference builds a TQL string and post-processes in pandas; here a
+  * request compiles directly to a Catalyst plan, so pushdown/pruning
+  * replace the reference's hand-rolled "late materialization" (fetch page
+  * keys, then full rows — `search_functions.py:90-123`).
+  */
+object Search {
+
+  /** A search request — mirror of the reference's lambda event params
+    * (`handler.py:16-20,49-59`). All filters conjunctive. */
+  case class Request(
+    idEquals: Option[String] = None,               // by-id plan shape
+    topicEquals: Option[String] = None,            // equality
+    keywordAnd: Seq[String] = Nil,                 // AND-list, substring
+    typeIn: Seq[String] = Nil,                     // OR-list
+    statusIn: Seq[String] = Nil,                   // OR-list
+    excludeStatus: Option[String] = Some("archive"), // negation
+    dateFrom: Option[String] = None,               // inclusive range
+    dateTo: Option[String] = None,
+    titleContains: Option[String] = None,
+    orderAscending: Boolean = false,
+    page: Int = 0,
+    pageSize: Int = 10,                            // handler.py:20
+    hardCap: Int = 10000)                          // search_functions.py:64
+
+  /** Column bindings: which physical columns play uid/topic/keywords/…
+    * so the planner works over any conforming DataFrame. */
+  case class Binding(
+    uid: String, topic: String, text: String, docType: String,
+    status: String, title: String, date: String)
+
+  /** Compile the conjunctive predicate (P1). Every branch is a
+    * pushdown-friendly `Column` expression — no UDFs, no string plans. */
+  def predicate(r: Request, b: Binding): Column = {
+    val always = lit(true)
+    Seq(
+      r.idEquals.map(col(b.uid) === _),
+      r.topicEquals.map(col(b.topic) === _),
+      Option.when(r.keywordAnd.nonEmpty)(
+        r.keywordAnd.map(k => col(b.text).contains(k)).reduce(_ && _)),
+      Option.when(r.typeIn.nonEmpty)(col(b.docType).isin(r.typeIn: _*)),
+      Option.when(r.statusIn.nonEmpty)(col(b.status).isin(r.statusIn: _*)),
+      r.excludeStatus.map(col(b.status) =!= _),
+      r.dateFrom.map(col(b.date) >= _),
+      r.dateTo.map(col(b.date) <= _),
+      r.titleContains.map(t => lower(col(b.title)).contains(t.toLowerCase))
+    ).flatten.foldLeft(always)(_ && _)
+  }
+
+  /** Full plan: filter → hard cap → order → deterministic window
+    * pagination (O1/O2/O3; `search_functions.py:98,118-123`). The page
+    * window is a global sort, but only over rows that survived the
+    * pushed filters — and `rn <= page_end ≤ hardCap` bounds the sort
+    * output like a limit. */
+  def plan(df: DataFrame, r: Request, b: Binding): DataFrame = {
+    val ordered =
+      if (r.orderAscending) Window.orderBy(col(b.date).asc, col(b.uid).asc)
+      else Window.orderBy(col(b.date).desc, col(b.uid).desc)
+    val lo = r.page * r.pageSize + 1
+    val hi = math.min((r.page + 1) * r.pageSize, r.hardCap)
+    df.filter(predicate(r, b))
+      .withColumn("rn", row_number().over(ordered))
+      .filter(col("rn").between(lo, hi))
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import graft.operators.{DedupGate, GraphMerge, MinHashPipeline}
+import org.apache.spark.sql.functions._
+
+/** Scenario fixtures for the SCD-2 merge and the 3-way dedup gate
+  * (FIXTURES.md §1 golden scenarios; SURVEY §2.10 ST3–ST7). */
+class GraphMergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val payload = Seq("text", "lang")
+
+  private def current = Seq(
+    ("d1", "original text one", "en", 1L, "published"),
+    ("d2", "original text two", "en", 1L, "published"),
+    ("d3", "historic", "en", 1L, "archive"),
+    ("d4", "untouched", "en", 2L, "published"))
+    .toDF("uid", "text", "lang", "version", "status")
+
+  test("ST6 insert-if-absent: unseen uid arrives as version 1") {
+    val incoming = Seq(("d9", "brand new", "fr", 1.0))
+      .toDF("uid", "text", "lang", "sim")
+    val out = GraphMerge.merge(current, incoming, payload)
+    val d9 = out.filter($"uid" === "d9").collect()
+    assert(d9.length == 1)
+    assert(d9.head.getAs[Long]("version") == 1L)
+    assert(d9.head.getAs[String]("status") == "published")
+    assert(out.count() == 5)
+  }
+
+  test("ST4 version fork: big change archives old row, inserts version+1") {
+    val incoming = Seq(("d1", "totally rewritten", "en", 0.5))
+      .toDF("uid", "text", "lang", "sim")
+    val out = GraphMerge.merge(current, incoming, payload)
+    val d1 = out.filter($"uid" === "d1").orderBy("version").collect()
+    assert(d1.length == 2)
+    assert(d1(0).getAs[Long]("version") == 1L)
+    assert(d1(0).getAs[String]("status") == "archive")
+    assert(d1(0).getAs[String]("text") == "original text one")
+    assert(d1(1).getAs[Long]("version") == 2L)
+    assert(d1(1).getAs[String]("status") == "published")
+    assert(d1(1).getAs[String]("text") == "totally rewritten")
+  }
+
+  test("ST5 in-place merge on small change: version kept, payload updated") {
+    val incoming = Seq(("d2", "original text two (typo fix)", "en", 0.999))
+      .toDF("uid", "text", "lang", "sim")
+    val out = GraphMerge.merge(current, incoming, payload)
+    val d2 = out.filter($"uid" === "d2").collect()
+    assert(d2.length == 1)
+    assert(d2.head.getAs[Long]("version") == 1L)
+    assert(d2.head.getAs[String]("text").contains("typo fix"))
+  }
+
+  test("archived history and untouched rows pass through unchanged") {
+    val incoming = Seq(("d1", "x", "en", 0.5)).toDF("uid", "text", "lang", "sim")
+    val out = GraphMerge.merge(current, incoming, payload)
+    assert(out.filter($"uid" === "d3" && $"status" === "archive").count() == 1)
+    assert(out.filter($"uid" === "d4" && $"version" === 2L &&
+      $"status" === "published").count() == 1)
+  }
+
+  test("replay idempotence: merging the same near-identical batch twice " +
+    "changes nothing the second time") {
+    val incoming = Seq(("d2", "patched", "en", 0.999)).toDF("uid", "text", "lang", "sim")
+    val once = GraphMerge.merge(current, incoming, payload)
+    val twice = GraphMerge.merge(once, incoming, payload)
+    assert(once.orderBy("uid", "version").collect().toSeq ==
+      twice.orderBy("uid", "version").collect().toSeq)
+  }
+
+  test("dedup gate: identical→duplicate, changed-meta→version, new→new, " +
+    "within-batch twin→duplicate") {
+    val corpusDocs = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again", "en", "published"),
+      (11L, "some other stored document about regulations and safety", "en", "published"))
+      .toDF("node_id", "text", "meta_key", "status")
+    val corpus = corpusDocs.join(
+      MinHashPipeline.signatures(corpusDocs, "node_id", $"text"), "node_id")
+
+    val incDocs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again", "en"),  // dup of 10
+      (2L, "the quick brown fox jumps over the lazy dog again and again", "xx"),  // meta differs → version
+      (3L, "completely novel content never seen before in any store", "en"),      // new
+      (4L, "completely novel content never seen before in any store", "en"))      // twin of 3 → duplicate
+      .toDF("uid", "itext", "meta_key")
+    val incoming = incDocs.join(
+      MinHashPipeline.signatures(incDocs, "uid", $"itext"), "uid")
+
+    val out = DedupGate.classify(incoming, corpus, 4, 4)
+      .select("uid", "outcome").as[(Long, String)].collect().toMap
+    assert(out(1L) == "duplicate")
+    assert(out(2L) == "version")
+    assert(out(3L) == "new")
+    assert(out(4L) == "duplicate")
+  }
+}
