@@ -20,7 +20,10 @@ object SparkEntry {
       operators.TextQueries.queries ++
       operators.DedupQueries.queries ++
       operators.SimilarityQueries.queries ++
-      operators.OrpQueries.queries
+      operators.OrpQueries.queries ++
+      operators.EnrichQueries.queries ++
+      operators.SourceSinkQueries.queries ++
+      operators.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +32,8 @@ object SparkEntry {
       operators.TextQueries.oracles ++
       operators.DedupQueries.oracles ++
       operators.SimilarityQueries.oracles ++
-      operators.OrpQueries.oracles
+      operators.OrpQueries.oracles ++
+      operators.EnrichQueries.oracles ++
+      operators.SourceSinkQueries.oracles ++
+      operators.Multimodal.oracles
 }

@@ -32,9 +32,15 @@ object Texts {
     filter(split(c, " "), t => t =!= "")
 
   /** F4 stopword removal over a token array (StopWordsRemover analogue,
-    * reference `check_duplicate/utils.py:13-19`). */
+    * reference `check_duplicate/utils.py:13-19`). NOTE: `array_except`
+    * also deduplicates — use [[filterStopwords]] when multiset semantics
+    * matter (e.g. term-frequency counting). */
   def removeStopwords(toks: Column, stopwords: Seq[String]): Column =
     array_except(toks, array(stopwords.map(lit): _*))
+
+  /** Multiset-preserving stopword filter (duplicates kept). */
+  def filterStopwords(toks: Column, stopwords: Seq[String]): Column =
+    filter(toks, t => !t.isin(stopwords.map(x => x: Any): _*))
 
   /** Reference stopword core (NLTK english head) + ORP domain extensions —
     * pinned list so tests/oracles are deterministic. */

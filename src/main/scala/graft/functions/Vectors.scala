@@ -22,8 +22,14 @@ object Vectors {
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity (reference thresholds 0.95 / 0.995,
-    * `check_duplicate.py:19`, `record_handler.py:12`). */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+    * `check_duplicate.py:19`, `record_handler.py:12`). Backed by the
+    * native [[graft.plans.CosineSim]] expression — a single primitive
+    * pass whose left-to-right accumulation is bit-identical to the
+    * interpreted `aggregate(zip_with(...))` fold it replaced (the oracle
+    * queries confirm this), but stays inside whole-stage codegen. */
+  def cosine(a: Column, b: Column): Column =
+    graft.plans.Native.cosine_sim(a.cast("array<double>"),
+      b.cast("array<double>"))
 
   /** Cosine rounded for cross-engine hash-stability. */
   def cosineRounded(a: Column, b: Column, scale: Int = 4): Column =

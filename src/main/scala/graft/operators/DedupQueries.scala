@@ -46,9 +46,16 @@ object DedupQueries {
         col("bkt"), col("ws").as("a_ws"))
       val b = base.select(col("doc_id").as("b_id"), col("lang"),
         col("bkt"), col("ws").as("b_ws"))
+      // `ws` is sorted (prepared() sorts once per row), so the native
+      // merge-walk intersection replaces per-pair hash-set building —
+      // the pair join is the hot loop at scale.
+      val inter = graft.plans.Native
+        .sorted_intersect_count(col("a_ws"), col("b_ws")).cast("double")
+      val jac = round(inter /
+        (size(col("a_ws")) + size(col("b_ws")) - inter), 6)
       a.join(b, Seq("lang", "bkt"))
         .filter(col("a_id") < col("b_id"))
-        .withColumn("jac", Hashes.jaccard(col("a_ws"), col("b_ws")))
+        .withColumn("jac", jac)
         .filter(col("jac") >= 0.9)
         .select("a_id", "b_id", "jac")
     }),
@@ -107,6 +114,45 @@ object DedupQueries {
         .groupBy("simhash")
         .agg(min("doc_id").as("canonical_id"), count("*").as("n_docs"),
           array_sort(collect_set(col("doc_id"))).as("members"))
+        .filter(col("n_docs") > 1)
+    }),
+
+    // Native-expression MinHash (murmur3 seed-1, 256 perms, k=5 — the
+    // reference's full setting, check_duplicate/utils.py:22-30) + stride-6
+    // banding exactly as check_duplicate.py:90-93. Engine-native fast
+    // path: one codegen'd pass per row; no DuckDB oracle (murmur3 isn't
+    // portable) → rows-only check. Compare wall-clock against
+    // dd_minhash_lsh (16-perm portable md5) in BENCH.
+    "dd_minhash_native" -> ((s, d) => {
+      import graft.plans.Native
+      val sig = Tables.documents(s, d)
+        .select(col("doc_id"),
+          Native.minhash_sig(
+            Texts.smartShorten(Texts.cleanText(col("text")), 24), 256, 5)
+            .as("sig"))
+      val banded = sig.select(col("doc_id"), col("sig"),
+        explode(Hashes.bands(col("sig"), 42, 6)).as("band"))
+        .select(col("doc_id"), col("sig"),
+          col("band.band_id"), col("band.band_key"))
+      val a = banded.select(col("doc_id").as("a_id"), col("sig").as("a_sig"),
+        col("band_id"), col("band_key"))
+      val b = banded.select(col("doc_id").as("b_id"), col("sig").as("b_sig"),
+        col("band_id"), col("band_key"))
+      a.join(b, Seq("band_id", "band_key"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          Hashes.minhashJaccard(col("a_sig"), col("b_sig")).as("est_jac"))
+        .distinct()
+        .filter(col("est_jac") >= 0.5)
+    }),
+
+    // Native 64-bit SimHash clusters (rows-only; murmur3 not portable).
+    "dd_simhash_native" -> ((s, d) => {
+      import graft.plans.Native
+      prepared(s, d)
+        .select(col("doc_id"), Native.simhash64(col("ws")).as("simhash"))
+        .groupBy("simhash")
+        .agg(min("doc_id").as("canonical_id"), count("*").as("n_docs"))
         .filter(col("n_docs") > 1)
     }),
 

@@ -1,0 +1,133 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column support — the LLM-pipeline surface for image/audio/
+  * video payloads: opaque `binary` content columns with typed metadata,
+  * decode / feature-extract / frame-sample stages as `mapPartitions`
+  * batch transforms (the JVM analogue of pandas-UDF batching: one
+  * partition = one batch, decoder state initialized once per partition).
+  *
+  * The actual codec libraries are NOT in this container, so [[StubCodec]]
+  * is a clearly-marked deterministic fake — the Spark-side plumbing
+  * (schema, batching, partitioning, column shapes) is real and tested,
+  * and a real decoder drops in by replacing the one trait instance.
+  */
+object Multimodal {
+
+  /** Typed metadata carried beside every binary payload. */
+  val mediaMeta: StructType = StructType(Seq(
+    StructField("media_type", StringType),   // image | audio | video
+    StructField("byte_len", LongType),
+    StructField("magic", StringType)))       // sniffed container format
+
+  /** Decoder boundary. Production: JNI/javacpp codec. Here: deterministic
+    * stub so tests are hermetic. */
+  trait Codec extends Serializable {
+    /** bytes → fixed-length feature vector (e.g. pooled embedding). */
+    def features(bytes: Array[Byte], dims: Int): Array[Float]
+    /** bytes → sampled "frame" byte slices (video frame-sample stage). */
+    def sampleFrames(bytes: Array[Byte], n: Int): Seq[Array[Byte]]
+  }
+
+  /** Deterministic fake: features are byte histograms folded to `dims`;
+    * frames are even byte-range slices. Replace with a real codec in
+    * production — the pipeline shape does not change. */
+  object StubCodec extends Codec {
+    def features(bytes: Array[Byte], dims: Int): Array[Float] = {
+      val out = new Array[Float](dims)
+      var i = 0
+      while (i < bytes.length) {
+        out(java.lang.Byte.toUnsignedInt(bytes(i)) % dims) += 1.0f
+        i += 1
+      }
+      val n = math.max(bytes.length, 1).toFloat
+      var j = 0
+      while (j < dims) { out(j) /= n; j += 1 }
+      out
+    }
+    def sampleFrames(bytes: Array[Byte], n: Int): Seq[Array[Byte]] = {
+      val span = math.max(bytes.length / math.max(n, 1), 1)
+      (0 until math.min(n, bytes.length)).map { i =>
+        bytes.slice(i * span, math.min(i * span + span, bytes.length))
+      }
+    }
+  }
+
+  /** Attach media metadata columns to a frame with a `content: binary`
+    * column — pure column expressions (codegen'd). Magic sniffing uses
+    * hex prefixes the way file(1) does. */
+  def withMediaMeta(df: DataFrame, content: String = "content"): DataFrame = {
+    val hexHead = upper(hex(substring(col(content), 1, 4)))
+    df.withColumn("meta", struct(
+      when(hexHead.startsWith("FFD8"), "image")
+        .when(hexHead.startsWith("89504E47"), "image")
+        .when(hexHead.startsWith("494433"), "audio")
+        .otherwise("unknown").as("media_type"),
+      octet_length(col(content)).cast("long").as("byte_len"),
+      hexHead.as("magic")))
+  }
+
+  /** Feature extraction as a partition-batched transform: the codec is
+    * instantiated once per partition (≙ pandas-UDF iterator pattern), rows
+    * stream through without collecting. Output schema: input ⊕ features.
+    */
+  def extractFeatures(df: DataFrame, dims: Int,
+      codec: Codec = StubCodec, content: String = "content"): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("features", ArrayType(FloatType, containsNull = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val idx = df.schema.fieldIndex(content)
+    df.mapPartitions { rows =>
+      // per-partition codec init happens here (once), not per row
+      val c = codec
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        Row.fromSeq(r.toSeq :+ c.features(bytes, dims).toSeq)
+      }
+    }(enc)
+  }
+
+  /** Frame sampling: one input row → n frame rows (generator-shaped). */
+  def sampleFrames(df: DataFrame, n: Int,
+      codec: Codec = StubCodec, content: String = "content"): DataFrame = {
+    val base = df.schema.fields.filter(_.name != content)
+    val outSchema = StructType(base ++ Seq(
+      StructField("frame_no", IntegerType),
+      StructField("frame", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val idx = df.schema.fieldIndex(content)
+    val keep = base.map(f => df.schema.fieldIndex(f.name))
+    df.mapPartitions { rows =>
+      val c = codec
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        c.sampleFrames(bytes, n).zipWithIndex.map { case (fr, i) =>
+          Row.fromSeq(keep.map(r.get).toSeq ++ Seq(i, fr))
+        }
+      }
+    }(enc)
+  }
+
+  /** Oracle-checked query surface: documents' text bytes stand in for
+    * media payloads; metadata extraction is pure-expression and portable.
+    */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_media_meta" -> ((s, d) => {
+      val bin = Tables.documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("content"))
+      withMediaMeta(bin)
+        .select(col("doc_id"), col("meta.media_type"), col("meta.byte_len"),
+          substring(col("meta.magic"), 1, 8).as("magic"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "mm_media_meta" ->
+      """SELECT doc_id, 'unknown' AS media_type,
+        |  octet_length(text::BLOB)::BIGINT AS byte_len,
+        |  substr(upper(hex(text::BLOB)), 1, 8) AS magic
+        |FROM documents""".stripMargin)
+}

@@ -355,7 +355,8 @@ object RelationalQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_total
         |FROM orders""".stripMargin,
     "w_lag_sessionize" ->
-      """SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events FROM (
+      """SELECT user_id, sum(new_sess)::BIGINT AS n_sessions,
+        |       count(*) AS n_events FROM (
         |  SELECT user_id,
         |    CASE WHEN prev_ts IS NULL
         |              OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000

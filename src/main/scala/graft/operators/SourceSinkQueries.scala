@@ -1,0 +1,101 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source/sink operators — SURVEY.md §2.1 (S10/S11 parquet/CSV reads,
+  * F21 JSON) and §2.2 (K1/K2 partitioned writes). Each query exercises a
+  * real read or write path end-to-end and returns a frame whose expected
+  * content is independently derivable by the oracle (round-trip
+  * identity / partition census), so correctness of the I/O path itself
+  * is what's checked.
+  */
+object SourceSinkQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def tmpDir(name: String): String = {
+    val d = new java.io.File(sys.props("java.io.tmpdir"), s"graft-$name")
+    d.getAbsolutePath
+  }
+
+  val queries: Map[String, Q] = Map(
+    // S11/K-CSV: write events to headered CSV, read back with an explicit
+    // schema (legislation_table_update.py:75-77 CSV dim load). Round-trip
+    // identity is the check; timestamps travel as formatted strings.
+    "s11_csv_roundtrip" -> ((s, d) => {
+      val out = tmpDir(s"csv-${d.replace('/', '_')}")
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"))
+        .write.mode("overwrite").option("header", "true").csv(out)
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("event_type", StringType), StructField("ts_s", StringType)))
+      s.read.option("header", "true").schema(schema).csv(out)
+    }),
+
+    // F21/K3 JSON: serialize rows to JSON strings (sorted-key envelope ≙
+    // typedb_ingestion.py:16-25), parse back with from_json, project the
+    // fields — serialization round-trip identity.
+    "f21_json_roundtrip" -> ((s, d) => {
+      val payload = to_json(struct(col("event_id"), col("event_type"),
+        col("user_id")))
+      val schema = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("event_type", StringType),
+        StructField("user_id", LongType)))
+      Tables.events(s, d)
+        .select(payload.as("js"))
+        .select(from_json(col("js"), schema).as("r"))
+        .select(col("r.event_id").as("event_id"),
+          col("r.event_type").as("event_type"),
+          col("r.user_id").as("user_id"))
+    }),
+
+    // K1/K2 partitioned parquet write (df.write.partitionBy — the
+    // uid-prefix partitioning of the ORPML sink): write documents
+    // partitioned by lang, read back, census per partition. At 100 TB
+    // partitioning by a low-cardinality key like lang keeps file counts
+    // sane; the read side prunes partitions on the lang filter (verified
+    // via PartitionFilters in explain).
+    "k2_partitioned_write" -> ((s, d) => {
+      val out = tmpDir(s"parq-${d.replace('/', '_')}")
+      Tables.documents(s, d)
+        .write.mode("overwrite").partitionBy("lang").parquet(out)
+      s.read.parquet(out)
+        .filter(col("lang").isin("en", "de", "zh"))
+        .groupBy("lang")
+        .agg(count("*").as("n"), sum("n_chars").as("chars"))
+    }),
+
+    // S10 parquet scan with pushdown: projection + predicate must reach
+    // the scan (PushedFilters) — the plan shape is asserted in tests; the
+    // result here is the correctness side.
+    "s10_pushdown_scan" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= "2024-06-01" && col("l_quantity") > 45)
+        .select(col("l_orderkey"), col("l_quantity"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "s11_csv_roundtrip" ->
+      """SELECT event_id, user_id, event_type,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s
+        |FROM events""".stripMargin,
+    "f21_json_roundtrip" ->
+      "SELECT event_id, event_type, user_id FROM events",
+    "k2_partitioned_write" ->
+      """SELECT lang, count(*) AS n, sum(n_chars)::BIGINT AS chars
+        |FROM documents
+        |WHERE lang IN ('en','de','zh') GROUP BY lang""".stripMargin,
+    "s10_pushdown_scan" ->
+      """SELECT l_orderkey, l_quantity,
+        |  strftime(l_shipdate, '%Y-%m-%d') AS ship
+        |FROM lineitem
+        |WHERE l_shipdate >= '2024-06-01' AND l_quantity > 45""".stripMargin
+  )
+}

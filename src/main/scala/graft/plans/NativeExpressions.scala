@@ -1,0 +1,193 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions — SURVEY.md §7.3: the scalar primitives
+  * worth promoting from `Column` combinators to native expressions.
+  * Each evaluates in one pass over primitive arrays/bytes (no boxing, no
+  * interpreted lambda dispatch) and generates code that calls a static
+  * impl, so it stays inside whole-stage codegen spans.
+  */
+object NativeImpl {
+
+  /** Cosine over primitive double arrays — strict left-to-right sum, so
+    * results are bit-identical to the `aggregate(zip_with(...))` fold
+    * (and to DuckDB's sequential kernel). */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i); val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  private val MinHashPrime = 2147483647L
+
+  /** Single-pass MinHash: k-char shingles over the UTF8 text, one 64-bit
+    * hash per shingle (XXH64, seed 1 — the reference's seed,
+    * `check_duplicate/utils.py:25`), `numPerms` universal-hash
+    * permutations folded in the same loop. One allocation (the signature
+    * array); no intermediate shingle strings beyond the substring views. */
+  def minhashSig(text: UTF8String, numPerms: Int, k: Int): ArrayData = {
+    val sig = new Array[Long](numPerms)
+    val as = new Array[Long](numPerms)
+    val bs = new Array[Long](numPerms)
+    var p = 0
+    while (p < numPerms) {
+      sig(p) = Long.MaxValue
+      as(p) = 2654435761L * (p + 1) % MinHashPrime
+      bs(p) = 40503L * (p + 7) % MinHashPrime
+      p += 1
+    }
+    val chars = text.numChars()
+    val n = math.max(chars - (k - 1), 1)
+    var i = 0
+    while (i < n) {
+      val shingle = text.substringSQL(i + 1, k)
+      val h0 = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
+        shingle.getBaseObject, shingle.getBaseOffset, shingle.numBytes(), 1)
+      val h = (h0.toLong & 0xffffffffL) % MinHashPrime
+      p = 0
+      while (p < numPerms) {
+        val v = (as(p) * h + bs(p)) % MinHashPrime
+        if (v < sig(p)) sig(p) = v
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** |A ∩ B| for two SORTED string arrays — O(n+m) merge walk with raw
+    * UTF8String comparisons, replacing per-pair hash-set construction
+    * (`array_intersect`) in the blocked Jaccard join's hot loop. */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  /** 64-bit SimHash over a token array (murmur3 per token, seed 1). */
+  def simhash64(toks: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      val lo = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
+        t.getBaseObject, t.getBaseOffset, t.numBytes(), 1)
+      val hi = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
+        t.getBaseObject, t.getBaseOffset, t.numBytes(), 2)
+      val h = (hi.toLong << 32) | (lo.toLong & 0xffffffffL)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+}
+
+/** cosine(array<double>, array<double>) → double. */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    NativeImpl.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.plans.NativeImpl.cosine($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+/** minhash_sig(text, numPerms, k) → array<long> (xxh-free murmur3 seed-1
+  * variant; engine-native fast path — not oracle-portable). */
+case class MinHashSig(child: Expression, numPerms: Int, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(t: Any): Any =
+    NativeImpl.minhashSig(t.asInstanceOf[UTF8String], numPerms, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      t => s"graft.plans.NativeImpl.minhashSig($t, $numPerms, $k)")
+  override protected def withNewChildInternal(c: Expression): MinHashSig =
+    copy(child = c)
+}
+
+/** sorted_intersect_count(array<string>, array<string>) → int.
+  * PRECONDITION: both arrays sorted ascending (callers sort once upstream;
+  * the merge walk is wrong on unsorted input). */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    NativeImpl.sortedIntersectCount(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.plans.NativeImpl.sortedIntersectCount($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
+/** simhash64(array<string>) → long. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(t: Any): Any =
+    NativeImpl.simhash64(t.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.plans.NativeImpl.simhash64($t)")
+  override protected def withNewChildInternal(c: Expression): SimHash64 =
+    copy(child = c)
+}
+
+/** Column-level entry points + SQL registration. */
+object Native {
+  import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
+  def cosine_sim(a: Column, b: Column): Column =
+    column(CosineSim(expression(a), expression(b)))
+  def minhash_sig(c: Column, numPerms: Int = 256, k: Int = 5): Column =
+    column(MinHashSig(expression(c), numPerms, k))
+  def simhash64(c: Column): Column = column(SimHash64(expression(c)))
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    column(SortedIntersectCount(expression(a), expression(b)))
+
+  /** Register for SQL use (`SELECT cosine_sim(a, b) …`). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("cosine_sim",
+      es => CosineSim(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_sig",
+      es => MinHashSig(es.head, 256, 5), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash64",
+      es => SimHash64(es.head), "scala_udf")
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.Multimodal
+import org.apache.spark.sql.functions._
+
+/** Multimodal plumbing tests: schema shapes, per-partition batching,
+  * magic sniffing, generator fan-out. The codec itself is the documented
+  * deterministic stub. */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val jpegHead = Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte)
+  private val pngHead = Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47)
+
+  private def media = Seq(
+    (1L, jpegHead ++ Array[Byte](1, 2, 3, 4, 5, 6)),
+    (2L, pngHead ++ Array[Byte](9, 9)),
+    (3L, "plain text".getBytes("UTF-8")))
+    .toDF("id", "content")
+
+  test("media metadata: magic sniff + byte length") {
+    val rows = Multimodal.withMediaMeta(media)
+      .select($"id", $"meta.media_type", $"meta.byte_len")
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getLong(2)))).toMap
+    assert(rows(1L) == ("image", 10L))
+    assert(rows(2L) == ("image", 6L))
+    assert(rows(3L)._1 == "unknown")
+  }
+
+  test("feature extraction appends a fixed-dims float vector per row") {
+    val out = Multimodal.extractFeatures(media, dims = 8)
+    assert(out.schema.fieldNames.contains("features"))
+    val feats = out.select($"id", $"features").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(feats.values.forall(_.length == 8))
+    // histogram is normalized: sums to ~1
+    assert(math.abs(feats(1L).sum - 1.0f) < 1e-5)
+    // deterministic across runs
+    val again = Multimodal.extractFeatures(media, dims = 8)
+      .select($"id", $"features").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(feats == again)
+  }
+
+  test("frame sampling fans one row out to n frames, keeps other columns") {
+    val out = Multimodal.sampleFrames(media.filter($"id" === 1L), n = 3)
+    val rows = out.select($"id", $"frame_no", $"frame").collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getInt(1)).toSeq == Seq(0, 1, 2))
+    assert(rows.forall(_.getLong(0) == 1L))
+    // concatenated frames cover a prefix of the payload
+    val total = rows.map(_.getAs[Array[Byte]](2).length).sum
+    assert(total > 0 && total <= 10)
+  }
+}

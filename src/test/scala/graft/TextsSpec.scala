@@ -82,6 +82,47 @@ class TextsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(1)) < 1e-12)
   }
 
+  test("native CosineSim matches interpreted fold bit-for-bit") {
+    val df = Tables.embeddings(spark, sf).limit(50)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val a = df.select($"vec_id".as("a_id"), $"v".as("a"))
+    val b = df.select($"vec_id".as("b_id"), $"v".as("b"))
+    val pairs = a.join(b, $"a_id" < $"b_id")
+    val fold = aggregate(zip_with($"a", $"b", (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x) /
+      (sqrt(aggregate(zip_with($"a", $"a", (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)) *
+        sqrt(aggregate(zip_with($"b", $"b", (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x)))
+    val mismatches = pairs
+      .select(graft.plans.Native.cosine_sim($"a", $"b").as("nat"),
+        fold.as("ref"))
+      .filter($"nat" =!= $"ref")
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("native MinHashSig: deterministic, 256 longs, equal texts agree") {
+    val df = Seq((1L, "the quick brown fox jumps over it"),
+      (2L, "the quick brown fox jumps over it"),
+      (3L, "completely different words here")).toDF("id", "t")
+    val sigs = df.select($"id",
+      graft.plans.Native.minhash_sig($"t", 256, 5).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L).length == 256)
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+  }
+
+  test("native SimHash64: equal token sets collide, disjoint differ") {
+    val df = Seq((1L, Seq("a", "b", "c")), (2L, Seq("a", "b", "c")),
+      (3L, Seq("x", "y", "z"))).toDF("id", "ws")
+    val got = df.select($"id", graft.plans.Native.simhash64($"ws"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == got(2L))
+    assert(got(1L) != got(3L))
+  }
+
   test("jaccard of arrays") {
     val r = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("a", "b")
       .select(Hashes.jaccard($"a", $"b")).head.getDouble(0)
