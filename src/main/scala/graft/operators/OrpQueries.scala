@@ -76,7 +76,7 @@ object OrpQueries {
     "st_throughput" -> ((s, d) => {
       Tables.events(s, d)
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(count("*").as("n"), round(sum("value"), 2).as("total_value"))
+        .agg(count("*").as("n"), round(sum(col("value").cast("decimal(18,4)")), 2).cast("double").as("total_value"))
         .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
           col("event_type"), col("n"), col("total_value"))
     }),
@@ -189,7 +189,9 @@ object OrpQueries {
         |SELECT uid, lang, version, status, strlen(text) AS tlen FROM unioned""".stripMargin,
     "st_throughput" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ws,
-        |  event_type, count(*) AS n, round(sum(value), 2) AS total_value
+        |  event_type, count(*) AS n,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |    AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
     "a3_topk_per_group" ->
       """SELECT user_id, event_type, mx, rk FROM (

@@ -127,8 +127,11 @@ object RelationalQueries {
       l.join(o, l("l_orderkey") === o("o_orderkey"))
         .join(c, o("o_custkey") === c("c_custkey"))
         .groupBy("c_mktsegment")
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-          .as("revenue"),
+        // money sums go through DECIMAL: exact, order-independent
+        // accumulation, so the rounded result can't flip on a half-cent
+        // boundary when partial-sum order differs from the oracle's
+        .agg(round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)")), 2).cast("double").as("revenue"),
           count("*").as("n_items"))
     }),
 
@@ -252,6 +255,26 @@ object RelationalQueries {
           size(split(col("text").substr(lit(1), pos), "\\.", -1)).as("sent_pos"))
     }),
 
+    // SQL entry point: the same engine through spark.sql over registered
+    // views — demonstrates the full parser→Catalyst→Tungsten path with a
+    // multi-join analytical query (the dialect subset here runs verbatim
+    // on DuckDB, so the oracle IS the query).
+    "sql_revenue" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("v_orders")
+      Tables.customer(s, d).createOrReplaceTempView("v_customer")
+      Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+      s.sql("""
+        SELECT c_mktsegment, o_orderpriority,
+               CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                 AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+               count(DISTINCT o_orderkey) AS n_orders
+        FROM v_lineitem
+        JOIN v_orders ON l_orderkey = o_orderkey
+        JOIN v_customer ON o_custkey = c_custkey
+        WHERE o_orderstatus <> 'F'
+        GROUP BY c_mktsegment, o_orderpriority""")
+    }),
+
     // T4 explode (legislation_table_update.py:80) + word-frequency agg:
     // documents text → words → counts. The classic shuffle-heavy op; at
     // scale the map-side partial agg collapses per-partition duplicates
@@ -301,7 +324,8 @@ object RelationalQueries {
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
     "j6_two_hop" ->
       """SELECT c_mktsegment,
-        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |       CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |         AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
         |       count(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -348,6 +372,16 @@ object RelationalQueries {
         |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
         |WHERE word <> ''
         |GROUP BY word""".stripMargin,
+    "sql_revenue" ->
+      """SELECT c_mktsegment, o_orderpriority,
+        |       CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |         AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+        |       count(DISTINCT o_orderkey) AS n_orders
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderstatus <> 'F'
+        |GROUP BY c_mktsegment, o_orderpriority""".stripMargin,
     "w_running_sum" ->
       """SELECT o_custkey, o_orderkey,
         |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey

@@ -70,6 +70,23 @@ object SourceSinkQueries {
         .agg(count("*").as("n"), sum("n_chars").as("chars"))
     }),
 
+    // S1/S3 binary-file scan (the reference's S3 object gets + bucket
+    // listing, pdf_to_orpml.py:60-74 / Glue cell 5): enumerate the sf
+    // dir as binary files with path/length metadata, classify by
+    // extension (P4 format whitelist). Rows-only check: DuckDB has no
+    // binary-file source, but the census (10 parquet files) is stable.
+    "s1_binary_listing" -> ((s, d) => {
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(d)
+        .select(
+          element_at(split(col("path"), "/"), -1).as("file"),
+          element_at(split(col("path"), "\\."), -1).as("document_format"),
+          (col("length") > 0).as("non_empty"))
+        .filter(col("document_format").isin("parquet"))
+        .select("file", "document_format", "non_empty")
+    }),
+
     // S10 parquet scan with pushdown: projection + predicate must reach
     // the scan (PushedFilters) — the plan shape is asserted in tests; the
     // result here is the correctness side.

@@ -125,6 +125,40 @@ object TextQueries {
           (predicted === col("lang")).as("correct"))
     }),
 
+    // A6 uppercase-majority vote (postprocess_functions.py:105-110):
+    // capitalize iff more than half the letters are uppercase.
+    "a6_case_vote" -> ((s, d) => {
+      val letters = regexp_replace(col("c_name"), "[^A-Za-z]", "")
+      val uppers = regexp_replace(col("c_name"), "[^A-Z]", "")
+      val voted = when(length(uppers) * 2 > length(letters),
+        upper(col("c_name"))).otherwise(col("c_name"))
+      Tables.customer(s, d)
+        .select(col("c_custkey"), voted.as("voted"))
+    }),
+
+    // W1 rolling padded token window (get_title.py:24-46): width-4 token
+    // windows over the head of the text as candidate titles, capped (O5).
+    "w1_candidate_titles" -> ((s, d) => {
+      val toks = tokens(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          slice(wordNgrams(toks, 4), 1, 10).as("candidates"))
+    }),
+
+    // F5 dictionary-backed lemmatization (helpers.py:13-27): broadcast
+    // lemma map join over exploded tokens, count per lemma.
+    "f5_lemma_map" -> ((s, d) => {
+      val lemmas = s.createDataFrame(Seq(
+        ("joins", "join"), ("queries", "query"), ("rows", "row"),
+        ("tables", "table"), ("sorted", "sort"), ("sorting", "sort")))
+        .toDF("word", "lemma")
+      Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("word"))
+        .join(broadcast(lemmas), Seq("word"), "left")
+        .select(coalesce(col("lemma"), col("word")).as("lemma"))
+        .groupBy("lemma").agg(count("*").as("n"))
+    }),
+
     // Text analysis: bag-of-words document fingerprint (rolling-hash
     // fingerprint analogue) — input to exact dedup.
     "ta_fingerprint" -> ((s, d) => {
@@ -213,6 +247,27 @@ object TextQueries {
          |        WHEN de >= es AND de >= fr THEN 'de'
          |        WHEN es >= fr THEN 'es' ELSE 'fr' END) = lang AS correct
          |FROM t""".stripMargin,
+    "a6_case_vote" ->
+      """SELECT c_custkey,
+        |  CASE WHEN strlen(regexp_replace(c_name, '[^A-Z]', '', 'g')) * 2
+        |            > strlen(regexp_replace(c_name, '[^A-Za-z]', '', 'g'))
+        |       THEN upper(c_name) ELSE c_name END AS voted
+        |FROM customer""".stripMargin,
+    "w1_candidate_titles" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
+         |SELECT doc_id,
+         |  (list_transform(generate_series(1, greatest(len(toks) - 3, 1)),
+         |                  i -> array_to_string(toks[i:i+3], ' ')))[1:10]
+         |    AS candidates
+         |FROM t""".stripMargin,
+    "f5_lemma_map" ->
+      s"""WITH lemmas(word, lemma) AS (VALUES
+         |  ('joins','join'), ('queries','query'), ('rows','row'),
+         |  ('tables','table'), ('sorted','sort'), ('sorting','sort')),
+         |w AS (SELECT unnest($toksSql) AS word FROM documents)
+         |SELECT coalesce(l.lemma, w.word) AS lemma, count(*) AS n
+         |FROM w LEFT JOIN lemmas l ON w.word = l.word
+         |GROUP BY 1""".stripMargin,
     "ta_fingerprint" ->
       s"""SELECT doc_id,
          |  md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fingerprint
