@@ -255,6 +255,16 @@ object RelationalQueries {
           size(split(col("text").substr(lit(1), pos), "\\.", -1)).as("sent_pos"))
     }),
 
+    // Skew-salted aggregation (two-phase): word counts with the hot keys
+    // spread over 8 deterministic salts before the final merge — result
+    // identical to the unsalted plan, shuffle skew bounded by 1/8.
+    "skew_salted_wordcount" -> ((s, d) => {
+      val words = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+      Skew.saltedCount(words, col("word"), col("doc_id"), 8)
+    }),
+
     // SQL entry point: the same engine through spark.sql over registered
     // views — demonstrates the full parser→Catalyst→Tungsten path with a
     // multi-join analytical query (the dialect subset here runs verbatim
@@ -369,6 +379,11 @@ object RelationalQueries {
         |      FROM events GROUP BY user_id) t""".stripMargin,
     "t4_explode_wordcount" ->
       """SELECT word, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+        |WHERE word <> ''
+        |GROUP BY word""".stripMargin,
+    "skew_salted_wordcount" ->
+      """SELECT word AS key, count(*)::BIGINT AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
         |WHERE word <> ''
         |GROUP BY word""".stripMargin,

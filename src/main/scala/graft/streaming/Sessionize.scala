@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom stateful streaming operator — SURVEY §2.10's Spark-native
+  * extension point (`KeyValueGroupedDataset.flatMapGroupsWithState`) for
+  * state the built-in windowed aggregations can't express: gap-based
+  * sessions per user (the stream form of `w_lag_sessionize`).
+  *
+  * State per user = (session start, last seen, event count); an event
+  * more than `gapSeconds` after the last seen closes the session and
+  * emits it. Processing-time timeout flushes sessions for users that go
+  * quiet. At scale the state store shards by the group key — per-user
+  * state is O(1), so state size is bounded by active users, not events.
+  */
+object Sessionize {
+
+  case class Event(user_id: Long, ts: java.sql.Timestamp)
+  case class SessionState(start: Long, last: Long, n: Long)
+  case class Session(user_id: Long, startMicros: Long, endMicros: Long,
+    n_events: Long)
+
+  /** @param idleFlush when true, quiet users' open sessions flush after a
+    *                   30 s processing-time timeout (production mode);
+    *                   when false, no wall-clock timeouts are scheduled —
+    *                   sessions only close on a gap event, which keeps
+    *                   test runs deterministic (a pending timeout makes
+    *                   the engine schedule extra wall-clock batches that
+    *                   `processAllAvailable` then waits on). */
+  def sessions(events: Dataset[Event], gapSeconds: Long,
+      idleFlush: Boolean = false)(
+      implicit spark: SparkSession): Dataset[Session] = {
+    import spark.implicits._
+    val gapMicros = gapSeconds * 1000000L
+    val timeoutConf = if (idleFlush) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, timeoutConf) {
+        (uid, evs, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(uid, s.start, s.last, s.n))
+          } else {
+            val sorted = evs.map(e => e.ts.getTime * 1000L).toSeq.sorted
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { t =>
+              cur match {
+                case Some(s) if t - s.last <= gapMicros =>
+                  cur = Some(s.copy(last = t, n = s.n + 1))
+                case Some(s) =>
+                  closed ::= Session(uid, s.start, s.last, s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              if (idleFlush) state.setTimeoutDuration("30 seconds")
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}
