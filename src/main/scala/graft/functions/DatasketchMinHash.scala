@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Bit-exact datasketch MinHash — SURVEY §7.4 hard-part 1 ("oracle-parity
+  * for library-bound functions").
+  *
+  * Reproduces `datasketch.MinHash(num_perm=256, seed=1)` over k=5 char
+  * shingles exactly as the reference computes document signatures
+  * (`lambdas/check_duplicate/utils.py:22-40`):
+  *
+  *   h    = sha1(shingle_utf8)[0:4] little-endian as uint32
+  *   phv  = ((a·h + b) mod (2^61−1)) & (2^32−1)    (uint64 wrap on a·h)
+  *   sig  = elementwise min over shingles, init 2^32−1
+  *
+  * The uint64 wrap of `a·h + b` matches two's-complement Long overflow
+  * bit-for-bit; the mod is `Long.remainderUnsigned`. Pinned against an
+  * independent numpy implementation in DatasketchSpec.
+  */
+object DatasketchMinHashImpl {
+  private val Prime = (1L << 61) - 1
+  private val MaxHash = (1L << 32) - 1
+
+  def sha1Hash32(bytes: Array[Byte]): Long = {
+    val d = java.security.MessageDigest.getInstance("SHA-1").digest(bytes)
+    ((d(0) & 0xffL)) | ((d(1) & 0xffL) << 8) |
+      ((d(2) & 0xffL) << 16) | ((d(3) & 0xffL) << 24)
+  }
+
+  def signature(text: UTF8String, k: Int): ArrayData = {
+    val a = DatasketchPerms.A
+    val b = DatasketchPerms.B
+    val n = a.length
+    val sig = new Array[Long](n)
+    java.util.Arrays.fill(sig, MaxHash)
+    val chars = text.numChars()
+    val m = math.max(chars - (k - 1), 1)
+    var i = 0
+    while (i < m) {
+      val h = sha1Hash32(text.substringSQL(i + 1, k).getBytes)
+      var p = 0
+      while (p < n) {
+        // a·h wraps in uint64 exactly like signed-Long overflow
+        val v = java.lang.Long.remainderUnsigned(a(p) * h + b(p), Prime) & MaxHash
+        if (v < sig(p)) sig(p) = v
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+}
+
+/** datasketch_minhash(text) → array<long>[256] (seed-1 parity). */
+case class DatasketchMinHash(child: Expression, k: Int = 5)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(t: Any): Any =
+    DatasketchMinHashImpl.signature(t.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      t => s"graft.functions.DatasketchMinHashImpl.signature($t, $k)")
+  override protected def withNewChildInternal(c: Expression): DatasketchMinHash =
+    copy(child = c)
+}
+
+object DatasketchMinHash {
+  def datasketch_minhash(c: Column, k: Int = 5): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      DatasketchMinHash(org.apache.spark.sql.graftbridge.Bridge.expression(c), k))
+}

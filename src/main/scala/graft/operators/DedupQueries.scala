@@ -146,6 +146,36 @@ object DedupQueries {
         .filter(col("est_jac") >= 0.5)
     }),
 
+    // Reference-parity MinHash dedup: bit-exact datasketch seed-1
+    // signatures (sha1_hash32 + RandomState(1) permutation table —
+    // utils.py:22-40) with the reference's stride-6 band probe
+    // (check_duplicate.py:90-93) and its 0.95 gate threshold on the
+    // signature-agreement estimate. A user of the reference gets the
+    // SAME signatures from this engine. Rows-only check (sha1 + the
+    // numpy draw aren't DuckDB-expressible); bit-exactness is pinned in
+    // DatasketchSpec against an independent implementation.
+    "dd_minhash_datasketch" -> ((s, d) => {
+      import graft.functions.DatasketchMinHash.datasketch_minhash
+      val sig = Tables.documents(s, d)
+        .select(col("doc_id"),
+          datasketch_minhash(
+            Texts.smartShorten(Texts.cleanText(col("text")), 24)).as("sig"))
+      val banded = sig.select(col("doc_id"), col("sig"),
+        explode(Hashes.bands(col("sig"), 42, 6)).as("band"))
+        .select(col("doc_id"), col("sig"),
+          col("band.band_id"), col("band.band_key"))
+      val a = banded.select(col("doc_id").as("a_id"), col("sig").as("a_sig"),
+        col("band_id"), col("band_key"))
+      val b = banded.select(col("doc_id").as("b_id"), col("sig").as("b_sig"),
+        col("band_id"), col("band_key"))
+      a.join(b, Seq("band_id", "band_key"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          Hashes.minhashJaccard(col("a_sig"), col("b_sig")).as("est_jac"))
+        .distinct()
+        .filter(col("est_jac") >= 0.95)
+    }),
+
     // Native 64-bit SimHash clusters (rows-only; murmur3 not portable).
     "dd_simhash_native" -> ((s, d) => {
       import graft.plans.Native
