@@ -1,0 +1,43 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session-extension entry point — register the engine's native functions
+  * at session build time (the deployment path for a real cluster):
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.plans.GraftExtensions …
+  *   // or: SparkSession.builder().withExtensions(new GraftExtensions) …
+  * }}}
+  *
+  * For an already-running session, [[Native.register]] installs the same
+  * functions into the session's function registry.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", "cosine_sim(a, b) - cosine of two double arrays"),
+      (es: Seq[Expression]) => CosineSim(es.head, es(1))))
+    e.injectFunction((FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "minhash_sig(text) - 256-perm murmur3 MinHash"),
+      (es: Seq[Expression]) => MinHashSig(es.head, 256, 5)))
+    e.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(tokens) - 64-bit SimHash"),
+      (es: Seq[Expression]) => SimHash64(es.head)))
+    e.injectFunction((FunctionIdentifier("datasketch_minhash"),
+      info("datasketch_minhash",
+        "datasketch_minhash(text) - bit-exact datasketch seed-1 signature"),
+      (es: Seq[Expression]) =>
+        graft.functions.DatasketchMinHash(es.head)))
+    e.injectFunction((FunctionIdentifier("sorted_intersect_count"),
+      info("sorted_intersect_count",
+        "sorted_intersect_count(a, b) - |A∩B| of sorted string arrays"),
+      (es: Seq[Expression]) => SortedIntersectCount(es.head, es(1))))
+  }
+}

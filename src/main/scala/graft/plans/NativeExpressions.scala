@@ -180,7 +180,9 @@ object Native {
   def sorted_intersect_count(a: Column, b: Column): Column =
     column(SortedIntersectCount(expression(a), expression(b)))
 
-  /** Register for SQL use (`SELECT cosine_sim(a, b) …`). */
+  /** Register for SQL use in an existing session
+    * (`SELECT cosine_sim(a, b) …`); [[GraftExtensions]] is the
+    * session-build-time equivalent. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("cosine_sim",
@@ -189,5 +191,9 @@ object Native {
       es => MinHashSig(es.head, 256, 5), "scala_udf")
     reg.createOrReplaceTempFunction("simhash64",
       es => SimHash64(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("datasketch_minhash",
+      es => graft.functions.DatasketchMinHash(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("sorted_intersect_count",
+      es => SortedIntersectCount(es.head, es(1)), "scala_udf")
   }
 }

@@ -55,6 +55,32 @@ class PlanSpec extends SparkSpec {
     assert(df.limit(5).collect().forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-12))
   }
 
+  test("native functions are callable from SQL after registration") {
+    graft.plans.Native.register(spark)
+    val r = spark.sql(
+      """SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c,
+        |       simhash64(array('a','b')) AS s,
+        |       size(minhash_sig('hello world text')) AS m,
+        |       size(datasketch_minhash('hello world text')) AS dm,
+        |       sorted_intersect_count(array('a','b','c'), array('b','c')) AS i
+        |""".stripMargin)
+      .head
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(r.getInt(2) == 256 && r.getInt(3) == 256)
+    assert(r.getInt(4) == 2)
+  }
+
+  test("GraftExtensions installs the same functions at session build time") {
+    // applying the extension object to a fresh SparkSessionExtensions and
+    // checking the injected builders exist (a new SparkContext per test
+    // JVM isn't possible, so this validates the registration path itself)
+    val exts = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.plans.GraftExtensions().apply(exts)
+    // injectFunction records builders; nothing to assert beyond no-throw +
+    // the runtime path covered by the register() SQL test above
+    succeed
+  }
+
   test("search plan: filter sits under the pagination window, not above it") {
     val req = Search.Request(topicEquals = Some("en"), pageSize = 10)
     val b = Search.Binding("doc_id", "lang", "text", "source", "source",
