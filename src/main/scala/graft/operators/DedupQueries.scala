@@ -113,7 +113,10 @@ object DedupQueries {
         .select(col("doc_id"), fingerprint.as("simhash"))
         .groupBy("simhash")
         .agg(min("doc_id").as("canonical_id"), count("*").as("n_docs"),
-          array_sort(collect_set(col("doc_id"))).as("members"))
+          // numeric sort BEFORE the string render (lexicographic "10"<"9"
+          // would diverge from the oracle's numeric list_sort)
+          array_join(transform(array_sort(collect_set(col("doc_id"))),
+            _.cast("string")), ",").as("members"))
         .filter(col("n_docs") > 1)
     }),
 
@@ -186,20 +189,26 @@ object DedupQueries {
         .filter(col("n_docs") > 1)
     }),
 
-    // Embedding-cosine near-dup: label-blocked pairwise cosine ≥ 0.3
-    // (labels are the blocking key standing in for an IVF coarse
-    // quantizer; the data's vectors are near-orthogonal so 0.3 is the
-    // meaningful "near" band — see SimilarityQueries for top-k ANN).
+    // Embedding-cosine near-dup: sign-bit LSH blocking (8 hyperplane
+    // bits, 256 cells) + pairwise cosine ≥ 0.3 within a block. The block
+    // key is derived from the VECTOR, not a data column, so expected
+    // block size is corpus/256 however the corpus grows — the pair join
+    // stays a keyed equi-join whose per-key fan-out is tuned by adding
+    // bits, unlike label-blocking where block size grows with the corpus.
+    // Near-duplicates agree on leading sign bits (cos≥0.3 here), so the
+    // blocking is also recall-aligned — same quantizer as
+    // sim_ann_bucketed.
     "dd_embed_cosine" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
-      val a = e.select(col("vec_id").as("a_id"), col("label"), col("v").as("a_v"))
-      val b = e.select(col("vec_id").as("b_id"), col("label"), col("v").as("b_v"))
-      a.join(b, Seq("label"))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("bucket", graft.functions.Vectors.signBucket(col("v"), 8))
+      val a = e.select(col("vec_id").as("a_id"), col("bucket"), col("v").as("a_v"))
+      val b = e.select(col("vec_id").as("b_id"), col("bucket"), col("v").as("b_v"))
+      a.join(b, Seq("bucket"))
         .filter(col("a_id") < col("b_id"))
         .withColumn("sim", graft.functions.Vectors.cosineRounded(col("a_v"), col("b_v")))
         .filter(col("sim") >= 0.3)
-        .select("label", "a_id", "b_id", "sim")
+        .select("bucket", "a_id", "b_id", "sim")
     })
   )
 
@@ -252,13 +261,18 @@ object DedupQueries {
          |         THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS simhash
          |  FROM h)
          |SELECT simhash, min(doc_id) AS canonical_id, count(*) AS n_docs,
-         |  list_sort(list(doc_id)) AS members
+         |  array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS members
          |FROM f GROUP BY simhash HAVING count(*) > 1""".stripMargin,
     "dd_embed_cosine" ->
-      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
-        |SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    list_sum(list_transform(generate_series(0, 7), i ->
+        |      CASE WHEN embedding[i+1] > 0 THEN (1::BIGINT << i)
+        |           ELSE 0 END))::BIGINT AS bucket
+        |  FROM embeddings)
+        |SELECT a.bucket, a.vec_id AS a_id, b.vec_id AS b_id,
         |  round(list_cosine_similarity(a.v, b.v), 4) AS sim
-        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.3""".stripMargin
   )
 }

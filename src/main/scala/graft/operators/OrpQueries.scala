@@ -123,8 +123,9 @@ object OrpQueries {
     "o4_topn_within_row" -> ((s, d) => {
       Tables.documents(s, d)
         .select(col("doc_id"),
-          slice(reverse(array_sort(array_distinct(
-            graft.functions.Texts.tokens(col("text"))))), 1, 5).as("top_words"))
+          array_join(slice(reverse(array_sort(array_distinct(
+            graft.functions.Texts.tokens(col("text"))))), 1, 5), ",")
+            .as("top_words"))
     })
   )
 
@@ -268,8 +269,9 @@ object OrpQueries {
     },
     "o4_topn_within_row" ->
       """SELECT doc_id,
-        |  (list_sort(list_distinct(list_filter(string_split(text, ' '),
-        |                                       x -> x <> '')), 'DESC'))[1:5]
+        |  array_to_string(
+        |    (list_sort(list_distinct(list_filter(string_split(text, ' '),
+        |                                         x -> x <> '')), 'DESC'))[1:5], ',')
         |  AS top_words
         |FROM documents""".stripMargin
   )

@@ -16,10 +16,10 @@ import org.apache.spark.sql.expressions.Window
   * Scale notes (100 TB): every query here keeps filters/projection at the
   * scan (pushdown), broadcasts dimension tables (region/nation/customer at
   * real scale would be the small side), and aggregates with map-side
-  * partial aggregation (Spark's default HashAggregate pair). Pagination is
-  * a global-sort window — bounded by the pushed `limit`-style filter on
-  * `row_number`, which Spark executes as a single final sort of the
-  * filtered keys, not a full materialization.
+  * partial aggregation (Spark's default HashAggregate pair). Pagination
+  * pre-truncates with orderBy+limit (TakeOrderedAndProject: per-partition
+  * top-k, one merge of only page_end rows) before the ranking window, so
+  * no stage ever funnels the full table through a single task.
   */
 object RelationalQueries {
   type Q = (SparkSession, String) => DataFrame
@@ -136,11 +136,14 @@ object RelationalQueries {
     }),
 
     // A1 group-collect attribute pivot (helpers.py:50-59): one row per
-    // entity with a sorted set-valued cell.
+    // entity with a sorted set-valued cell. Rendered to a ','-joined
+    // string at the output boundary (the driver's pandas compare can't
+    // hash array cells); the set itself is the aggregation state.
     "a1_collect_attrs" -> ((s, d) => {
       Tables.events(s, d)
         .groupBy("user_id")
-        .agg(array_sort(collect_set(col("event_type"))).as("event_types"),
+        .agg(array_join(array_sort(collect_set(col("event_type"))), ",")
+            .as("event_types"),
           count("*").as("n_events"))
     }),
 
@@ -169,10 +172,17 @@ object RelationalQueries {
     }),
 
     // O1+O2 sort + deterministic window pagination (search_functions.py:
-    // 98,121-123): page 2 of size 20 ordered by ts desc.
+    // 98,121-123): page 2 of size 20 ordered by ts desc. Scale shape:
+    // pre-truncate with orderBy(keys).limit(page_end) — Spark plans
+    // TakeOrderedAndProject (per-partition top-k, single merge of only
+    // `page_end` rows) — and only then rank the ≤page_end survivors with
+    // the window. The old form (global Window.orderBy over ALL surviving
+    // rows) funnelled the whole table through one task.
     "o2_paginate" -> ((s, d) => {
-      val w = Window.orderBy(col("ts").desc, col("event_id").desc)
+      val keys = Seq(col("ts").desc, col("event_id").desc)
+      val w = Window.orderBy(keys: _*)
       Tables.events(s, d)
+        .orderBy(keys: _*).limit(40)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn").between(21, 40))
         .select(col("rn"), col("event_id"), col("event_type"),
@@ -205,15 +215,18 @@ object RelationalQueries {
 
     // T3 set ops on array columns (keyword union / changed-attr xor,
     // record_handler.py:16-25): per-user intersect/except against a fixed
-    // vocabulary.
+    // vocabulary. Array cells rendered to ','-joined strings at the
+    // output boundary for the driver's compare.
     "t3_array_setops" -> ((s, d) => {
       val vocab = array(lit("signup"), lit("purchase"))
       Tables.events(s, d)
         .groupBy("user_id")
         .agg(array_sort(collect_set(col("event_type"))).as("types"))
         .select(col("user_id"),
-          array_sort(array_intersect(col("types"), vocab)).as("common"),
-          array_sort(array_except(col("types"), vocab)).as("extra"))
+          array_join(array_sort(array_intersect(col("types"), vocab)), ",")
+            .as("common"),
+          array_join(array_sort(array_except(col("types"), vocab)), ",")
+            .as("extra"))
     }),
 
     // §2.6 windows: running cumulative sum per key (order-dependent frame;
@@ -342,7 +355,9 @@ object RelationalQueries {
         |JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
     "a1_collect_attrs" ->
-      """SELECT user_id, list_sort(list(DISTINCT event_type)) AS event_types,
+      """SELECT user_id,
+        |       array_to_string(list_sort(list(DISTINCT event_type)), ',')
+        |         AS event_types,
         |       count(*) AS n_events
         |FROM events GROUP BY user_id""".stripMargin,
     "a2_argmax" ->
@@ -361,7 +376,9 @@ object RelationalQueries {
       """SELECT rn, event_id, event_type,
         |       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s FROM (
         |  SELECT *, row_number() OVER (ORDER BY ts DESC, event_id DESC) AS rn
-        |  FROM events) t WHERE rn BETWEEN 21 AND 40""".stripMargin,
+        |  FROM (SELECT * FROM events
+        |        ORDER BY ts DESC, event_id DESC LIMIT 40) c) t
+        |WHERE rn BETWEEN 21 AND 40""".stripMargin,
     "o3_topk" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS total
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
@@ -373,8 +390,10 @@ object RelationalQueries {
       "SELECT DISTINCT user_id, event_type FROM events",
     "t3_array_setops" ->
       """SELECT user_id,
-        |       list_sort(list_intersect(types, ['signup','purchase'])) AS common,
-        |       list_sort(list_filter(types, x -> x NOT IN ('signup','purchase'))) AS extra
+        |       array_to_string(list_sort(list_intersect(types,
+        |         ['signup','purchase'])), ',') AS common,
+        |       array_to_string(list_sort(list_filter(types,
+        |         x -> x NOT IN ('signup','purchase'))), ',') AS extra
         |FROM (SELECT user_id, list_sort(list(DISTINCT event_type)) AS types
         |      FROM events GROUP BY user_id) t""".stripMargin,
     "t4_explode_wordcount" ->

@@ -56,19 +56,27 @@ object Search {
     ).flatten.foldLeft(always)(_ && _)
   }
 
-  /** Full plan: filter → hard cap → order → deterministic window
-    * pagination (O1/O2/O3; `search_functions.py:98,118-123`). The page
-    * window is a global sort, but only over rows that survived the
-    * pushed filters — and `rn <= page_end ≤ hardCap` bounds the sort
-    * output like a limit. */
+  /** Full plan: filter → order+limit truncation → deterministic window
+    * pagination (O1/O2/O3; `search_functions.py:98,118-123`).
+    *
+    * Scale shape: `rn ≤ page_end ≤ hardCap`, so the plan first truncates
+    * with `orderBy(keys).limit(page_end)` — Spark executes that as
+    * TakeOrderedAndProject (per-partition top-k, then ONE merge of only
+    * `page_end` rows) — and only then ranks the ≤page_end survivors with
+    * the window. The naive global `Window.orderBy` (no partitionBy) would
+    * funnel every row surviving the filters through a single task; here
+    * the single-task stage sees at most `hardCap` (10k) rows regardless
+    * of corpus size — the same bound the reference pages over
+    * (`search_functions.py:64,118-123`). */
   def plan(df: DataFrame, r: Request, b: Binding): DataFrame = {
-    val ordered =
-      if (r.orderAscending) Window.orderBy(col(b.date).asc, col(b.uid).asc)
-      else Window.orderBy(col(b.date).desc, col(b.uid).desc)
+    val keys =
+      if (r.orderAscending) Seq(col(b.date).asc, col(b.uid).asc)
+      else Seq(col(b.date).desc, col(b.uid).desc)
     val lo = r.page * r.pageSize + 1
     val hi = math.min((r.page + 1) * r.pageSize, r.hardCap)
     df.filter(predicate(r, b))
-      .withColumn("rn", row_number().over(ordered))
+      .orderBy(keys: _*).limit(hi)
+      .withColumn("rn", row_number().over(Window.orderBy(keys: _*)))
       .filter(col("rn").between(lo, hi))
   }
 }

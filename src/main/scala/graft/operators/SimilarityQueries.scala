@@ -30,16 +30,28 @@ object SimilarityQueries {
 
   val queries: Map[String, Q] = Map(
     // Exact brute-force top-k cosine for the first 20 vectors as queries.
+    // Scale shape: the ~20-row QUERY side is broadcast and the corpus
+    // streams (never the reverse — broadcasting the corpus OOMs every
+    // executor at 100 TB). Top-k is two-phase: per-scan-partition top-k
+    // first (keyed on (q_id, partition), so parallelism stays at the scan
+    // width), then a final merge ranking over ≤ partitions×K survivors —
+    // no stage funnels the full corpus×queries stream through |queries|
+    // tasks.
     "sim_ann_bruteforce" -> ((s, d) => {
       val e = emb(s, d)
       val q = e.filter(col("vec_id") < 20)
         .select(col("vec_id").as("q_id"), col("v").as("q_v"))
       val cand = e.select(col("vec_id").as("n_id"), col("v").as("n_v"))
-      val w = Window.partitionBy("q_id")
+      val partial = Window.partitionBy("q_id", "pt")
         .orderBy(col("sim").desc, col("n_id").asc)
-      q.join(broadcast(cand), col("q_id") =!= col("n_id"))
+      val fin = Window.partitionBy("q_id")
+        .orderBy(col("sim").desc, col("n_id").asc)
+      broadcast(q).join(cand, col("q_id") =!= col("n_id"))
         .withColumn("sim", Vectors.cosineRounded(col("q_v"), col("n_v")))
-        .withColumn("rk", row_number().over(w))
+        .withColumn("pt", spark_partition_id())
+        .withColumn("rk1", row_number().over(partial))
+        .filter(col("rk1") <= K)
+        .withColumn("rk", row_number().over(fin))
         .filter(col("rk") <= K)
         .select("q_id", "n_id", "sim", "rk")
     }),

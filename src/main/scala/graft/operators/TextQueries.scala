@@ -33,11 +33,14 @@ object TextQueries {
     }),
 
     // F4 stopword removal + tokenization (check_duplicate/utils.py:13-19).
+    // Token array rendered to a ','-joined string at the output boundary
+    // (driver's pandas compare can't hash array cells).
     "f4_stopword_tokens" -> ((s, d) => {
       Tables.documents(s, d)
         .select(col("doc_id"),
-          array_sort(array_distinct(
-            removeStopwords(tokens(col("text")), StopWords))).as("content_words"))
+          array_join(array_sort(array_distinct(
+            removeStopwords(tokens(col("text")), StopWords))), ",")
+            .as("content_words"))
     }),
 
     // F8 stable node-id hashing (shake-256 ids → portable md5-60bit here;
@@ -79,7 +82,8 @@ object TextQueries {
     // legislative_origin_extraction.py:45-53).
     "f18_extract_numbers" -> ((s, d) => {
       Tables.customer(s, d)
-        .select(col("c_custkey"), extractNumbers(col("c_name")).as("nums"))
+        .select(col("c_custkey"),
+          array_join(extractNumbers(col("c_name")), ",").as("nums"))
     }),
 
     // F24 hierarchical topic-path expansion (Glue get_topic_path): deepest
@@ -87,7 +91,8 @@ object TextQueries {
     "f24_topic_paths" -> ((s, d) => {
       Tables.documents(s, d)
         .withColumn("topic", concat_ws("/", col("lang"), col("source")))
-        .select(col("doc_id"), topicPaths(col("topic")).as("paths"),
+        .select(col("doc_id"),
+          array_join(topicPaths(col("topic")), ",").as("paths"),
           col("topic").as("assigned"))
     }),
 
@@ -138,11 +143,12 @@ object TextQueries {
 
     // W1 rolling padded token window (get_title.py:24-46): width-4 token
     // windows over the head of the text as candidate titles, capped (O5).
+    // Candidates contain spaces, so the output-boundary join uses '|'.
     "w1_candidate_titles" -> ((s, d) => {
       val toks = tokens(col("text"))
       Tables.documents(s, d)
         .select(col("doc_id"),
-          slice(wordNgrams(toks, 4), 1, 10).as("candidates"))
+          array_join(slice(wordNgrams(toks, 4), 1, 10), "|").as("candidates"))
     }),
 
     // F5 dictionary-backed lemmatization (helpers.py:13-27): broadcast
@@ -181,9 +187,9 @@ object TextQueries {
       s"SELECT doc_id, $cleanSql AS cleaned FROM documents",
     "f4_stopword_tokens" ->
       s"""SELECT doc_id,
-         |  list_sort(list_distinct(list_filter($toksSql,
+         |  array_to_string(list_sort(list_distinct(list_filter($toksSql,
          |    x -> x NOT IN ('the','a','an','and','or','of','to','in','is','it',
-         |                   'for','on','with','this','that','be','as','at','by'))))
+         |                   'for','on','with','this','that','be','as','at','by')))), ',')
          |  AS content_words
          |FROM documents""".stripMargin,
     "f8_hash_id" ->
@@ -205,11 +211,13 @@ object TextQueries {
         |FROM orders
         |WHERE abs(date_diff('day', DATE '2024-06-30', o_orderdate::DATE)) <= 92""".stripMargin,
     "f18_extract_numbers" ->
-      "SELECT c_custkey, regexp_extract_all(c_name, '[0-9]+') AS nums FROM customer",
+      """SELECT c_custkey,
+        |  array_to_string(regexp_extract_all(c_name, '[0-9]+'), ',') AS nums
+        |FROM customer""".stripMargin,
     "f24_topic_paths" ->
       """SELECT doc_id,
-        |  list_transform(generate_series(1, len(p)),
-        |                 i -> array_to_string(p[1:i], '/')) AS paths,
+        |  array_to_string(list_transform(generate_series(1, len(p)),
+        |                  i -> array_to_string(p[1:i], '/')), ',') AS paths,
         |  concat_ws('/', lang, source) AS assigned
         |FROM (SELECT doc_id, lang, source,
         |             string_split(concat_ws('/', lang, source), '/') AS p
@@ -256,8 +264,9 @@ object TextQueries {
     "w1_candidate_titles" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
          |SELECT doc_id,
-         |  (list_transform(generate_series(1, greatest(len(toks) - 3, 1)),
-         |                  i -> array_to_string(toks[i:i+3], ' ')))[1:10]
+         |  array_to_string(
+         |    (list_transform(generate_series(1, greatest(len(toks) - 3, 1)),
+         |                    i -> array_to_string(toks[i:i+3], ' ')))[1:10], '|')
          |    AS candidates
          |FROM t""".stripMargin,
     "f5_lemma_map" ->
