@@ -1,12 +1,21 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Benchmark main. Per-round contract: the LAST stdout line is one SHORT
+  * JSON object (total seconds only — a multi-KB line gets truncated by
+  * log capture and then fails to parse); the per-query seconds map goes
+  * to a file (`SPARK_GRAFT_BENCH_OUT`, default `bench_queries.json`) and
+  * is also echoed to stderr for humans. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_queries.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -17,10 +26,14 @@ object Bench {
       System.err.println(f"[bench] $name%-28s $dt%8.2f s")
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    Files.writeString(Paths.get(outFile),
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Final stdout line stays under ~200 bytes so the driver's capture
+    // never truncates mid-JSON.
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","queries_file":"$outFile"}""")
     spark.stop()
   }
 }

@@ -38,6 +38,56 @@ object Search {
     uid: String, topic: String, text: String, docType: String,
     status: String, title: String, date: String)
 
+  /** P6 — the key set a request is recognized by (`handler.py:16-18`).
+    * Pagination/order params deliberately do NOT count: a request with
+    * only `page`/`order` is a 400 in the reference too. */
+  val SearchKeys: Set[String] = Set("id", "keyword", "title",
+    "date_published", "regulator_id", "status", "regulatory_topic",
+    "document_type", "legislation_href")
+
+  /** The reference's 400 payload (`handler.py:53-57`). */
+  case class BadRequest(statusCode: Int, statusDescription: String)
+  val Unsupported: BadRequest =
+    BadRequest(400, "Bad Request - Unsupported search parameter(s).")
+
+  /** P6 key-set validation (`handler.py:49-59`): a request qualifies iff
+    * its key set intersects [[SearchKeys]]. Unknown keys are ignored —
+    * the reference intersects, it does not reject on extras. */
+  def validate(event: Map[String, String]): Either[BadRequest, Map[String, String]] =
+    if ((event.keySet & SearchKeys).isEmpty) Left(Unsupported) else Right(event)
+
+  /** Untyped event dict → typed [[Request]] (the lambda boundary).
+    * Conventions for the flat string map: OR-lists (`document_type`,
+    * `status`) are comma-separated; `keyword` splits on spaces into an
+    * AND-list (`search_functions.py:40-42`); `date_published` is
+    * `start..end` with either side empty (`:49-56`). */
+  def fromEvent(event: Map[String, String]): Either[BadRequest, Request] =
+    validate(event).map { ev =>
+      val (from, to) = ev.get("date_published") match {
+        case Some(r) => r.split("\\.\\.", -1) match {
+          case Array(a, b) => (Option(a).filter(_.nonEmpty),
+            Option(b).filter(_.nonEmpty))
+          case _ => (None, None)
+        }
+        case None => (None, None)
+      }
+      Request(
+        idEquals = ev.get("id"),
+        topicEquals = ev.get("regulatory_topic"),
+        keywordAnd = ev.get("keyword").toSeq
+          .flatMap(_.split(" ")).filter(_.nonEmpty),
+        typeIn = ev.get("document_type").toSeq
+          .flatMap(_.split(",")).filter(_.nonEmpty),
+        statusIn = ev.get("status").toSeq
+          .flatMap(_.split(",")).filter(_.nonEmpty),
+        dateFrom = from,
+        dateTo = to,
+        titleContains = ev.get("title"),
+        orderAscending = ev.get("order").contains("asc"),
+        page = ev.get("page").map(_.toInt).getOrElse(0),
+        pageSize = ev.get("page_size").map(_.toInt).getOrElse(10))
+    }
+
   /** Compile the conjunctive predicate (P1). Every branch is a
     * pushdown-friendly `Column` expression — no UDFs, no string plans. */
   def predicate(r: Request, b: Binding): Column = {

@@ -73,8 +73,8 @@ object SourceSinkQueries {
     // S1/S3 binary-file scan (the reference's S3 object gets + bucket
     // listing, pdf_to_orpml.py:60-74 / Glue cell 5): enumerate the sf
     // dir as binary files with path/length metadata, classify by
-    // extension (P4 format whitelist). Rows-only check: DuckDB has no
-    // binary-file source, but the census (10 parquet files) is stable.
+    // extension (P4 format whitelist). Oracle: DuckDB glob() over the
+    // same directory.
     "s1_binary_listing" -> ((s, d) => {
       s.read.format("binaryFile")
         .option("pathGlobFilter", "*.parquet")
@@ -85,6 +85,37 @@ object SourceSinkQueries {
           (col("length") > 0).as("non_empty"))
         .filter(col("document_format").isin("parquet"))
         .select("file", "document_format", "non_empty")
+    }),
+
+    // S2 S3 metadata head (pdf_to_orpml.py:77-89): the uuid / regulator /
+    // topic metadata that drives the reference pipeline rides on the
+    // OBJECT, not in its content. Modeled as a binaryFile scan that
+    // reads path + length only (no content materialization — the column
+    // is pruned), derives the object identity, and joins a broadcast
+    // sidecar dim carrying the head metadata. Oracle: DuckDB read_blob
+    // sizes + the same VALUES dim.
+    "s2_metadata_head" -> ((s, d) => {
+      val files = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet").load(d)
+        .select(element_at(split(col("path"), "/"), -1).as("file"),
+          col("length").as("bytes"))
+      val metaDim = s.createDataFrame(MetaSidecar)
+        .toDF("family", "kind", "regulator")
+      files
+        .withColumn("family", element_at(split(col("file"), "\\."), 1))
+        .withColumn("uid", md5(col("file")))
+        .join(broadcast(metaDim), Seq("family"), "left")
+        .select("file", "uid", "family", "kind", "regulator", "bytes")
+    }),
+
+    // S2b file-provenance carry on a columnar read: input_file_name()
+    // attaches the source object to every row (the reference threads the
+    // S3 key through each lambda the same way) — census per file proves
+    // the sidecar column survives the scan → shuffle → agg pipeline.
+    "s2_file_provenance" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("file", element_at(split(input_file_name(), "/"), -1))
+        .groupBy("file").agg(count("*").as("n_rows"))
     }),
 
     // S10 parquet scan with pushdown: projection + predicate must reach
@@ -98,7 +129,39 @@ object SourceSinkQueries {
     })
   )
 
+  /** Sidecar head-metadata dim (family → kind/regulator) shared by the
+    * S2 query and its oracle. */
+  private val MetaSidecar = Seq(
+    ("documents", "corpus", "HSE"), ("embeddings", "vectors", "HSE"),
+    ("lineitem", "fact", "ORR"), ("orders", "fact", "ORR"),
+    ("customer", "dim", "ORR"), ("supplier", "dim", "ORR"),
+    ("part", "dim", "ORR"), ("nation", "dim", "GEO"),
+    ("region", "dim", "GEO"), ("events", "fact", "OFCOM"))
+
+  private val metaSidecarSql = MetaSidecar
+    .map { case (f, k, r) => s"('$f','$k','$r')" }.mkString(",\n  ")
+
+  /** The driver's verify pass runs at this scale factor; glob/read_blob
+    * oracles need the literal directory (DuckDB table functions only
+    * accept constant arguments). */
+  private val VerifySfDir = "/root/testdata/sf0.01"
+
   val oracles: Map[String, String] = Map(
+    "s1_binary_listing" ->
+      s"""SELECT parse_filename(file) AS file,
+         |       'parquet' AS document_format,
+         |       true AS non_empty
+         |FROM glob('$VerifySfDir/*.parquet')""".stripMargin,
+    "s2_metadata_head" ->
+      s"""WITH m(family, kind, regulator) AS (VALUES
+         |  $metaSidecarSql),
+         |f AS (SELECT parse_filename(filename) AS file, size AS bytes
+         |      FROM read_blob('$VerifySfDir/*.parquet'))
+         |SELECT file, md5(file) AS uid, string_split(file, '.')[1] AS family,
+         |       kind, regulator, bytes
+         |FROM f LEFT JOIN m ON string_split(file, '.')[1] = m.family""".stripMargin,
+    "s2_file_provenance" ->
+      "SELECT 'documents.parquet' AS file, count(*) AS n_rows FROM documents",
     "s11_csv_roundtrip" ->
       """SELECT event_id, user_id, event_type,
         |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s

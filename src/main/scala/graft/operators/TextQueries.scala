@@ -151,6 +151,32 @@ object TextQueries {
           array_join(slice(wordNgrams(toks, 4), 1, 10), "|").as("candidates"))
     }),
 
+    // F9 title postprocess (postprocess_functions.py:6-141 +
+    // title_generation.py:60-70 junk scrub): adversarial titles are
+    // constructed deterministically from the documents table (junk
+    // prefix, page-of splice, TOC marker, unbalanced bracket, Crown
+    // truncation, `.doc` wildcard junk, trailing stopwords, ALL-CAPS
+    // heads) so every branch of the pipeline is exercised, then cleaned
+    // by the native TitlePostprocess expression. Narrow per-row op — no
+    // shuffle, scales linearly with input splits.
+    "f9_title_postprocess" -> ((s, d) => {
+      import graft.functions.TitlePostprocess.title_postprocess
+      val head = smartShorten(col("text"), 8)
+      def tag(m: Int, t: String) =
+        when(col("doc_id") % m === 0, lit(t)).otherwise(lit(""))
+      val raw = concat(
+        tag(3, "Microsoft Word - "),
+        when(col("doc_id") % 11 === 0, upper(head)).otherwise(head),
+        tag(4, " page 3 of 10 appendix"),
+        tag(13, " Contents 1 alpha beta 2"),
+        tag(5, " (Draft Annex"),
+        tag(7, " Crown Copyright 2024 reserved"),
+        tag(9, " report.doc"),
+        tag(2, " of the t"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), title_postprocess(raw).as("title"))
+    }),
+
     // F5 dictionary-backed lemmatization (helpers.py:13-27): broadcast
     // lemma map join over exploded tokens, count per lemma.
     "f5_lemma_map" -> ((s, d) => {
@@ -174,6 +200,91 @@ object TextQueries {
             .as("fingerprint"))
     })
   )
+
+  /** DuckDB transcription of the full F9 pipeline (validated against an
+    * independent Python transcription of the reference in
+    * tools/dev_f9.py — 500/500 docs identical). Stages mirror
+    * [[graft.functions.TitleImpl]] one CTE per reference function. */
+  private def f9OracleSql: String = {
+    val sl = graft.functions.TitleImpl.NltkStopwords
+      .map(w => "'" + w.replace("'", "''") + "'").mkString(",")
+    s"""WITH raw AS (
+       |  SELECT doc_id,
+       |    (CASE WHEN doc_id % 3 = 0 THEN 'Microsoft Word - ' ELSE '' END) ||
+       |    (CASE WHEN doc_id % 11 = 0 THEN upper(head) ELSE head END) ||
+       |    (CASE WHEN doc_id % 4 = 0 THEN ' page 3 of 10 appendix' ELSE '' END) ||
+       |    (CASE WHEN doc_id % 13 = 0 THEN ' Contents 1 alpha beta 2' ELSE '' END) ||
+       |    (CASE WHEN doc_id % 5 = 0 THEN ' (Draft Annex' ELSE '' END) ||
+       |    (CASE WHEN doc_id % 7 = 0 THEN ' Crown Copyright 2024 reserved' ELSE '' END) ||
+       |    (CASE WHEN doc_id % 9 = 0 THEN ' report.doc' ELSE '' END) ||
+       |    (CASE WHEN doc_id % 2 = 0 THEN ' of the t' ELSE '' END) AS raw
+       |  FROM (SELECT doc_id, array_to_string((string_split(text, ' '))[1:8], ' ') AS head
+       |        FROM documents)),
+       |j AS (
+       |  SELECT doc_id,
+       |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(raw,
+       |      'Microsoft Word - ', '', 'g'), '.Doc', '', 'g'), '.doc', '', 'g'),
+       |      '\\s+', ' ', 'g') AS t
+       |  FROM raw),
+       |p AS (
+       |  SELECT doc_id,
+       |    CASE WHEN regexp_matches(t2, '\\b(Crown Copyright|Crown copyright)\\b')
+       |         THEN trim(regexp_extract(t2, '^(.*?)\\b(Crown Copyright|Crown copyright)\\b', 1))
+       |         ELSE t2 END AS t
+       |  FROM (SELECT doc_id, regexp_replace(t, 'page (\\d+) of (\\d+)', '') AS t2 FROM j) x),
+       |b AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(t) - length(replace(t, '(', '')) >
+       |              length(t) - length(replace(t, ')', ''))
+       |         THEN t[1 : length(t) - strpos(reverse(t), '(')]
+       |         ELSE t END AS t
+       |  FROM p),
+       |tok AS (
+       |  SELECT doc_id,
+       |         unnest(string_split(trim(t), ' ')) AS w,
+       |         unnest(generate_series(1, len(string_split(trim(t), ' ')))) AS pos
+       |  FROM b),
+       |kept AS (
+       |  SELECT doc_id, w, pos FROM (
+       |    SELECT doc_id, w, pos,
+       |           row_number() OVER (PARTITION BY doc_id, w ORDER BY pos) AS rn
+       |    FROM tok) x
+       |  WHERE w IN ($sl) OR rn = 1),
+       |r AS (
+       |  SELECT doc_id, w,
+       |         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS pos
+       |  FROM kept),
+       |g AS (
+       |  SELECT doc_id,
+       |         max(CASE WHEN NOT (lower(w) IN ($sl) OR
+       |                            (length(w) = 1 AND NOT regexp_matches(w, '^[0-9]$$')
+       |                             AND lower(w) <> 'a'))
+       |                  THEN pos END) AS maxgood
+       |  FROM r GROUP BY doc_id),
+       |cc AS (
+       |  SELECT r.doc_id, r.pos,
+       |    CASE WHEN r.pos = 1 OR (NOT (r.w = upper(r.w) AND r.w <> lower(r.w))
+       |                            AND r.w NOT IN ($sl))
+       |         THEN CASE WHEN regexp_matches(r.w[1:1], '^[A-Za-z]$$')
+       |                   THEN upper(r.w[1:1]) || r.w[2:] ELSE r.w END
+       |         ELSE r.w END AS w
+       |  FROM r JOIN g USING (doc_id) WHERE r.pos <= g.maxgood),
+       |joined AS (
+       |  SELECT doc_id, coalesce(string_agg(w, ' ' ORDER BY pos), '') AS s
+       |  FROM cc GROUP BY doc_id),
+       |toc AS (
+       |  SELECT d.doc_id, coalesce(
+       |    CASE WHEN regexp_matches(s, '\\b(Contents|Table of Contents|Table of contents)\\b\\s*1\\s+\\D+?\\s+2')
+       |         THEN trim(regexp_extract(s,
+       |           '^(.*?)\\b(Contents|Table of Contents|Table of contents)\\b\\s*1\\s+\\D+?\\s+2', 1))
+       |         ELSE s END, '') AS s
+       |  FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN joined USING (doc_id))
+       |SELECT doc_id,
+       |  CASE WHEN length(regexp_replace(s, '[^A-Z]', '', 'g')) > length(s) / 2.0
+       |            AND NOT regexp_matches(s, '[0-9]')
+       |       THEN upper(s) ELSE s END AS title
+       |FROM toc""".stripMargin
+  }
 
   private val cleanSql =
     """lower(trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
@@ -269,6 +380,7 @@ object TextQueries {
          |                    i -> array_to_string(toks[i:i+3], ' ')))[1:10], '|')
          |    AS candidates
          |FROM t""".stripMargin,
+    "f9_title_postprocess" -> f9OracleSql,
     "f5_lemma_map" ->
       s"""WITH lemmas(word, lemma) AS (VALUES
          |  ('joins','join'), ('queries','query'), ('rows','row'),

@@ -60,4 +60,35 @@ class SearchSpec extends SparkSpec {
       hardCap = 2)
     assert(Search.plan(docs, r, b).count() == 2)
   }
+
+  test("P6: request with no recognized key is a 400") {
+    assert(Search.validate(Map.empty) == Left(Search.Unsupported))
+    // pagination/order params alone do not qualify (handler.py:49-59)
+    assert(Search.fromEvent(Map("page" -> "2", "order" -> "asc"))
+      == Left(Search.Unsupported))
+    assert(Search.fromEvent(Map("frobnicate" -> "x"))
+      == Left(Search.Unsupported))
+  }
+
+  test("P6: one recognized key qualifies; unknown extras are ignored") {
+    val got = Search.fromEvent(Map(
+      "keyword" -> "alpha beta", "status" -> "published,draft",
+      "date_published" -> "2024-01-01..", "page" -> "1",
+      "unknown_extra" -> "ignored"))
+    assert(got.isRight)
+    val r = got.toOption.get
+    assert(r.keywordAnd == Seq("alpha", "beta"))
+    assert(r.statusIn == Seq("published", "draft"))
+    assert(r.dateFrom.contains("2024-01-01") && r.dateTo.isEmpty)
+    assert(r.page == 1)
+  }
+
+  test("P6: event-built request plans identically to the typed request") {
+    val ev = Search.fromEvent(Map("regulatory_topic" -> "t1",
+      "keyword" -> "alpha beta")).toOption.get
+    // Request's default archive exclusion stays on through fromEvent
+    val got = Search.plan(docs, ev, b)
+      .select("uid").as[String].collect().toSet
+    assert(got == Set("a", "d"))
+  }
 }
