@@ -25,6 +25,41 @@ object DedupQueries {
       .select(col("doc_id"), col("lang"), col("text"),
         array_sort(array_distinct(Texts.tokens(col("text")))).as("ws"))
 
+  /** Shared 256-perm LSH probe + verify for the native signature paths:
+    *
+    *  1. persist the (doc_id, sig) table — the signature is the expensive
+    *     pass and the graph below uses it three times (two band sides +
+    *     the verify fetch); at production scale this is the checkpoint of
+    *     the signature table before the self-join
+    *  2. band join carries ONLY (doc_id, band) — never the 256-long
+    *     signature array (43 bands × corpus would shuffle the array ~43×)
+    *  3. distinct candidate pairs re-attach both signatures by keyed join,
+    *     and the agreement estimate is a codegen'd native expression
+    *     ([[graft.plans.SigAgree]]), not an interpreted lambda chain.
+    *
+    * 43 bands × stride 6: the reference's `range(0, len+1, 6)` probe loop
+    * emits a trailing PARTIAL 4-element window over hashes 252..255
+    * (check_duplicate.py:91-92); slice() clamps, giving the same band. */
+  private def bandPairJoin(sigDf: DataFrame, numBands: Int, rowsPerBand: Int,
+      threshold: Double): DataFrame = {
+    val sig = sigDf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sig.select(col("doc_id"),
+      explode(Hashes.bands(col("sig"), numBands, rowsPerBand)).as("band"))
+      .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
+    val pairs = banded.alias("a")
+      .join(banded.alias("b"), Seq("band_id", "band_key"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    pairs
+      .join(sig.select(col("doc_id").as("a_id"), col("sig").as("a_sig")), "a_id")
+      .join(sig.select(col("doc_id").as("b_id"), col("sig").as("b_sig")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        round(graft.plans.Native.sig_agree(col("a_sig"), col("b_sig")), 6)
+          .as("est_jac"))
+      .filter(col("est_jac") >= threshold)
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact dedup by content fingerprint: hash-groupBy, keep the minimum
     // id as canonical (drop_duplicates semantics, T2).
@@ -133,20 +168,7 @@ object DedupQueries {
           Native.minhash_sig(
             Texts.smartShorten(Texts.cleanText(col("text")), 24), 256, 5)
             .as("sig"))
-      val banded = sig.select(col("doc_id"), col("sig"),
-        explode(Hashes.bands(col("sig"), 42, 6)).as("band"))
-        .select(col("doc_id"), col("sig"),
-          col("band.band_id"), col("band.band_key"))
-      val a = banded.select(col("doc_id").as("a_id"), col("sig").as("a_sig"),
-        col("band_id"), col("band_key"))
-      val b = banded.select(col("doc_id").as("b_id"), col("sig").as("b_sig"),
-        col("band_id"), col("band_key"))
-      a.join(b, Seq("band_id", "band_key"))
-        .filter(col("a_id") < col("b_id"))
-        .select(col("a_id"), col("b_id"),
-          Hashes.minhashJaccard(col("a_sig"), col("b_sig")).as("est_jac"))
-        .distinct()
-        .filter(col("est_jac") >= 0.5)
+      bandPairJoin(sig, numBands = 43, rowsPerBand = 6, threshold = 0.5)
     }),
 
     // Reference-parity MinHash dedup: bit-exact datasketch seed-1
@@ -163,20 +185,7 @@ object DedupQueries {
         .select(col("doc_id"),
           datasketch_minhash(
             Texts.smartShorten(Texts.cleanText(col("text")), 24)).as("sig"))
-      val banded = sig.select(col("doc_id"), col("sig"),
-        explode(Hashes.bands(col("sig"), 42, 6)).as("band"))
-        .select(col("doc_id"), col("sig"),
-          col("band.band_id"), col("band.band_key"))
-      val a = banded.select(col("doc_id").as("a_id"), col("sig").as("a_sig"),
-        col("band_id"), col("band_key"))
-      val b = banded.select(col("doc_id").as("b_id"), col("sig").as("b_sig"),
-        col("band_id"), col("band_key"))
-      a.join(b, Seq("band_id", "band_key"))
-        .filter(col("a_id") < col("b_id"))
-        .select(col("a_id"), col("b_id"),
-          Hashes.minhashJaccard(col("a_sig"), col("b_sig")).as("est_jac"))
-        .distinct()
-        .filter(col("est_jac") >= 0.95)
+      bandPairJoin(sig, numBands = 43, rowsPerBand = 6, threshold = 0.95)
     }),
 
     // Native 64-bit SimHash clusters (rows-only; murmur3 not portable).

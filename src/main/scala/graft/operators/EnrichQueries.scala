@@ -80,8 +80,11 @@ object EnrichQueries {
     "m5_doc_type" -> ((s, d) => {
       val rules = s.createDataFrame(dtiRules)
         .toDF("phrase", "label", "priority")
+      // floor() on both sides: a bare cast truncates toward zero in Spark
+      // while DuckDB's ::INT rounds-to-nearest — divergent for docs with
+      // n_chars ≥ 2000 and fractional tenth ≥ .5.
       val head = col("text").substr(lit(1),
-        greatest(lit(200), (col("n_chars") / 10).cast("int")))
+        greatest(lit(200), floor(col("n_chars") / 10).cast("int")))
       val w = Window.partitionBy("doc_id")
         .orderBy(col("priority").desc, col("label").asc)
       Tables.documents(s, d)
@@ -203,7 +206,7 @@ object EnrichQueries {
         |  ('spark','GD',1), ('filter','HS',1), ('join','MSI',1)),
         |heads AS (
         |  SELECT doc_id,
-        |    substr(text, 1, greatest(200, (n_chars / 10)::INT)) AS head
+        |    substr(text, 1, greatest(200, n_chars // 10)) AS head
         |  FROM documents),
         |m AS (
         |  SELECT h.doc_id, r.label, r.priority

@@ -46,6 +46,13 @@ object GraphMerge {
 
     def inCols = payloadCols.map(c => col(s"in.$c").as(c))
 
+    // A matched row with null sim must not vanish: `null < t` and
+    // `null >= t` are both null, which would drop it from BOTH branches
+    // while the left_anti below still excludes its uid. Policy: unknown
+    // similarity ⇒ treat as materially changed (fork) — lossless, since
+    // SCD-2 keeps both rows.
+    val simOrZero = coalesce(col("in.sim"), lit(0.0))
+
     // ST6: unseen uid → insert version 1.
     val inserts = joined.filter(col("cur.uid").isNull)
       .select((col("in.uid").as("uid") +: inCols) :+
@@ -53,14 +60,14 @@ object GraphMerge {
 
     // ST4: matched + changed materially → fork: new row version+1 …
     val forked = joined
-      .filter(col("cur.uid").isNotNull && col("in.sim") < VersionForkThreshold)
+      .filter(col("cur.uid").isNotNull && simOrZero < VersionForkThreshold)
       .select((col("in.uid").as("uid") +: inCols) :+
         (col("cur.version") + 1L).as("version") :+
         lit("published").as("status"): _*)
 
     // … and the superseded live row flips to archive.
     val forkedUids = joined
-      .filter(col("cur.uid").isNotNull && col("in.sim") < VersionForkThreshold)
+      .filter(col("cur.uid").isNotNull && simOrZero < VersionForkThreshold)
       .select(col("cur.uid").as("uid"))
     val newlyArchived = live.join(forkedUids, Seq("uid"), "left_semi")
       .withColumn("status", lit("archive"))
@@ -68,7 +75,7 @@ object GraphMerge {
     // ST3/ST5: matched + near-identical → in-place attribute overwrite
     // (keep version).
     val updated = joined
-      .filter(col("cur.uid").isNotNull && col("in.sim") >= VersionForkThreshold)
+      .filter(col("cur.uid").isNotNull && simOrZero >= VersionForkThreshold)
       .select((col("in.uid").as("uid") +: inCols) :+
         col("cur.version").as("version") :+ col("cur.status").as("status"): _*)
 

@@ -39,5 +39,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("sorted_intersect_count",
         "sorted_intersect_count(a, b) - |A∩B| of sorted string arrays"),
       (es: Seq[Expression]) => SortedIntersectCount(es.head, es(1))))
+    e.injectFunction((FunctionIdentifier("sig_agree"),
+      info("sig_agree",
+        "sig_agree(a, b) - fraction of agreeing MinHash signature positions"),
+      (es: Seq[Expression]) => SigAgree(es.head, es(1))))
   }
 }

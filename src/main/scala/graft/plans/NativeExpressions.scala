@@ -83,6 +83,21 @@ object NativeImpl {
     c
   }
 
+  /** Fraction of agreeing positions in two equal-length long arrays —
+    * the MinHash signature-agreement estimate as one codegen'd pass,
+    * replacing the interpreted `zip_with`/`filter` lambda chain in the
+    * candidate-verification hot loop (one eval per candidate pair). */
+  def sigAgreeFrac(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var i = 0
+    var c = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    c.toDouble / n
+  }
+
   /** 64-bit SimHash over a token array (murmur3 per token, seed 1). */
   def simhash64(toks: ArrayData): Long = {
     val counts = new Array[Int](64)
@@ -157,6 +172,20 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** sig_agree(array<long>, array<long>) → double (fraction equal). */
+case class SigAgree(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    NativeImpl.sigAgreeFrac(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.plans.NativeImpl.sigAgreeFrac($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SigAgree =
+    copy(left = newLeft, right = newRight)
+}
+
 /** simhash64(array<string>) → long. */
 case class SimHash64(child: Expression)
     extends UnaryExpression {
@@ -179,6 +208,8 @@ object Native {
   def simhash64(c: Column): Column = column(SimHash64(expression(c)))
   def sorted_intersect_count(a: Column, b: Column): Column =
     column(SortedIntersectCount(expression(a), expression(b)))
+  def sig_agree(a: Column, b: Column): Column =
+    column(SigAgree(expression(a), expression(b)))
 
   /** Register for SQL use in an existing session
     * (`SELECT cosine_sim(a, b) …`); [[GraftExtensions]] is the
@@ -195,5 +226,7 @@ object Native {
       es => graft.functions.DatasketchMinHash(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("sorted_intersect_count",
       es => SortedIntersectCount(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("sig_agree",
+      es => SigAgree(es.head, es(1)), "scala_udf")
   }
 }

@@ -23,15 +23,28 @@ class DatasketchSpec extends SparkSpec {
   }
 
   test("signature pins: normal text and shorter-than-k text") {
+    // Expected values from tools/dev_datasketch.py — an independent
+    // hashlib-based transcription of check_duplicate/utils.py:22-30
+    // (shingleset of unique substrings lengths 1..k).
     val s1 = DatasketchMinHashImpl
       .signature(UTF8String.fromString("the quick brown fox"), 5)
-    assert(s1.toLongArray().take(6).toSeq ==
-      Seq(84766837L, 34383241L, 44059036L, 1117560327L, 100917092L,
-        238204920L))
+      .toLongArray()
+    assert(s1.take(6).toSeq ==
+      Seq(1834065L, 24867887L, 10519186L, 46097298L, 25910147L, 40851567L))
+    assert(s1.sum == 12820242529L)
+    assert(s1.takeRight(2).toSeq == Seq(91912866L, 4583821L))
     val s2 = DatasketchMinHashImpl.signature(UTF8String.fromString("ab"), 5)
-    assert(s2.toLongArray().take(6).toSeq ==
-      Seq(3651936582L, 270893072L, 3267495394L, 1399200590L, 2351754044L,
-        190500018L))
+      .toLongArray()
+    assert(s2.take(6).toSeq ==
+      Seq(297616339L, 270893072L, 2013617805L, 1399200590L, 943679155L,
+        113437101L))
+    assert(s2.sum == 265608083734L)
+    val s3 = DatasketchMinHashImpl
+      .signature(UTF8String.fromString("regulatory document body text"), 5)
+      .toLongArray()
+    assert(s3.take(6).toSeq ==
+      Seq(8437856L, 24867887L, 2507878L, 15121445L, 711517L, 11221577L))
+    assert(s3.sum == 9149889279L)
   }
 
   test("column expression evaluates through codegen over a frame") {
@@ -42,6 +55,6 @@ class DatasketchSpec extends SparkSpec {
     assert(sigs(0) == sigs(1))
     assert(sigs(0) != sigs(2))
     assert(sigs(0).length == 256)
-    assert(sigs(0).head == 84766837L)
+    assert(sigs(0).head == 1834065L)
   }
 }

@@ -60,6 +60,22 @@ class GraphMergeSpec extends SparkSpec {
       $"status" === "published").count() == 1)
   }
 
+  test("matched row with null sim forks instead of vanishing") {
+    // Regression: `null < t` and `null >= t` are both null, which used to
+    // drop the row from BOTH the fork and update branches while the
+    // left_anti still excluded the uid — silently losing the live row.
+    val incoming = Seq(("d1", "resubmitted, similarity unknown", "en",
+      null.asInstanceOf[java.lang.Double]))
+      .toDF("uid", "text", "lang", "sim")
+    val out = GraphMerge.merge(current, incoming, payload)
+    val d1 = out.filter($"uid" === "d1").orderBy("version").collect()
+    assert(d1.length == 2)
+    assert(d1(0).getAs[String]("status") == "archive")
+    assert(d1(1).getAs[Long]("version") == 2L)
+    assert(d1(1).getAs[String]("status") == "published")
+    assert(d1(1).getAs[String]("text") == "resubmitted, similarity unknown")
+  }
+
   test("replay idempotence: merging the same near-identical batch twice " +
     "changes nothing the second time") {
     val incoming = Seq(("d2", "patched", "en", 0.999)).toDF("uid", "text", "lang", "sim")

@@ -1,0 +1,66 @@
+#!/usr/bin/env python3
+"""Independent transcription of the reference's datasketch MinHash scheme
+(reference/lambdas/check_duplicate/utils.py:22-30) used ONLY to generate
+test pins for DatasketchSpec.scala.
+
+Scheme (all public knowledge -- datasketch library docs + kshingle docs):
+  shingles = set of UNIQUE character substrings of lengths 1..k
+  h        = first 4 bytes of sha1(shingle_utf8), little-endian uint32
+  phv      = ((a*h + b) wrapped to uint64) mod (2^61-1), masked to 2^32-1
+  sig[p]   = min over shingles, init 2^32-1
+
+Perm table (a, b) is parsed out of DatasketchPerms.scala, whose first
+entries are independently pinned against numpy RandomState(1).
+"""
+import hashlib
+import re
+import sys
+
+PRIME = (1 << 61) - 1
+MAXHASH = (1 << 32) - 1
+U64 = (1 << 64) - 1
+
+
+def load_perms(path):
+    src = open(path).read()
+    arrays = re.findall(r"val ([AB]): Array\[Long\] = Array\((.*?)\)", src, re.S)
+    out = {}
+    for name, body in arrays:
+        out[name] = [int(x) for x in re.findall(r"(-?\d+)L", body)]
+    assert len(out["A"]) == 256 and len(out["B"]) == 256
+    return out["A"], out["B"]
+
+
+def sha1_hash32(b):
+    d = hashlib.sha1(b).digest()
+    return d[0] | (d[1] << 8) | (d[2] << 16) | (d[3] << 24)
+
+
+def shingleset_k(s, k):
+    out = set()
+    for ln in range(1, k + 1):
+        for i in range(0, len(s) - ln + 1):
+            out.add(s[i:i + ln])
+    return out
+
+
+def signature(s, k, A, B):
+    sig = [MAXHASH] * 256
+    for sh in shingleset_k(s, k):
+        h = sha1_hash32(sh.encode("utf8"))
+        for p in range(256):
+            v = ((A[p] * h + B[p]) & U64) % PRIME & MAXHASH
+            if v < sig[p]:
+                sig[p] = v
+    return sig
+
+
+if __name__ == "__main__":
+    A, B = load_perms(sys.argv[1] if len(sys.argv) > 1 else
+                      "src/main/scala/graft/functions/DatasketchPerms.scala")
+    for text in ["the quick brown fox", "ab", "regulatory document body text"]:
+        sig = signature(text, 5, A, B)
+        print(repr(text))
+        print("  first6 :", sig[:6])
+        print("  sum256 :", sum(sig))
+        print("  last2  :", sig[-2:])
