@@ -45,8 +45,14 @@ object DedupGate {
     // store. We reproduce that by treating batch-earlier twins as corpus
     // candidates: candidate set = live corpus ∪ {batch rows with smaller
     // uid}, ranked by (sim desc, corpus-first, id asc).
+    // The ingest batch is small relative to the store, so its banded
+    // probe is BROADCAST: the corpus side never shuffles on band_key —
+    // band-key skew (boilerplate docs sharing every band) cannot
+    // concentrate on one reducer because there is no band-key exchange
+    // at all. This mirrors the reference's probe direction (one incoming
+    // document against the indexed store, check_duplicate.py:90-101).
     val corpusLive = corpus.filter(col("status") =!= "archive")
-    val corpusCand = banded(incoming, "uid").alias("q")
+    val corpusCand = broadcast(banded(incoming, "uid")).alias("q")
       .join(banded(corpusLive, "node_id").alias("c"), Seq("band_id", "band_key"))
       .select(col("q.uid").as("uid"), col("c.node_id").as("match_id"),
         Hashes.minhashJaccard(col("q.sig"), col("c.sig")).as("sim"),

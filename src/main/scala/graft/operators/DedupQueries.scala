@@ -46,8 +46,12 @@ object DedupQueries {
     val banded = sig.select(col("doc_id"),
       explode(Hashes.bands(col("sig"), numBands, rowsPerBand)).as("band"))
       .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
-    val pairs = banded.alias("a")
-      .join(banded.alias("b"), Seq("band_id", "band_key"))
+    // Replicate-salt the self-join (Skew): a hot band_key's pair clique
+    // spreads over 8 reducers; output rows are identical to unsalted.
+    val (bandA, bandB, keys) =
+      Skew.saltedSelfJoinSides(banded, Seq("band_id", "band_key"), "doc_id", 8)
+    val pairs = bandA.alias("a")
+      .join(bandB.alias("b"), keys)
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
@@ -116,11 +120,14 @@ object DedupQueries {
         explode(Hashes.bands(col("sig"), 4, 4)).as("band"))
         .select(col("doc_id"), col("sig"),
           col("band.band_id"), col("band.band_key"))
-      val a = banded.select(col("doc_id").as("a_id"), col("sig").as("a_sig"),
-        col("band_id"), col("band_key"))
-      val b = banded.select(col("doc_id").as("b_id"), col("sig").as("b_sig"),
-        col("band_id"), col("band_key"))
-      a.join(b, Seq("band_id", "band_key"))
+      // Salted against band-key skew; row-identical output (see Skew).
+      val (bandA, bandB, keys) =
+        Skew.saltedSelfJoinSides(banded, Seq("band_id", "band_key"), "doc_id", 8)
+      val a = bandA.select(col("doc_id").as("a_id"), col("sig").as("a_sig"),
+        col("band_id"), col("band_key"), col("salt"))
+      val b = bandB.select(col("doc_id").as("b_id"), col("sig").as("b_sig"),
+        col("band_id"), col("band_key"), col("salt"))
+      a.join(b, keys)
         .filter(col("a_id") < col("b_id"))
         .select(col("a_id"), col("b_id"),
           Hashes.minhashJaccard(col("a_sig"), col("b_sig")).as("est_jac"))

@@ -31,4 +31,27 @@ object Skew {
       .agg(sum(value).as("partial_s"))
       .groupBy("key")
       .agg(sum("partial_s").as("s"))
+
+  /** Replicate-salt a self equi-join against band-key skew (the LSH hot
+    * spot: near-identical boilerplate docs share every band, so one
+    * band_key can hold a large clique and its n² pair work lands on ONE
+    * reducer).
+    *
+    * Semantics-preserving: side B gets ONE deterministic salt per row
+    * (`hash(idCol) % salts`), side A is replicated across ALL salt values
+    * — every (a, b) row pair meets on exactly one (key..., salt) tuple,
+    * so the joined output is row-identical to the unsalted join while a
+    * hot key's work spreads over `salts` reducers. Shuffle volume for
+    * side A grows ×salts — keep the replicated side slim (ids + keys
+    * only; see [[DedupQueries]]' slim banding).
+    *
+    * Returns (aDf′, bDf′, joinKeys′) to feed `aDf′.join(bDf′, joinKeys′)`.
+    */
+  def saltedSelfJoinSides(df: DataFrame, joinKeys: Seq[String],
+      idCol: String, salts: Int): (DataFrame, DataFrame, Seq[String]) = {
+    val a = df.withColumn("salt",
+      explode(lit((0 until salts).toArray)))
+    val b = df.withColumn("salt", pmod(hash(col(idCol)), lit(salts)))
+    (a, b, joinKeys :+ "salt")
+  }
 }

@@ -70,6 +70,30 @@ object SourceSinkQueries {
         .agg(count("*").as("n"), sum("n_chars").as("chars"))
     }),
 
+    // K4 dim-table upsert (legislation_table_update.py:100-112: the CSV
+    // dim refresh put_item loop — last-writer-wins overwrite by key, new
+    // keys inserted). Relationally: incoming wins on key-match (in-place
+    // attribute overwrite), unmatched current rows pass through — one
+    // keyed left_anti + union, no full-table rewrite of untouched rows'
+    // payload. Mutation batch derived from `nation`: every 2nd key gets
+    // an amended name; keys +100 are net-new inserts.
+    "k4_dim_upsert" -> ((s, d) => {
+      val cur = Tables.nation(s, d)
+        .select(col("n_nationkey").as("key"), col("n_name").as("name"),
+          col("n_regionkey").as("region"))
+      val inc = cur.filter(col("key") % 2 === 0)
+        .select(col("key"), concat(col("name"), lit(" (2026 ed.)")).as("name"),
+          col("region"))
+        .unionByName(
+          cur.filter(col("key") % 7 === 0)
+            .select((col("key") + 100).as("key"),
+              concat(lit("NEW "), col("name")).as("name"), col("region")))
+      cur.join(inc.select("key"), Seq("key"), "left_anti")
+        .withColumn("op", lit("kept"))
+        .unionByName(inc.withColumn("op",
+          when(col("key") >= 100, "inserted").otherwise("overwritten")))
+    }),
+
     // S1/S3 binary-file scan (the reference's S3 object gets + bucket
     // listing, pdf_to_orpml.py:60-74 / Glue cell 5): enumerate the sf
     // dir as binary files with path/length metadata, classify by
@@ -172,6 +196,22 @@ object SourceSinkQueries {
       """SELECT lang, count(*) AS n, sum(n_chars)::BIGINT AS chars
         |FROM documents
         |WHERE lang IN ('en','de','zh') GROUP BY lang""".stripMargin,
+    "k4_dim_upsert" ->
+      """WITH cur AS (
+        |  SELECT n_nationkey AS key, n_name AS name, n_regionkey AS region
+        |  FROM nation),
+        |inc AS (
+        |  SELECT key, name || ' (2026 ed.)' AS name, region
+        |  FROM cur WHERE key % 2 = 0
+        |  UNION ALL
+        |  SELECT key + 100, 'NEW ' || name, region
+        |  FROM cur WHERE key % 7 = 0)
+        |SELECT key, name, region, 'kept' AS op
+        |FROM cur WHERE key NOT IN (SELECT key FROM inc)
+        |UNION ALL
+        |SELECT key, name, region,
+        |  CASE WHEN key >= 100 THEN 'inserted' ELSE 'overwritten' END AS op
+        |FROM inc""".stripMargin,
     "s10_pushdown_scan" ->
       """SELECT l_orderkey, l_quantity,
         |  strftime(l_shipdate, '%Y-%m-%d') AS ship

@@ -68,6 +68,18 @@ object TextQueries {
             "yyyyMMddHHmmss"), "yyyy-MM-dd HH:mm:ss").as("parsed"))
     }),
 
+    // F17 explicit UTC normalization (tdb_query_helpers.py:118-122:
+    // Lisbon-local wall time → UTC, offset dropped, ISO render). The
+    // session TZ being UTC does NOT cover this — the reference's input
+    // carries a non-UTC zone, so the conversion must consult tzdata
+    // (incl. DST), which to_utc_timestamp does per row.
+    "f17_utc_normalize" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_id"),
+          date_format(to_utc_timestamp(col("ts"), "Europe/Lisbon"),
+            "yyyy-MM-dd'T'HH:mm:ss").as("ts_utc"))
+    }),
+
     // F16 ±3-month window reconciliation (date_generation.py:77-100):
     // orders within 92 days of an anchor date.
     "f16_date_window" -> ((s, d) => {
@@ -315,6 +327,11 @@ object TextQueries {
       """SELECT event_id,
         |  strftime(strptime(substr('D:' || strftime(ts, '%Y%m%d%H%M%S'), 3, 14),
         |           '%Y%m%d%H%M%S'), '%Y-%m-%d %H:%M:%S') AS parsed
+        |FROM events""".stripMargin,
+    "f17_utc_normalize" ->
+      """SELECT event_id,
+        |  strftime(timezone('UTC', timezone('Europe/Lisbon', ts::TIMESTAMP)),
+        |           '%Y-%m-%dT%H:%M:%S') AS ts_utc
         |FROM events""".stripMargin,
     "f16_date_window" ->
       """SELECT o_orderkey,
