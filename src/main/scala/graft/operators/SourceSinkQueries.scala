@@ -70,6 +70,18 @@ object SourceSinkQueries {
         .agg(count("*").as("n"), sum("n_chars").as("chars"))
     }),
 
+    // K1 ORPML render (the XML document body the reference PUTs to S3,
+    // orpml_generation.py): row → XML envelope via Spark's native to_xml
+    // (StaxXmlGenerator — rowTag wrapper, 4-space indent, &/< escaped).
+    // Oracle rebuilds the exact string with chr(10) + entity replaces.
+    "k1_orpml_render" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          to_xml(struct(col("doc_id"), col("lang"), col("source"),
+            substring(col("text"), 1, 40).as("head")),
+            java.util.Map.of("rowTag", "orpml")).as("orpml"))
+    }),
+
     // K4 dim-table upsert (legislation_table_update.py:100-112: the CSV
     // dim refresh put_item loop — last-writer-wins overwrite by key, new
     // keys inserted). Relationally: incoming wins on key-match (in-place
@@ -196,6 +208,21 @@ object SourceSinkQueries {
       """SELECT lang, count(*) AS n, sum(n_chars)::BIGINT AS chars
         |FROM documents
         |WHERE lang IN ('en','de','zh') GROUP BY lang""".stripMargin,
+    "k1_orpml_render" ->
+      """SELECT doc_id,
+        |  '<orpml>' || chr(10) ||
+        |  '    <doc_id>' || doc_id || '</doc_id>' || chr(10) ||
+        |  '    <lang>' ||
+        |    replace(replace(lang, '&', '&amp;'), '<', '&lt;') ||
+        |    '</lang>' || chr(10) ||
+        |  '    <source>' ||
+        |    replace(replace(source, '&', '&amp;'), '<', '&lt;') ||
+        |    '</source>' || chr(10) ||
+        |  '    <head>' ||
+        |    replace(replace(substr(text, 1, 40), '&', '&amp;'), '<', '&lt;') ||
+        |    '</head>' || chr(10) ||
+        |  '</orpml>' AS orpml
+        |FROM documents""".stripMargin,
     "k4_dim_upsert" ->
       """WITH cur AS (
         |  SELECT n_nationkey AS key, n_name AS name, n_regionkey AS region

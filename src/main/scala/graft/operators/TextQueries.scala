@@ -90,6 +90,40 @@ object TextQueries {
         .select("o_orderkey", "d_days")
     }),
 
+    // F23 recursive JSON key search (govuk_extraction.py:7-22): every
+    // `body` value at any depth, document-order DFS. The nested envelope
+    // is constructed from table columns so ground truth is independently
+    // derivable; the RECURSIVE walk itself is the operator under test.
+    "f23_find_key" -> ((s, d) => {
+      import graft.functions.JsonWalk
+      val js = to_json(struct(
+        col("lang").as("body"),
+        struct(col("source").as("body")).as("meta"),
+        array(
+          struct(substring(col("text"), 1, 12).as("body")),
+          struct(lit(null).cast("string").as("body"))).as("items")))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          array_join(JsonWalk.json_find_key(js, lit("body")), "|").as("bodies"))
+    }),
+
+    // F22 full recursive JSON flatten to (dotted.path[i], scalar) rows —
+    // the Dynamo-sink attribute flattening generalized beyond fixed
+    // dotted-path access (p3_json_extract).
+    "f22_flatten_json" -> ((s, d) => {
+      import graft.functions.JsonWalk
+      val js = to_json(struct(
+        col("lang").as("lang"),
+        struct(col("source").as("src"),
+          substring(col("text"), 1, 8).as("head")).as("meta"),
+        array(lit("reg"), col("lang")).as("tags")))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(JsonWalk.json_flatten_paths(js)).as("kv"))
+        .select(col("doc_id"), col("kv.path").as("path"),
+          col("kv.value").as("value"))
+    }),
+
     // F18 numeric-token extraction (year detection,
     // legislative_origin_extraction.py:45-53).
     "f18_extract_numbers" -> ((s, d) => {
@@ -333,6 +367,16 @@ object TextQueries {
         |  strftime(timezone('UTC', timezone('Europe/Lisbon', ts::TIMESTAMP)),
         |           '%Y-%m-%dT%H:%M:%S') AS ts_utc
         |FROM events""".stripMargin,
+    "f23_find_key" ->
+      """SELECT doc_id,
+        |  lang || '|' || source || '|' || substr(text, 1, 12) AS bodies
+        |FROM documents""".stripMargin,
+    "f22_flatten_json" ->
+      """SELECT doc_id, 'lang' AS path, lang AS value FROM documents
+        |UNION ALL SELECT doc_id, 'meta.src', source FROM documents
+        |UNION ALL SELECT doc_id, 'meta.head', substr(text, 1, 8) FROM documents
+        |UNION ALL SELECT doc_id, 'tags[0]', 'reg' FROM documents
+        |UNION ALL SELECT doc_id, 'tags[1]', lang FROM documents""".stripMargin,
     "f16_date_window" ->
       """SELECT o_orderkey,
         |  date_diff('day', DATE '2024-06-30', o_orderdate::DATE) AS d_days

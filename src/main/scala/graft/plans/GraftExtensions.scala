@@ -43,5 +43,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("sig_agree",
         "sig_agree(a, b) - fraction of agreeing MinHash signature positions"),
       (es: Seq[Expression]) => SigAgree(es.head, es(1))))
+    e.injectFunction((FunctionIdentifier("json_find_key"),
+      info("json_find_key",
+        "json_find_key(json, key) - recursive document-order key search"),
+      (es: Seq[Expression]) => graft.functions.JsonFindKey(es.head, es(1))))
+    e.injectFunction((FunctionIdentifier("json_flatten_paths"),
+      info("json_flatten_paths",
+        "json_flatten_paths(json) - recursive (path, value) flatten"),
+      (es: Seq[Expression]) => graft.functions.JsonFlattenPaths(es.head)))
   }
 }

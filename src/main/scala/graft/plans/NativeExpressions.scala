@@ -228,5 +228,9 @@ object Native {
       es => SortedIntersectCount(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("sig_agree",
       es => SigAgree(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("json_find_key",
+      es => graft.functions.JsonFindKey(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("json_flatten_paths",
+      es => graft.functions.JsonFlattenPaths(es.head), "scala_udf")
   }
 }
