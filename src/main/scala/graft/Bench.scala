@@ -25,6 +25,10 @@ object Bench {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
+      // Queries that persist intermediates (the self-join dedup family)
+      // would otherwise accumulate storage across the run and skew later
+      // timings with eviction/GC pressure.
+      spark.catalog.clearCache()
       System.err.println(f"[bench] $name%-28s $dt%8.2f s")
       name -> dt
     }

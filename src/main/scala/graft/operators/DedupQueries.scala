@@ -99,6 +99,63 @@ object DedupQueries {
         .select("a_id", "b_id", "jac")
     }),
 
+    // Exact set-similarity self-join via PREFIX FILTERING (PPJoin-style):
+    // the corpus-ROBUST alternative to dd_ngram_jaccard's (lang, size)
+    // blocking, whose block population grows linearly with the corpus.
+    // Theorem: if Jaccard(A,B) ≥ t then, under ANY global token order,
+    // the first (|A| − ⌈t·|A|⌉ + 1) tokens of A and of B intersect — so
+    // exploding only that prefix as candidate keys loses NO true pair,
+    // and the exact verify keeps output identical to all-pairs. Tokens
+    // are ordered rarest-first (document frequency, then lexicographic),
+    // which both minimizes candidates and keeps the candidate join's key
+    // population cold: prefix keys are by construction the RAREST tokens,
+    // the opposite of a hot-key distribution. Length filter
+    // t·|A| ≤ |B| ≤ |A|/t prunes at the join.
+    "dd_jaccard_prefix" -> ((s, d) => {
+      import org.apache.spark.storage.StorageLevel
+      val t = 0.9
+      // base and ordered each feed ≥2 branches of the join graph below —
+      // persist (the checkpoint-before-self-join posture, as in
+      // bandPairJoin) so tokenize/df-rank run once.
+      val base = prepared(s, d).select(col("doc_id"), col("ws"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val toks = base.select(col("doc_id"), explode(col("ws")).as("tok"))
+      val dfreq = toks.groupBy("tok").agg(count("*").as("df"))
+      val ordered = toks.join(dfreq, "tok")
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("o"))
+        .select(col("doc_id"),
+          transform(col("o"), x => x.getField("tok")).as("ows"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // Candidate rows stay SLIM (ids + one prefix token): dedup to
+      // distinct pairs first, then re-attach the sorted token sets by a
+      // broadcast-able keyed join and verify with the native merge-walk
+      // intersect. (An inline-verify variant carrying the token arrays
+      // through the self-join measured 4× slower at sf0.1 — fat join
+      // output beats two cheap attach joins only when the doc table
+      // itself is too big to hash-join, and then AQE picks the shuffle.)
+      val pre = ordered
+        .withColumn("n", size(col("ows")))
+        .select(col("doc_id"), col("n"),
+          explode(slice(col("ows"), lit(1),
+            (col("n") - ceil(lit(t) * col("n")) + 1).cast("int"))).as("tok"))
+      val cand = pre.alias("a").join(pre.alias("b"),
+          col("a.tok") === col("b.tok") &&
+            col("a.doc_id") < col("b.doc_id") &&
+            col("b.n") <= col("a.n") / t && col("a.n") <= col("b.n") / t)
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .distinct()
+      val inter = graft.plans.Native
+        .sorted_intersect_count(col("a_ws"), col("b_ws")).cast("double")
+      cand
+        .join(base.select(col("doc_id").as("a_id"), col("ws").as("a_ws")), "a_id")
+        .join(base.select(col("doc_id").as("b_id"), col("ws").as("b_ws")), "b_id")
+        .withColumn("jac",
+          round(inter / (size(col("a_ws")) + size(col("b_ws")) - inter), 6))
+        .filter(col("jac") >= t)
+        .select("a_id", "b_id", "jac")
+    }),
+
     // MinHash + LSH banding (portable md5 permutations, 16 perms = 4
     // bands × 4 rows): shingle-explode → codegen'd per-row hash → one
     // groupBy(doc_id) carrying 16 min-aggregates → band explode →
@@ -250,6 +307,29 @@ object DedupQueries {
          |FROM b a JOIN b c ON a.lang = c.lang AND a.bkt = c.bkt AND a.doc_id < c.doc_id
          |WHERE round(len(list_intersect(a.ws, c.ws))::DOUBLE /
          |    (len(a.ws) + len(c.ws) - len(list_intersect(a.ws, c.ws))), 6) >= 0.9""".stripMargin,
+    "dd_jaccard_prefix" ->
+      s"""WITH t AS (SELECT doc_id, $wsSql AS ws FROM documents),
+         |toks AS (SELECT doc_id, unnest(ws) AS tok FROM t),
+         |dfreq AS (SELECT tok, count(*) AS df FROM toks GROUP BY tok),
+         |ordered AS (
+         |  SELECT doc_id, list(tok ORDER BY df, tok) AS ows
+         |  FROM toks JOIN dfreq USING (tok) GROUP BY doc_id),
+         |pre AS (
+         |  SELECT doc_id, len(ows) AS n,
+         |    unnest(ows[1 : (len(ows) - ceil(0.9*len(ows)) + 1)::INT]) AS tok
+         |  FROM ordered),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM pre a JOIN pre b ON a.tok = b.tok AND a.doc_id < b.doc_id
+         |   AND b.n <= a.n / 0.9 AND a.n <= b.n / 0.9),
+         |j AS (
+         |  SELECT a_id, b_id,
+         |    round(len(list_intersect(ta.ws, tb.ws))::DOUBLE /
+         |      (len(ta.ws) + len(tb.ws) - len(list_intersect(ta.ws, tb.ws))), 6)
+         |      AS jac
+         |  FROM cand JOIN t ta ON cand.a_id = ta.doc_id
+         |            JOIN t tb ON cand.b_id = tb.doc_id)
+         |SELECT a_id, b_id, jac FROM j WHERE jac >= 0.9""".stripMargin,
     "dd_minhash_lsh" ->
       s"""WITH sig AS (
          |${MinHashPipeline.signaturesSql("documents", "doc_id", "text")}),
