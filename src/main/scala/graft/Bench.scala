@@ -21,14 +21,25 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JVM/codegen warmup: the first Spark job in a session pays ~3-4 s of
+    // classloading, codegen, and scan setup — attribute that to startup,
+    // not to whichever query sorts first alphabetically.
+    Tables.documents(spark, sfDir).limit(100).count()
+    Tables.events(spark, sfDir).limit(100).count()
+    spark.range(100000).groupBy(org.apache.spark.sql.functions.expr("id % 7"))
+      .count().count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       // Queries that persist intermediates (the self-join dedup family)
       // would otherwise accumulate storage across the run and skew later
-      // timings with eviction/GC pressure.
+      // timings with eviction/GC pressure. Unpersist BLOCKING so the
+      // cleanup doesn't race the next timed query, then collect garbage
+      // between measurements.
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      System.gc()
       System.err.println(f"[bench] $name%-28s $dt%8.2f s")
       name -> dt
     }
