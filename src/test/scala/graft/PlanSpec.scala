@@ -42,6 +42,41 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("dd_jaccard_prefix: candidate join is a keyed equi-join; verify " +
+    "attaches via hash joins, never a nested loop") {
+    val p = planOf(DedupQueries.queries("dd_jaccard_prefix")(spark, sf))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("dedup gate: the corpus-vs-batch band join broadcasts the batch " +
+    "probe (no corpus shuffle on band_key)") {
+    val p = planOf(OrpQueries.queries("dg_dedup_gate")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("salted LSH self-join produces row-identical pairs to unsalted") {
+    import graft.functions.Hashes
+    val sig = MinHashPipeline.signatures(
+      Tables.documents(spark, sf), "doc_id", col("text"))
+    val banded = sig.select(col("doc_id"),
+      explode(Hashes.bands(col("sig"), 4, 4)).as("band"))
+      .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
+    val unsalted = banded.alias("a")
+      .join(banded.alias("b"), Seq("band_id", "band_key"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("x"), col("b.doc_id").as("y"))
+      .distinct().orderBy("x", "y").collect().toSeq
+    val (sa, sb, keys) =
+      Skew.saltedSelfJoinSides(banded, Seq("band_id", "band_key"), "doc_id", 8)
+    val salted = sa.alias("a").join(sb.alias("b"), keys)
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("x"), col("b.doc_id").as("y"))
+      .distinct().orderBy("x", "y").collect().toSeq
+    assert(salted == unsalted && unsalted.nonEmpty)
+  }
+
   test("native expressions run inside whole-stage codegen (no fallback)") {
     import graft.plans.Native
     val df = Tables.embeddings(spark, sf)
