@@ -79,8 +79,10 @@ object DedupQueries {
     // blocking: candidate pairs only within a block → keyed equi-join, not
     // a cross join. Threshold 0.9.
     "dd_ngram_jaccard" -> ((s, d) => {
+      // persisted: both sides of the pair self-join read it
       val base = prepared(s, d)
         .withColumn("bkt", (size(col("ws")) / 8).cast("int"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val a = base.select(col("doc_id").as("a_id"), col("lang"),
         col("bkt"), col("ws").as("a_ws"))
       val b = base.select(col("doc_id").as("b_id"), col("lang"),

@@ -77,6 +77,22 @@ class PlanSpec extends SparkSpec {
     assert(salted == unsalted && unsalted.nonEmpty)
   }
 
+  test("top-k-per-group windows get the rank-limit pushdown " +
+    "(WindowGroupLimit prunes map-side before the shuffle)") {
+    // Spark's InferWindowGroupLimit rewrites `row_number ... rn <= k`
+    // into a partial per-key top-k BELOW the exchange — the built-in
+    // operator for what would otherwise need a custom SparkPlan. Pin it
+    // so a query-shape change never silently loses the pushdown.
+    val a3 = planOf(OrpQueries.queries("a3_topk_per_group")(spark, sf))
+    assert(a3.contains("WindowGroupLimit"))
+    // two instances: Final above the exchange, Partial below — the
+    // partial (map-side) one is the pruning that matters at scale
+    assert(a3.lastIndexOf("WindowGroupLimit") > a3.indexOf("Exchange"),
+      "partial group-limit must appear below the exchange in plan text")
+    val m3 = planOf(EnrichQueries.queries("m3_keywords")(spark, sf))
+    assert(m3.contains("WindowGroupLimit"))
+  }
+
   test("native expressions run inside whole-stage codegen (no fallback)") {
     import graft.plans.Native
     val df = Tables.embeddings(spark, sf)
