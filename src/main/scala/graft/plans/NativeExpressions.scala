@@ -83,19 +83,26 @@ object NativeImpl {
     c
   }
 
-  /** Fraction of agreeing positions in two equal-length long arrays —
-    * the MinHash signature-agreement estimate as one codegen'd pass,
-    * replacing the interpreted `zip_with`/`filter` lambda chain in the
-    * candidate-verification hot loop (one eval per candidate pair). */
+  /** Fraction of agreeing positions in two long arrays — the MinHash
+    * signature-agreement estimate as one codegen'd pass, replacing the
+    * interpreted `zip_with`/`filter` lambda chain in the candidate-
+    * verification hot loop (one eval per candidate pair).
+    *
+    * Exactly `size(filter(zip_with(a,b,(x,y)=>x===y), e=>e)) / size(a)`:
+    * positions beyond min(|a|,|b|) pad to null under zip_with and a null
+    * element never equals — both count as disagreement here, so
+    * [[RewriteMinHashAgreement]] may substitute this unconditionally. */
   def sigAgreeFrac(a: ArrayData, b: ArrayData): Double = {
-    val n = a.numElements()
+    val na = a.numElements()
+    val n = math.min(na, b.numElements())
     var i = 0
     var c = 0
     while (i < n) {
-      if (a.getLong(i) == b.getLong(i)) c += 1
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i))
+        c += 1
       i += 1
     }
-    c.toDouble / n
+    c.toDouble / na
   }
 
   /** 64-bit SimHash over a token array (murmur3 per token, seed 1). */

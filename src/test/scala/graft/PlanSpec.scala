@@ -93,6 +93,43 @@ class PlanSpec extends SparkSpec {
     assert(m3.contains("WindowGroupLimit"))
   }
 
+  test("RewriteMinHashAgreement: the zip_with agreement HOF is rewritten " +
+    "to the native SigAgree by the injected optimizer rule") {
+    import graft.functions.Hashes
+    // the session is built with spark.sql.extensions=GraftExtensions, so
+    // the rule is active engine-wide
+    val sig = MinHashPipeline.signatures(
+      Tables.documents(spark, sf).limit(50), "doc_id", col("text"))
+    val est = sig.alias("a").join(sig.alias("b"),
+        col("a.doc_id") === col("b.doc_id"))
+      .select(Hashes.minhashJaccard(col("a.sig"), col("b.sig")).as("j"))
+    assert(est.queryExecution.optimizedPlan.toString.contains("sigagree"),
+      "optimizer must substitute SigAgree for the HOF chain")
+    assert(est.collect().forall(_.getDouble(0) == 1.0))
+  }
+
+  test("SigAgree matches the HOF semantics on ragged and null inputs") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("a", ArrayType(LongType, containsNull = true)),
+      StructField("b", ArrayType(LongType, containsNull = true))))
+    val rows = java.util.Arrays.asList(
+      Row(Seq(1L, 2L, 3L, 4L), Seq(1L, 9L, 3L, 4L)),
+      Row(Seq(1L, 2L, 3L, 4L), Seq(1L, 2L)), // ragged: zip_with pads null
+      Row(Seq(1L, null, 3L, null).map(_.asInstanceOf[java.lang.Long])
+        .map(v => if (v == null) null else v.longValue()),
+        Seq(1L, 2L, 3L, 4L)))
+    val df = spark.createDataFrame(rows, schema)
+    val hof = df.select(
+      (size(filter(zip_with(col("a"), col("b"), (x, y) => x === y),
+        e => e)).cast("double") / size(col("a"))).as("v")).collect().map(_.getDouble(0))
+    val native = df.select(
+      graft.plans.Native.sig_agree(col("a"), col("b")).as("v"))
+      .collect().map(_.getDouble(0))
+    assert(hof.toSeq == native.toSeq)
+  }
+
   test("native expressions run inside whole-stage codegen (no fallback)") {
     import graft.plans.Native
     val df = Tables.embeddings(spark, sf)
