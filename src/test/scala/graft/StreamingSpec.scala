@@ -59,6 +59,65 @@ class StreamingSpec extends SparkSpec {
     assert(store.filter($"uid" === "1").count() == 2) // v1 archived + v2
   }
 
+  test("ST7 streaming: the dedup gate classifies each micro-batch against " +
+    "the evolving corpus (new docs enter, duplicates are dropped)") {
+    import graft.operators.{DedupGate, MinHashPipeline}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val docs = input.toDF().toDF("uid", "itext", "meta_key")
+
+    val alpha = "the quick brown fox jumps over the lazy dog again and again"
+    val beta = "some other stored document about regulations and safety rules"
+    val gamma = "completely novel content never seen before in any store"
+
+    var corpus = Seq.empty[(Long, String, String, String)]
+      .toDF("node_id", "text", "meta_key", "status")
+    val outcomes = scala.collection.mutable.Map.empty[Long, String]
+
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    def runOnce(): Unit = {
+      val q = StreamPipeline.run(docs, ckpt) { (batch, _) =>
+        val b = batch.localCheckpoint(true)
+        if (!b.isEmpty) {
+          val incoming = b.join(
+            MinHashPipeline.signatures(b, "uid", $"itext"), "uid")
+          val corpusSig = corpus.join(
+            MinHashPipeline.signatures(corpus, "node_id", $"text"), "node_id")
+          val res = DedupGate.classify(incoming, corpusSig, 4, 4)
+            .select("uid", "outcome").as[(Long, String)].collect()
+          res.foreach { case (u, o) => outcomes(u) = o }
+          // ingest policy mirroring check_duplicate.py:183-289: new and
+          // version outcomes are stored (version under the same logical
+          // node lineage — modeled as a fresh node row here), duplicates
+          // are NOT re-inserted
+          val keep = res.filter(_._2 != "duplicate").map(_._1).toSet
+          val add = b.as[(Long, String, String)].collect()
+            .filter(r => keep(r._1))
+            .map(r => (r._1, r._2, r._3, "published"))
+          if (add.nonEmpty)
+            corpus = corpus
+              .unionByName(add.toSeq.toDF("node_id", "text", "meta_key", "status"))
+              .localCheckpoint(true)
+        }
+        ()
+      }
+      q.awaitTermination()
+    }
+
+    input.addData((1L, alpha, "en"), (2L, beta, "en"))
+    runOnce()
+    // second wave arrives after the first is committed to the store
+    input.addData((3L, alpha, "en"), (4L, alpha, "xx"), (5L, gamma, "en"))
+    runOnce()
+
+    assert(outcomes(1L) == "new" && outcomes(2L) == "new")
+    assert(outcomes(3L) == "duplicate") // same content+meta as stored 1
+    assert(outcomes(4L) == "version")   // same content, different meta
+    assert(outcomes(5L) == "new")
+    // duplicates never entered the corpus
+    assert(corpus.count() == 4)
+  }
+
   test("windowed throughput with watermark emits per-window counts") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
