@@ -46,7 +46,11 @@ object Hashes {
   /** LSH banding (reference stride-6 windows over the 256 signature,
     * `check_duplicate.py:90-93`): signature → array of (band_id, band_key)
     * structs; equal band_key ⇒ candidate pair. band_key is the '_'-joined
-    * render the reference also uses at sinks (`check_duplicate.py:266`). */
+    * render the reference also uses at sinks (`check_duplicate.py:266`).
+    * `slice` clamps at the array end, so asking for one band past the
+    * last full window yields the reference's trailing PARTIAL band (its
+    * probe loop is `range(0, len+1, stride)`): 256 hashes at stride 6 ⇒
+    * numBands=43, last band 4 elements. */
   def bands(sig: Column, numBands: Int, rowsPerBand: Int): Column =
     transform(sequence(lit(0), lit(numBands - 1)),
       b => struct(b.as("band_id"),

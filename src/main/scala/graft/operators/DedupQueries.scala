@@ -25,7 +25,13 @@ object DedupQueries {
       .select(col("doc_id"), col("lang"), col("text"),
         array_sort(array_distinct(Texts.tokens(col("text")))).as("ws"))
 
-  /** Shared 256-perm LSH probe + verify for the native signature paths:
+  /** Shared 256-perm LSH probe + verify for the native signature paths.
+    *
+    * Cache lifecycle: the returned frame references persisted
+    * intermediates; the caller owns their release (the Bench/Verify
+    * runners `clearCache()` after consuming each query — do the same in
+    * long-lived sessions).
+    *
     *
     *  1. persist the (doc_id, sig) table — the signature is the expensive
     *     pass and the graph below uses it three times (two band sides +
