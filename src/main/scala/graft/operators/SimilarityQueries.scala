@@ -94,6 +94,55 @@ object SimilarityQueries {
         .select("q_id", "n_id", "sim", "rk")
     }),
 
+    // Product-quantization ANN (PQ, Jégou et al. 2011 — public method):
+    // 64-dim vectors split into M=4 subspaces × 16 dims, each subvector
+    // quantized to its nearest of 8 per-subspace centroids (deterministic
+    // codebook: the first 8 vectors' subvectors, as sim_ann_ivf). Query
+    // ranking is asymmetric distance (ADC): per query, a 4×8 lookup table
+    // of exact subspace distances; a corpus vector's approximate distance
+    // is the sum of the 4 entries its codes select. THE memory story at
+    // 100 TB: the ranking scan touches 4 code bytes per corpus vector
+    // (not 256 float bytes), the LUT is broadcast, and the join is keyed
+    // on (subspace, code) — no full-vector reads outside re-ranking.
+    "sim_ann_pq" -> ((s, d) => {
+      val M = 4
+      val sub = 16
+      val e = emb(s, d)
+      val subvecs = e.select(col("vec_id"),
+        explode(transform(sequence(lit(0), lit(M - 1)),
+          m => struct(m.as("m"),
+            slice(col("v"), m * sub + 1, lit(sub)).as("v_sub")))).as("mv"))
+        .select(col("vec_id"), col("mv.m").as("m"), col("mv.v_sub").as("v_sub"))
+      val cb = subvecs.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("c_id"), col("m"), col("v_sub").as("c_sub"))
+      val d2 = round(aggregate(
+        zip_with(col("v_sub"), col("c_sub"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x), 6)
+      val dists = subvecs.join(broadcast(cb), Seq("m")).withColumn("d2", d2)
+      val byD = Window.partitionBy("vec_id", "m")
+        .orderBy(col("d2").asc, col("c_id").asc)
+      val codes = dists.withColumn("rk", row_number().over(byD))
+        .filter(col("rk") === 1)
+        .select(col("vec_id").as("n_id"), col("m"), col("c_id"))
+      val qd = dists.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("m"), col("c_id"), col("d2"))
+      // fixed-order subspace sum (m0+m1+m2+m3) so the float addition
+      // order is deterministic and oracle-reproducible
+      val adc = qd.join(codes, Seq("m", "c_id"))
+        .filter(col("q_id") =!= col("n_id"))
+        .groupBy("q_id", "n_id")
+        .agg(sum(when(col("m") === 0, col("d2"))).as("s0"),
+          sum(when(col("m") === 1, col("d2"))).as("s1"),
+          sum(when(col("m") === 2, col("d2"))).as("s2"),
+          sum(when(col("m") === 3, col("d2"))).as("s3"))
+        .select(col("q_id"), col("n_id"),
+          round(col("s0") + col("s1") + col("s2") + col("s3"), 6).as("ad2"))
+      val w = Window.partitionBy("q_id").orderBy(col("ad2").asc, col("n_id").asc)
+      adc.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select("q_id", "n_id", "ad2", "rk")
+    }),
+
     // LSH-bucketed ANN: 8 sign bits of the leading components as the
     // coarse bucket; top-3 within bucket.
     "sim_ann_bucketed" -> ((s, d) => {
@@ -150,6 +199,36 @@ object SimilarityQueries {
         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
         |        ORDER BY sim DESC, n_id ASC) AS rk FROM scored)
         |SELECT q_id, n_id, sim, rk FROM r WHERE rk <= 3""".stripMargin,
+    "sim_ann_pq" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |sub AS (
+        |  SELECT vec_id, m, v[m*16+1 : m*16+16] AS v_sub
+        |  FROM e, unnest(generate_series(0, 3)) AS g(m)),
+        |cb AS (SELECT vec_id AS c_id, m, v_sub AS c_sub
+        |       FROM sub WHERE vec_id < 8),
+        |dists AS (
+        |  SELECT s.vec_id, s.m, c.c_id,
+        |    round(list_sum(list_transform(generate_series(1, 16),
+        |      i -> (s.v_sub[i] - c.c_sub[i]) * (s.v_sub[i] - c.c_sub[i]))), 6)
+        |      AS d2
+        |  FROM sub s JOIN cb c ON s.m = c.m),
+        |codes AS (
+        |  SELECT vec_id AS n_id, m, c_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+        |             ORDER BY d2 ASC, c_id ASC) AS rk FROM dists) t
+        |  WHERE rk = 1),
+        |qd AS (SELECT vec_id AS q_id, m, c_id, d2
+        |       FROM dists WHERE vec_id < 20),
+        |adc AS (
+        |  SELECT q_id, n_id,
+        |    round(sum(d2) FILTER (m = 0) + sum(d2) FILTER (m = 1) +
+        |          sum(d2) FILTER (m = 2) + sum(d2) FILTER (m = 3), 6) AS ad2
+        |  FROM qd JOIN codes USING (m, c_id)
+        |  WHERE q_id <> n_id
+        |  GROUP BY q_id, n_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+        |        ORDER BY ad2 ASC, n_id ASC) AS rk FROM adc)
+        |SELECT q_id, n_id, ad2, rk FROM r WHERE rk <= 3""".stripMargin,
     "sim_ann_bucketed" ->
       """WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v,
