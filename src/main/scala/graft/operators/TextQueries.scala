@@ -149,6 +149,20 @@ object TextQueries {
           avgTokenLen(col("text")).as("avg_tok_len"), col("n_chars"))
     }),
 
+    // Text analysis: BPE-ish token counting — the GPT-2 pre-tokenizer
+    // regex family (contractions | letter runs | digit runs | punct runs
+    // | whitespace; the lookahead-free approximation, since the oracle's
+    // RE2 engine has no lookarounds). Both engines use ordered
+    // alternation, so counts agree exactly.
+    "ta_bpe_tokens" -> ((s, d) => {
+      val pat =
+        "'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+|\\s+"
+      val toks = regexp_extract_all(col("text"), lit(pat), lit(0))
+      Tables.documents(s, d)
+        .select(col("doc_id"), size(toks).as("n_bpe"),
+          size(array_distinct(toks)).as("n_bpe_distinct"))
+    }),
+
     // Text analysis: composite quality score from stopword ratio and
     // length (reference quality gates are length/score thresholds,
     // title_generation.py:73-94).
@@ -400,6 +414,15 @@ object TextQueries {
          |        greatest(len($toksSql), 1), 6) AS avg_tok_len,
          |  n_chars
          |FROM documents""".stripMargin,
+    "ta_bpe_tokens" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text,
+        |    '''s|''t|''re|''ve|''m|''ll|''d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+'))
+        |    AS n_bpe,
+        |  len(list_distinct(regexp_extract_all(text,
+        |    '''s|''t|''re|''ve|''m|''ll|''d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+')))
+        |    AS n_bpe_distinct
+        |FROM documents""".stripMargin,
     "ta_quality_score" ->
       s"""WITH t AS (
          |  SELECT doc_id, len($toksSql) AS n_tokens,
