@@ -28,6 +28,45 @@ object SimilarityQueries {
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
 
+  /** PQ encode + ADC ranking, unfiltered (all candidate ranks) — shared
+    * by sim_ann_pq (top-3) and sim_ann_pq_rerank (top-10 shortlist). */
+  private def pqRanked(s: SparkSession, d: String): DataFrame = {
+    val M = 4
+    val sub = 16
+    val e = emb(s, d)
+    val subvecs = e.select(col("vec_id"),
+      explode(transform(sequence(lit(0), lit(M - 1)),
+        m => struct(m.as("m"),
+          slice(col("v"), m * sub + 1, lit(sub)).as("v_sub")))).as("mv"))
+      .select(col("vec_id"), col("mv.m").as("m"), col("mv.v_sub").as("v_sub"))
+    val cb = subvecs.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("m"), col("v_sub").as("c_sub"))
+    val d2 = round(aggregate(
+      zip_with(col("v_sub"), col("c_sub"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x), 6)
+    val dists = subvecs.join(broadcast(cb), Seq("m")).withColumn("d2", d2)
+    val byD = Window.partitionBy("vec_id", "m")
+      .orderBy(col("d2").asc, col("c_id").asc)
+    val codes = dists.withColumn("rk", row_number().over(byD))
+      .filter(col("rk") === 1)
+      .select(col("vec_id").as("n_id"), col("m"), col("c_id"))
+    val qd = dists.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("m"), col("c_id"), col("d2"))
+    // fixed-order subspace sum (m0+m1+m2+m3) so the float addition
+    // order is deterministic and oracle-reproducible
+    val adc = qd.join(codes, Seq("m", "c_id"))
+      .filter(col("q_id") =!= col("n_id"))
+      .groupBy("q_id", "n_id")
+      .agg(sum(when(col("m") === 0, col("d2"))).as("s0"),
+        sum(when(col("m") === 1, col("d2"))).as("s1"),
+        sum(when(col("m") === 2, col("d2"))).as("s2"),
+        sum(when(col("m") === 3, col("d2"))).as("s3"))
+      .select(col("q_id"), col("n_id"),
+        round(col("s0") + col("s1") + col("s2") + col("s3"), 6).as("ad2"))
+    val w = Window.partitionBy("q_id").orderBy(col("ad2").asc, col("n_id").asc)
+    adc.withColumn("rk", row_number().over(w))
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact brute-force top-k cosine for the first 20 vectors as queries.
     // Scale shape: the ~20-row QUERY side is broadcast and the corpus
@@ -104,43 +143,29 @@ object SimilarityQueries {
     // 100 TB: the ranking scan touches 4 code bytes per corpus vector
     // (not 256 float bytes), the LUT is broadcast, and the join is keyed
     // on (subspace, code) — no full-vector reads outside re-ranking.
-    "sim_ann_pq" -> ((s, d) => {
-      val M = 4
-      val sub = 16
+    "sim_ann_pq" -> ((s, d) =>
+      pqRanked(s, d).filter(col("rk") <= 3)
+        .select("q_id", "n_id", "ad2", "rk")),
+
+    // Two-stage retrieval: PQ ADC shortlist (top-10, cheap approximate
+    // scan) → exact cosine re-rank of the shortlist (top-3). The
+    // production recall pattern: the approximate stage bounds how many
+    // full vectors are ever read (10 per query), so the exact stage's
+    // cost is independent of corpus size.
+    "sim_ann_pq_rerank" -> ((s, d) => {
       val e = emb(s, d)
-      val subvecs = e.select(col("vec_id"),
-        explode(transform(sequence(lit(0), lit(M - 1)),
-          m => struct(m.as("m"),
-            slice(col("v"), m * sub + 1, lit(sub)).as("v_sub")))).as("mv"))
-        .select(col("vec_id"), col("mv.m").as("m"), col("mv.v_sub").as("v_sub"))
-      val cb = subvecs.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("c_id"), col("m"), col("v_sub").as("c_sub"))
-      val d2 = round(aggregate(
-        zip_with(col("v_sub"), col("c_sub"), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x), 6)
-      val dists = subvecs.join(broadcast(cb), Seq("m")).withColumn("d2", d2)
-      val byD = Window.partitionBy("vec_id", "m")
-        .orderBy(col("d2").asc, col("c_id").asc)
-      val codes = dists.withColumn("rk", row_number().over(byD))
-        .filter(col("rk") === 1)
-        .select(col("vec_id").as("n_id"), col("m"), col("c_id"))
-      val qd = dists.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("q_id"), col("m"), col("c_id"), col("d2"))
-      // fixed-order subspace sum (m0+m1+m2+m3) so the float addition
-      // order is deterministic and oracle-reproducible
-      val adc = qd.join(codes, Seq("m", "c_id"))
-        .filter(col("q_id") =!= col("n_id"))
-        .groupBy("q_id", "n_id")
-        .agg(sum(when(col("m") === 0, col("d2"))).as("s0"),
-          sum(when(col("m") === 1, col("d2"))).as("s1"),
-          sum(when(col("m") === 2, col("d2"))).as("s2"),
-          sum(when(col("m") === 3, col("d2"))).as("s3"))
-        .select(col("q_id"), col("n_id"),
-          round(col("s0") + col("s1") + col("s2") + col("s3"), 6).as("ad2"))
-      val w = Window.partitionBy("q_id").orderBy(col("ad2").asc, col("n_id").asc)
-      adc.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 3)
-        .select("q_id", "n_id", "ad2", "rk")
+      val shortlist = pqRanked(s, d)
+        .filter(col("rk") <= 10)
+        .select(col("q_id"), col("n_id"))
+      val byCos = Window.partitionBy("q_id")
+        .orderBy(col("sim").desc, col("n_id").asc)
+      shortlist
+        .join(e.select(col("vec_id").as("q_id"), col("v").as("q_v")), "q_id")
+        .join(e.select(col("vec_id").as("n_id"), col("v").as("n_v")), "n_id")
+        .withColumn("sim", Vectors.cosineRounded(col("q_v"), col("n_v")))
+        .withColumn("rr", row_number().over(byCos))
+        .filter(col("rr") <= 3)
+        .select("q_id", "n_id", "sim", "rr")
     }),
 
     // LSH-bucketed ANN: 8 sign bits of the leading components as the
@@ -229,6 +254,47 @@ object SimilarityQueries {
         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
         |        ORDER BY ad2 ASC, n_id ASC) AS rk FROM adc)
         |SELECT q_id, n_id, ad2, rk FROM r WHERE rk <= 3""".stripMargin,
+    "sim_ann_pq_rerank" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |sub AS (
+        |  SELECT vec_id, m, v[m*16+1 : m*16+16] AS v_sub
+        |  FROM e, unnest(generate_series(0, 3)) AS g(m)),
+        |cb AS (SELECT vec_id AS c_id, m, v_sub AS c_sub
+        |       FROM sub WHERE vec_id < 8),
+        |dists AS (
+        |  SELECT s.vec_id, s.m, c.c_id,
+        |    round(list_sum(list_transform(generate_series(1, 16),
+        |      i -> (s.v_sub[i] - c.c_sub[i]) * (s.v_sub[i] - c.c_sub[i]))), 6)
+        |      AS d2
+        |  FROM sub s JOIN cb c ON s.m = c.m),
+        |codes AS (
+        |  SELECT vec_id AS n_id, m, c_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+        |             ORDER BY d2 ASC, c_id ASC) AS rk FROM dists) t
+        |  WHERE rk = 1),
+        |qd AS (SELECT vec_id AS q_id, m, c_id, d2
+        |       FROM dists WHERE vec_id < 20),
+        |adc AS (
+        |  SELECT q_id, n_id,
+        |    round(sum(d2) FILTER (m = 0) + sum(d2) FILTER (m = 1) +
+        |          sum(d2) FILTER (m = 2) + sum(d2) FILTER (m = 3), 6) AS ad2
+        |  FROM qd JOIN codes USING (m, c_id)
+        |  WHERE q_id <> n_id
+        |  GROUP BY q_id, n_id),
+        |shortlist AS (
+        |  SELECT q_id, n_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id
+        |             ORDER BY ad2 ASC, n_id ASC) AS rk FROM adc) t
+        |  WHERE rk <= 10),
+        |scored AS (
+        |  SELECT s.q_id, s.n_id,
+        |    round(list_cosine_similarity(q.v, n.v), 4) AS sim
+        |  FROM shortlist s
+        |  JOIN e q ON s.q_id = q.vec_id
+        |  JOIN e n ON s.n_id = n.vec_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+        |        ORDER BY sim DESC, n_id ASC) AS rr FROM scored)
+        |SELECT q_id, n_id, sim, rr FROM r WHERE rr <= 3""".stripMargin,
     "sim_ann_bucketed" ->
       """WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v,
