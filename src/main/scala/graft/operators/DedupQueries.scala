@@ -263,6 +263,60 @@ object DedupQueries {
       bandPairJoin(sig, numBands = 43, rowsPerBand = 6, threshold = 0.95)
     }),
 
+    // Connected-components clustering over the near-dup pair graph — the
+    // step AFTER pair generation in a real dedup pipeline: pairs →
+    // clusters → one canonical doc per cluster (min id). Iterative
+    // min-label propagation to a fixed point (the GraphX-free form of
+    // large-star/small-star): each round, every vertex takes the min
+    // label among itself and its neighbors; rounds are keyed joins +
+    // aggregations only, lineage is truncated per round
+    // (localCheckpoint), and convergence is detected by a scalar count —
+    // the only driver-side value. LSH dup clusters are near-cliques, so
+    // the fixed point lands in 2-3 rounds regardless of corpus size.
+    "dd_cluster_cc" -> ((s, d) => {
+      val edges = queries("dd_minhash_lsh")(s, d)
+        .filter(col("est_jac") >= 0.75) // high-confidence cluster edges
+        .select(col("a_id"), col("b_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sym = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .unionByName(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
+      var labels = edges.select(col("a_id").as("id"))
+        .unionByName(edges.select(col("b_id").as("id")))
+        .distinct()
+        .withColumn("comp", col("id"))
+        .localCheckpoint(true)
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 20) {
+        def hop(ls: org.apache.spark.sql.DataFrame) =
+          ls.unionByName(sym
+              .join(ls.withColumnRenamed("id", "src"), "src")
+              .select(col("dst").as("id"), col("comp")))
+            .groupBy("id").agg(min("comp").as("comp"))
+        // two propagation hops per round (labels travel 2 edges before
+        // the checkpoint+convergence actions, halving round count) plus
+        // one pointer jump (comp <- comp(comp)) to compress label chains
+        val hopped = hop(hop(labels))
+        val jumped = hopped.alias("x")
+          .join(hopped.select(col("id").as("comp"),
+            col("comp").as("comp2")).alias("y"), Seq("comp"), "left")
+          .select(col("id"),
+            least(col("comp"), coalesce(col("comp2"), col("comp"))).as("comp"))
+        // one materializing job per round: the convergence flag rides the
+        // checkpointed frame, so the count below only scans cached blocks
+        val next = jumped
+          .join(labels.select(col("id"), col("comp").as("prev")), Seq("id"))
+          .select(col("id"), col("comp"),
+            (col("comp") =!= col("prev")).as("chg"))
+          .localCheckpoint(true)
+        val changed = next.filter(col("chg")).count()
+        labels = next.select(col("id"), col("comp"))
+        converged = changed == 0
+        rounds += 1
+      }
+      labels.select(col("id").as("doc_id"), col("comp").as("canonical_id"))
+    }),
+
     // Native 64-bit SimHash clusters (rows-only; murmur3 not portable).
     "dd_simhash_native" -> ((s, d) => {
       import graft.plans.Native
@@ -304,6 +358,23 @@ object DedupQueries {
       |text, '<[^>]*>', ' ', 'g'), '\.\.\.+', '.', 'g'),
       |'([.]|,|;|:|!|\?)[.,;:!?]+', '.', 'g'), '\s+', ' ', 'g')))""".stripMargin
 
+  /** CTE chain producing the portable 16-perm LSH candidate `pairs`
+    * (shared by the dd_minhash_lsh oracle and the clustering oracle). */
+  private val lshPairsCtes =
+    s"""sig AS (
+       |${MinHashPipeline.signaturesSql("documents", "doc_id", "text")}),
+       |banded AS (
+       |  SELECT doc_id, sig, b AS band_id,
+       |    array_to_string(sig[b*4+1 : b*4+4], '_') AS band_key
+       |  FROM sig, unnest(generate_series(0, 3)) AS u(b)),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, c.doc_id AS b_id,
+       |    round(len(list_filter(generate_series(1, 16),
+       |      i -> a.sig[i] = c.sig[i]))::DOUBLE / 16, 6) AS est_jac
+       |  FROM banded a JOIN banded c
+       |    ON a.band_id = c.band_id AND a.band_key = c.band_key
+       |   AND a.doc_id < c.doc_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dd_exact" ->
       s"""SELECT md5(array_to_string($wsSql, ' ')) AS fingerprint,
@@ -342,20 +413,19 @@ object DedupQueries {
          |            JOIN t tb ON cand.b_id = tb.doc_id)
          |SELECT a_id, b_id, jac FROM j WHERE jac >= 0.9""".stripMargin,
     "dd_minhash_lsh" ->
-      s"""WITH sig AS (
-         |${MinHashPipeline.signaturesSql("documents", "doc_id", "text")}),
-         |banded AS (
-         |  SELECT doc_id, sig, b AS band_id,
-         |    array_to_string(sig[b*4+1 : b*4+4], '_') AS band_key
-         |  FROM sig, unnest(generate_series(0, 3)) AS u(b)),
-         |pairs AS (
-         |  SELECT DISTINCT a.doc_id AS a_id, c.doc_id AS b_id,
-         |    round(len(list_filter(generate_series(1, 16),
-         |      i -> a.sig[i] = c.sig[i]))::DOUBLE / 16, 6) AS est_jac
-         |  FROM banded a JOIN banded c
-         |    ON a.band_id = c.band_id AND a.band_key = c.band_key
-         |   AND a.doc_id < c.doc_id)
+      s"""WITH $lshPairsCtes
          |SELECT a_id, b_id, est_jac FROM pairs WHERE est_jac >= 0.5""".stripMargin,
+    "dd_cluster_cc" ->
+      s"""WITH RECURSIVE $lshPairsCtes,
+         |edges AS (SELECT a_id, b_id FROM pairs WHERE est_jac >= 0.75),
+         |sym AS (SELECT a_id AS src, b_id AS dst FROM edges
+         |        UNION ALL SELECT b_id, a_id FROM edges),
+         |verts AS (SELECT DISTINCT src AS id FROM sym),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM verts
+         |  UNION
+         |  SELECT s.dst, reach.r FROM reach JOIN sym s ON reach.id = s.src)
+         |SELECT id AS doc_id, min(r) AS canonical_id FROM reach GROUP BY id""".stripMargin,
     "dd_simhash" ->
       s"""WITH t AS (SELECT doc_id, $wsSql AS ws FROM documents),
          |h AS (SELECT doc_id,
