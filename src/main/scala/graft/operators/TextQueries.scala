@@ -258,6 +258,27 @@ object TextQueries {
         .select(col("doc_id"),
           md5(array_join(array_sort(array_distinct(tokens(col("text")))), " "))
             .as("fingerprint"))
+    }),
+
+    // Text analysis: true polynomial rolling hash (Rabin–Karp family,
+    // base 131 mod 2^31−1): the whole-document fingerprint plus per-64-
+    // char window hashes — the chunk fingerprints used for shift-robust
+    // content-defined dedup. The same left-to-right fold runs on both
+    // engines, so values match bit-for-bit.
+    "ta_rolling_hash" -> ((s, d) => {
+      val M = 2147483647L
+      def fold(arr: org.apache.spark.sql.Column) =
+        aggregate(arr, lit(0L), (acc, x) => (acc * 131L + x) % M)
+      val nChunks =
+        ((greatest(size(col("cs")), lit(1)) - 1) / 64).cast("int")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          transform(regexp_extract_all(col("text"), lit("[\\s\\S]"), lit(0)),
+            c => ascii(c).cast("long")).as("cs"))
+        .select(col("doc_id"), fold(col("cs")).as("poly_hash"),
+          array_join(transform(sequence(lit(0), nChunks),
+            i => fold(slice(col("cs"), i * 64 + 1, lit(64))).cast("string")),
+            ",").as("chunk_hashes"))
     })
   )
 
@@ -476,6 +497,21 @@ object TextQueries {
     "ta_fingerprint" ->
       s"""SELECT doc_id,
          |  md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fingerprint
-         |FROM documents""".stripMargin
+         |FROM documents""".stripMargin,
+    "ta_rolling_hash" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    list_transform(regexp_extract_all(text, '[\s\S]'),
+        |      x -> ord(x)::BIGINT) AS cs
+        |  FROM documents)
+        |SELECT doc_id,
+        |  list_reduce(list_prepend(0::BIGINT, cs),
+        |    (acc, x) -> (acc * 131 + x) % 2147483647) AS poly_hash,
+        |  array_to_string(list_transform(
+        |    generate_series(0, ((greatest(len(cs), 1) - 1) // 64)::INT),
+        |    i -> list_reduce(list_prepend(0::BIGINT, cs[i*64+1 : i*64+64]),
+        |           (acc, x) -> (acc * 131 + x) % 2147483647)::VARCHAR), ',')
+        |    AS chunk_hashes
+        |FROM c""".stripMargin
   )
 }
