@@ -68,7 +68,7 @@ object JsonWalkImpl {
       catch { case _: Exception => null }
     def walk(prefix: String, n: JsonNode): Unit = {
       if (n.isObject) {
-        val it = n.fields()
+        val it = n.properties().iterator()
         while (it.hasNext) {
           val e = it.next()
           val p = if (prefix.isEmpty) e.getKey else s"$prefix.${e.getKey}"
