@@ -118,6 +118,39 @@ class StreamingSpec extends SparkSpec {
     assert(corpus.count() == 4)
   }
 
+  test("transformWithState fingerprint dedup: first arrival new, " +
+    "re-arrivals duplicate across micro-batches (RocksDB state)") {
+    import graft.streaming.StreamDedup
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(String, Long)]
+      val out = StreamDedup.dedupByFingerprint(input.toDS())
+      val q = out.toDF("uid", "outcome").writeStream
+        .outputMode("update").format("memory").queryName("sdedup").start()
+      input.addData(("fpA", 1L), ("fpB", 2L), ("fpA", 3L)) // batch twin
+      q.processAllAvailable()
+      input.addData(("fpA", 4L), ("fpC", 5L)) // re-arrival + new
+      q.processAllAvailable()
+      q.stop()
+      val res = spark.table("sdedup")
+        .as[(Long, String)].collect().toMap
+      assert(res(1L) == "new" && res(2L) == "new")
+      assert(res(3L) == "duplicate") // within-batch twin of uid 1
+      assert(res(4L) == "duplicate") // cross-batch re-arrival
+      assert(res(5L) == "new")
+    } finally {
+      prev match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("windowed throughput with watermark emits per-window counts") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
