@@ -31,6 +31,8 @@ object Multimodal {
     def features(bytes: Array[Byte], dims: Int): Array[Float]
     /** bytes → sampled "frame" byte slices (video frame-sample stage). */
     def sampleFrames(bytes: Array[Byte], n: Int): Seq[Array[Byte]]
+    /** bytes → re-encoded payload at (w, h) (image resize stage). */
+    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte]
   }
 
   /** Deterministic fake: features are byte histograms folded to `dims`;
@@ -54,6 +56,19 @@ object Multimodal {
       (0 until math.min(n, bytes.length)).map { i =>
         bytes.slice(i * span, math.min(i * span + span, bytes.length))
       }
+    }
+    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      // deterministic stub: nearest-neighbor subsample of the byte stream
+      // to a w×h payload (real codec: decode → scale → re-encode)
+      val n = math.max(w * h, 1)
+      val out = new Array[Byte](n)
+      val len = math.max(bytes.length, 1)
+      var i = 0
+      while (i < n) {
+        out(i) = if (bytes.isEmpty) 0 else bytes((i.toLong * len / n).toInt)
+        i += 1
+      }
+      out
     }
   }
 
@@ -87,6 +102,26 @@ object Multimodal {
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](idx)
         Row.fromSeq(r.toSeq :+ c.features(bytes, dims).toSeq)
+      }
+    }(enc)
+  }
+
+  /** Resize: partition-batched binary → binary transform at fixed target
+    * dims; schema input ⊕ (resized, out_w, out_h). Same per-partition
+    * codec-init shape as [[extractFeatures]]. */
+  def resize(df: DataFrame, w: Int, h: Int,
+      codec: Codec = StubCodec, content: String = "content"): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("resized", BinaryType),
+      StructField("out_w", IntegerType),
+      StructField("out_h", IntegerType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val idx = df.schema.fieldIndex(content)
+    df.mapPartitions { rows =>
+      val c = codec
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        Row.fromSeq(r.toSeq ++ Seq(c.resize(bytes, w, h), w, h))
       }
     }(enc)
   }

@@ -42,6 +42,22 @@ class MultimodalSpec extends SparkSpec {
     assert(feats == again)
   }
 
+  test("resize produces a fixed w×h payload per row, keeps input columns") {
+    val out = Multimodal.resize(media, 4, 2)
+    assert(out.columns.toSeq ==
+      Seq("id", "content", "resized", "out_w", "out_h"))
+    val rows = out.select($"id", $"resized", $"out_w", $"out_h")
+      .collect().map(r => (r.getLong(0),
+        (r.getAs[Array[Byte]](1).length, r.getInt(2), r.getInt(3)))).toMap
+    assert(rows.values.forall(_ == (8, 4, 2))) // every payload is w*h bytes
+    // deterministic: same input → same bytes
+    val again = Multimodal.resize(media, 4, 2)
+      .filter($"id" === 1L).select($"resized").head.getAs[Array[Byte]](0)
+    val first = out.filter($"id" === 1L).select($"resized")
+      .head.getAs[Array[Byte]](0)
+    assert(again.toSeq == first.toSeq)
+  }
+
   test("frame sampling fans one row out to n frames, keeps other columns") {
     val out = Multimodal.sampleFrames(media.filter($"id" === 1L), n = 3)
     val rows = out.select($"id", $"frame_no", $"frame").collect()
