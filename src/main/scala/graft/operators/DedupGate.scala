@@ -30,8 +30,15 @@ object DedupGate {
     *
     * Returns incoming + (outcome, matched_node_id, best_sim).
     */
+  /** @param broadcastIncoming hint the banded batch probe for broadcast
+    *        (default true — an ingest batch is small relative to the
+    *        store, and broadcasting it removes the corpus band-key
+    *        shuffle entirely). Pass false for bulk backfills whose
+    *        banded probe would exceed the broadcast limit; the join
+    *        then falls back to a keyed shuffle. */
   def classify(incoming: DataFrame, corpus: DataFrame,
-      numBands: Int, rowsPerBand: Int): DataFrame = {
+      numBands: Int, rowsPerBand: Int,
+      broadcastIncoming: Boolean = true): DataFrame = {
     import graft.functions.Hashes
 
     def banded(df: DataFrame, idCol: String) =
@@ -52,7 +59,10 @@ object DedupGate {
     // at all. This mirrors the reference's probe direction (one incoming
     // document against the indexed store, check_duplicate.py:90-101).
     val corpusLive = corpus.filter(col("status") =!= "archive")
-    val corpusCand = broadcast(banded(incoming, "uid")).alias("q")
+    val bandedIncoming = banded(incoming, "uid")
+    val probe =
+      if (broadcastIncoming) broadcast(bandedIncoming) else bandedIncoming
+    val corpusCand = probe.alias("q")
       .join(banded(corpusLive, "node_id").alias("c"), Seq("band_id", "band_key"))
       .select(col("q.uid").as("uid"), col("c.node_id").as("match_id"),
         Hashes.minhashJaccard(col("q.sig"), col("c.sig")).as("sim"),
