@@ -277,44 +277,101 @@ object DedupQueries {
       val edges = queries("dd_minhash_lsh")(s, d)
         .filter(col("est_jac") >= 0.75) // high-confidence cluster edges
         .select(col("a_id"), col("b_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // Symmetric edge list, pre-shuffled on the probe key and CACHED in
+      // that layout: every round's hop join reads the cached hash-
+      // partitioned blocks and only exchanges the (vertex-sized) label
+      // side — the edge list, the big side at 100 TB, crosses the wire
+      // exactly once for the whole fixed-point loop.
       val sym = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
         .unionByName(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
-      var labels = edges.select(col("a_id").as("id"))
-        .unionByName(edges.select(col("b_id").as("id")))
+        .repartition(col("src"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+      // Borůvka-style contraction FIRST: collapse every vertex onto the
+      // min of its closed neighborhood (one edge-sized aggregation), then
+      // rebuild the edge list between those representatives. Dense LSH
+      // clusters — the bulk of the near-dup graph — vanish entirely in
+      // this step; only the chain-y residue (a tiny fraction of vertices)
+      // enters the fixed-point loop, so every loop round shuffles a
+      // contracted graph orders of magnitude smaller than the raw one.
+      val labels0 = sym.groupBy("src")
+        .agg(min("dst").as("mn"))
+        .select(col("src").as("id"), least(col("src"), col("mn")).as("comp"))
+        .localCheckpoint(true)
+      // Fresh attribute ids for re-referenced checkpointed frames: a
+      // checkpoint keeps its exprIds, and joining the same relation
+      // twice in one plan trips InferFiltersFromConstraints (observed
+      // NoSuchElementException on the duplicate-side key). Rebinding
+      // through createDataFrame(rdd, schema) is free — the RDD is
+      // already materialized — and gives the optimizer distinct ids.
+      def reid(df: org.apache.spark.sql.DataFrame) =
+        s.createDataFrame(df.rdd, df.schema)
+      val cEdges = sym
+        .join(labels0.select(col("id").as("src"), col("comp").as("csrc")), "src")
+        .join(reid(labels0).select(col("id").as("dst"), col("comp").as("cdst")),
+          "dst")
+        .select(col("csrc").as("src"), col("cdst").as("dst"))
+        .filter(col("src") =!= col("dst"))
         .distinct()
-        .withColumn("comp", col("id"))
+        .localCheckpoint(true)
+
+      var labels = cEdges.groupBy("src")
+        .agg(min("dst").as("mn"))
+        .select(col("src").as("id"), least(col("src"), col("mn")).as("comp"))
         .localCheckpoint(true)
       var converged = false
       var rounds = 0
-      while (!converged && rounds < 20) {
-        def hop(ls: org.apache.spark.sql.DataFrame) =
-          ls.unionByName(sym
-              .join(ls.withColumnRenamed("id", "src"), "src")
-              .select(col("dst").as("id"), col("comp")))
-            .groupBy("id").agg(min("comp").as("comp"))
-        // two propagation hops per round (labels travel 2 edges before
-        // the checkpoint+convergence actions, halving round count) plus
-        // one pointer jump (comp <- comp(comp)) to compress label chains
-        val hopped = hop(hop(labels))
-        val jumped = hopped.alias("x")
-          .join(hopped.select(col("id").as("comp"),
-            col("comp").as("comp2")).alias("y"), Seq("comp"), "left")
-          .select(col("id"),
-            least(col("comp"), coalesce(col("comp2"), col("comp"))).as("comp"))
-        // one materializing job per round: the convergence flag rides the
-        // checkpointed frame, so the count below only scans cached blocks
-        val next = jumped
-          .join(labels.select(col("id"), col("comp").as("prev")), Seq("id"))
-          .select(col("id"), col("comp"),
-            (col("comp") =!= col("prev")).as("chg"))
-          .localCheckpoint(true)
-        val changed = next.filter(col("chg")).count()
-        labels = next.select(col("id"), col("comp"))
-        converged = changed == 0
-        rounds += 1
+      // InferFiltersFromConstraints mis-resolves plans that reference the
+      // same checkpointed relation on both sides of a join-under-union
+      // (NoSuchElementException: key not found on the duplicated side) —
+      // exclude just that rule for the loop's actions and restore after.
+      // The rule is an optimization, never a correctness dependency.
+      val exclKey = "spark.sql.optimizer.excludedRules"
+      val prevExcl = s.conf.getOption(exclKey)
+      s.conf.set(exclKey,
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromConstraints")
+      try {
+        // Convergence via a monotone checksum: every per-vertex comp is
+        // non-increasing under min-propagation, so sum(comp) is unchanged
+        // iff NO vertex changed — one cached-scan aggregate per round in
+        // place of a vertex-sized prev-labels join.
+        var checksum = labels.agg(coalesce(sum("comp"), lit(0L))).head.getLong(0)
+        while (!converged && rounds < 20) {
+          def hop(ls: org.apache.spark.sql.DataFrame) =
+            ls.unionByName(cEdges
+                .join(ls.withColumnRenamed("id", "src"), "src")
+                .select(col("dst").as("id"), col("comp")))
+              .groupBy("id").agg(min("comp").as("comp"))
+          // one hop plus one pointer jump (comp <- comp(comp)) per round,
+          // all over the contracted residue graph
+          def jump(ls: org.apache.spark.sql.DataFrame) =
+            ls.alias("x")
+              .join(ls.select(col("id").as("comp"),
+                col("comp").as("comp2")).alias("y"), Seq("comp"), "left")
+              .select(col("id"),
+                least(col("comp"), coalesce(col("comp2"), col("comp"))).as("comp"))
+          val next = jump(hop(labels)).localCheckpoint(true)
+          val nextSum = next.agg(coalesce(sum("comp"), lit(0L))).head.getLong(0)
+          labels = next
+          converged = nextSum == checksum
+          checksum = nextSum
+          rounds += 1
+        }
+      } finally {
+        prevExcl match {
+          case Some(v) => s.conf.set(exclKey, v)
+          case None    => s.conf.unset(exclKey)
+        }
       }
-      labels.select(col("id").as("doc_id"), col("comp").as("canonical_id"))
+      // Compose: original vertex → its contraction representative → that
+      // representative's final component (identity where the loop never
+      // saw the representative, i.e. fully-contracted clusters). Both
+      // sides are materialized checkpoints with disjoint exprIds.
+      labels0.alias("v")
+        .join(reid(labels).select(col("id").as("comp"), col("comp").as("fin"))
+          .alias("r"), Seq("comp"), "left")
+        .select(col("id").as("doc_id"),
+          coalesce(col("fin"), col("comp")).as("canonical_id"))
     }),
 
     // Native 64-bit SimHash clusters (rows-only; murmur3 not portable).
