@@ -23,7 +23,8 @@ object SparkEntry {
       operators.OrpQueries.queries ++
       operators.EnrichQueries.queries ++
       operators.SourceSinkQueries.queries ++
-      operators.Multimodal.queries
+      operators.Multimodal.queries ++
+      operators.MixQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,5 +36,6 @@ object SparkEntry {
       operators.OrpQueries.oracles ++
       operators.EnrichQueries.oracles ++
       operators.SourceSinkQueries.oracles ++
-      operators.Multimodal.oracles
+      operators.Multimodal.oracles ++
+      operators.MixQueries.oracles
 }

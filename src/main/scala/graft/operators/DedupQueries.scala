@@ -84,6 +84,26 @@ object DedupQueries {
         .filter(col("n_dups") > 1)
     }),
 
+    // Benchmark decontamination — the eval-set n-gram overlap scrub every
+    // pre-training pipeline runs (docs sharing any 8-gram with a held-out
+    // benchmark get flagged/dropped). The benchmark side is SMALL by
+    // nature (an eval set, here docs 0..19 standing in for one), so its
+    // distinct-gram set is BROADCAST: the 100 TB corpus side explodes to
+    // grams and hash-joins in place — per-partition work, no corpus
+    // shuffle until the per-doc count aggregation on doc_id.
+    "dd_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      def grams(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("doc_id"), explode(array_distinct(
+          Texts.wordNgrams(Texts.tokens(col("text")), 8))).as("gram"))
+      val benchGrams = grams(docs.filter(col("doc_id") < 20))
+        .select("gram").distinct()
+      grams(docs.filter(col("doc_id") >= 20))
+        .join(broadcast(benchGrams), Seq("gram"))
+        .groupBy("doc_id")
+        .agg(count("*").as("n_shared"))
+    }),
+
     // n-gram (distinct-word-set) Jaccard near-dup with (lang, size-bucket)
     // blocking: candidate pairs only within a block → keyed equi-join, not
     // a cross join. Threshold 0.9.
@@ -437,6 +457,19 @@ object DedupQueries {
       s"""SELECT md5(array_to_string($wsSql, ' ')) AS fingerprint,
          |  min(doc_id) AS canonical_id, count(*) AS n_dups
          |FROM documents GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+    "dd_decontaminate" ->
+      """WITH t AS (SELECT doc_id,
+        |         list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |       FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |        generate_series(1, greatest(len(tk) - 7, 1)),
+        |        i -> array_to_string(tk[i:i+7], ' ')))) AS gram
+        |      FROM t),
+        |b AS (SELECT DISTINCT gram FROM g WHERE doc_id < 20)
+        |SELECT g.doc_id, count(*) AS n_shared
+        |FROM g JOIN b USING (gram)
+        |WHERE g.doc_id >= 20
+        |GROUP BY 1""".stripMargin,
     "dd_ngram_jaccard" ->
       s"""WITH t AS (SELECT doc_id, lang, $wsSql AS ws FROM documents),
          |b AS (SELECT *, CAST(len(ws) // 8 AS INT) AS bkt FROM t)

@@ -1,0 +1,105 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Texts
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Data-mixing operators for training-corpus assembly — the stage after
+  * dedup/quality in an LLM data pipeline: deterministic sampling for
+  * source re-weighting, hash-based split assignment, and fixed-budget
+  * sequence packing.
+  *
+  * Everything here is driven by content-derived hashes or keyed windows,
+  * never `rand()`: reruns at 100 TB must be reproducible partition by
+  * partition, and a restarted task may not replay rows in the same order
+  * (non-deterministic sampling breaks exactly-once sinks and any
+  * train/eval contamination audit).
+  */
+object MixQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** 2^60 as a double — md5Long's range, for hash → uniform [0,1). */
+  private val HashRange = 1.152921504606846976e18
+
+  val queries: Map[String, Q] = Map(
+    // Stratified down-sampling by language: each stratum keeps a pinned
+    // rate via a salted content hash mapped to uniform [0,1). Narrow —
+    // the filter runs at the scan (no shuffle at all); changing the mix
+    // weights is a literal edit, not a new shuffle topology.
+    "samp_stratified" -> ((s, d) => {
+      val rate = when(col("lang") === "en", 0.1)
+        .when(col("lang") === "zh", 0.5)
+        .when(col("lang") === "es", 0.3)
+        .otherwise(0.2)
+      val u = Texts.md5Long(concat(lit("samp#"), col("doc_id")))
+        .cast("double") / HashRange
+      Tables.documents(s, d)
+        .filter(u < rate)
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
+
+    // Deterministic train/val/test split (80/10/10) by hash bucket —
+    // membership is a pure function of the row, so any executor, any
+    // round, any scale assigns identically (the property that keeps eval
+    // sets uncontaminated across pipeline reruns). Narrow, no shuffle.
+    "samp_hash_split" -> ((s, d) => {
+      val bucket = Texts.md5Long(concat(lit("split#"), col("doc_id"))) % 100
+      Tables.documents(s, d)
+        .select(col("doc_id"), bucket.as("bucket"),
+          when(bucket < 80, "train").when(bucket < 90, "val")
+            .otherwise("test").as("split"))
+    }),
+
+    // Fixed-budget sequence packing: greedy first-fit in (lang, doc_id)
+    // order — bin k holds the docs whose running token offset lands in
+    // [k·512, (k+1)·512). One keyed window per language partition; at
+    // 100 TB the window never concentrates (each language packs
+    // independently, and a finer pack key — e.g. (lang, shard) — drops
+    // in without changing the algebra).
+    "pack_sequences" -> ((s, d) => {
+      val nTok = size(Texts.tokens(col("text")))
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), nTok.as("n_tok"))
+        .withColumn("run", sum("n_tok").over(w))
+        .select(col("doc_id"), col("lang"), col("n_tok"),
+          floor((col("run") - col("n_tok")) / lit(512.0)).as("bin"))
+    })
+  )
+
+  private val toksSql = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+  val oracles: Map[String, String] = Map(
+    "samp_stratified" ->
+      """SELECT doc_id, lang, source
+        |FROM documents
+        |WHERE ('0x' || substr(md5('samp#' || doc_id), 1, 15))::BIGINT
+        |        / 1152921504606846976.0
+        |      < CASE lang WHEN 'en' THEN 0.1 WHEN 'zh' THEN 0.5
+        |                  WHEN 'es' THEN 0.3 ELSE 0.2 END""".stripMargin,
+    "samp_hash_split" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5('split#' || doc_id), 1, 15))::BIGINT % 100
+        |      AS bucket
+        |  FROM documents)
+        |SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM b""".stripMargin,
+    "pack_sequences" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, len($toksSql) AS n_tok FROM documents),
+         |r AS (
+         |  SELECT doc_id, lang, n_tok,
+         |    sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+         |                     ROWS UNBOUNDED PRECEDING) AS run
+         |  FROM t)
+         |SELECT doc_id, lang, n_tok,
+         |  floor((run - n_tok) / 512.0)::BIGINT AS bin
+         |FROM r""".stripMargin
+  )
+}

@@ -260,6 +260,61 @@ object TextQueries {
             .as("fingerprint"))
     }),
 
+    // Text analysis: PII scrub — email / IPv4 / phone redaction, the
+    // standard pre-training scrub pass. The corpus carries no PII, so
+    // deterministic synthetic PII is spliced in from table columns
+    // first (same construction-then-operate pattern as f9/f22); the
+    // regex scrub is the operator under test. Patterns avoid
+    // lookarounds so Java regex and the oracle's RE2 agree. Narrow
+    // per-row op — no shuffle.
+    "ta_pii_scrub" -> ((s, d) => {
+      val injected = concat(col("text"),
+        lit(" contact user"), col("doc_id"),
+        lit("@mail-"), col("source"), lit(".org"),
+        lit(" ip 10."), (col("doc_id") % 256).cast("string"),
+        lit("."), ((col("doc_id") * 37) % 256).cast("string"), lit(".7"),
+        lit(" tel +44 20 "),
+        lpad(((col("doc_id") * 7919) % 10000).cast("string"), 4, "0"))
+      val noEmail = regexp_replace(injected,
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+      val noIp = regexp_replace(noEmail,
+        "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b", "<IP>")
+      val noPhone = regexp_replace(noIp,
+        "\\+[0-9]{1,3}[0-9 -]{6,12}[0-9]", "<PHONE>")
+      Tables.documents(s, d)
+        .select(col("doc_id"), noPhone.as("scrubbed"),
+          size(regexp_extract_all(noPhone,
+            lit("<(EMAIL|PHONE|IP)>"), lit(0))).as("n_redactions"))
+    }),
+
+    // Text analysis: Gopher-style repetition + diversity quality signals
+    // (duplicate-bigram fraction, top-word fraction, Gini–Simpson
+    // vocabulary diversity). Per-word counts are computed with array
+    // HOFs over the sorted distinct vocabulary — the whole query is
+    // NARROW (zero shuffle), so at 100 TB it scales linearly with input
+    // splits; the per-doc cost is O(tokens × vocab), bounded by doc
+    // length. Diversity uses 1 − Σp² rather than entropy: only
+    // divisions and multiplications, so the fold (run in the same
+    // sorted word order on both engines) is bit-identical — a
+    // transcendental ln could diverge in the last ulp between libms.
+    "ta_repetition" -> ((s, d) => {
+      val toks = tokens(col("text"))
+      val big = wordNgrams(toks, 2)
+      val vocab = array_sort(array_distinct(toks))
+      val counts = transform(vocab,
+        w => size(filter(toks, t => t === w)))
+      val nTok = size(toks).cast("double")
+      val gini = lit(1.0) - aggregate(counts, lit(0.0d),
+        (acc, c) => acc + (c / nTok) * (c / nTok))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          round(lit(1.0) - size(array_distinct(big)).cast("double") /
+            greatest(size(big), lit(1)), 6).as("dup_bigram_frac"),
+          round(array_max(counts).cast("double") /
+            greatest(size(toks), lit(1)), 6).as("top_word_frac"),
+          round(gini, 6).as("gini_diversity"))
+    }),
+
     // Text analysis: true polynomial rolling hash (Rabin–Karp family,
     // base 131 mod 2^31−1): the whole-document fingerprint plus per-64-
     // char window hashes — the chunk fingerprints used for shift-robust
@@ -498,6 +553,43 @@ object TextQueries {
       s"""SELECT doc_id,
          |  md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fingerprint
          |FROM documents""".stripMargin,
+    "ta_pii_scrub" ->
+      """WITH inj AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@mail-' || source || '.org'
+        |      || ' ip 10.' || (doc_id % 256) || '.' || ((doc_id * 37) % 256)
+        |      || '.7 tel +44 20 '
+        |      || lpad(((doc_id * 7919) % 10000)::VARCHAR, 4, '0') AS t
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(t,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+        |      '\+[0-9]{1,3}[0-9 -]{6,12}[0-9]', '<PHONE>', 'g') AS scrubbed
+        |  FROM inj)
+        |SELECT doc_id, scrubbed,
+        |  len(regexp_extract_all(scrubbed, '<(EMAIL|PHONE|IP)>')) AS n_redactions
+        |FROM s""".stripMargin,
+    "ta_repetition" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents),
+         |c AS (
+         |  SELECT doc_id, toks,
+         |    list_transform(generate_series(1, greatest(len(toks) - 1, 1)),
+         |      i -> array_to_string(toks[i:i+1], ' ')) AS big,
+         |    list_transform(list_sort(list_distinct(toks)),
+         |      w -> len(list_filter(toks, x -> x = w))) AS counts
+         |  FROM t)
+         |SELECT doc_id,
+         |  round(1.0 - len(list_distinct(big))::DOUBLE / greatest(len(big), 1), 6)
+         |    AS dup_bigram_frac,
+         |  round(list_max(counts)::DOUBLE / greatest(len(toks), 1), 6)
+         |    AS top_word_frac,
+         |  round(1.0 - list_reduce(list_prepend(0.0::DOUBLE, counts),
+         |    (acc, c2) -> acc + (c2 / len(toks)::DOUBLE) * (c2 / len(toks)::DOUBLE)),
+         |    6) AS gini_diversity
+         |FROM c""".stripMargin,
     "ta_rolling_hash" ->
       """WITH c AS (
         |  SELECT doc_id,
