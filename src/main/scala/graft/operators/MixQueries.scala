@@ -52,6 +52,24 @@ object MixQueries {
             .otherwise("test").as("split"))
     }),
 
+    // Corpus datacard: the per-(lang, source) + marginal + grand-total
+    // reporting rollup every released dataset ships with. ROLLUP is one
+    // pass — Spark expands grouping sets inside a single partial/final
+    // aggregation, so the 100 TB corpus is read once, not once per
+    // grouping level. avg stays exact cross-engine because the sums are
+    // integral (overflow-checked longs / hugeint) before one division.
+    "mix_datacard" -> ((s, d) => {
+      val nTok = size(Texts.tokens(col("text")))
+      Tables.documents(s, d)
+        .select(col("lang"), col("source"), nTok.as("n_tok"), col("n_chars"))
+        .rollup("lang", "source")
+        .agg(count("*").as("n_docs"), sum("n_tok").as("tokens"),
+          round(avg("n_chars"), 6).as("avg_chars"))
+        .select(coalesce(col("lang"), lit("ALL")).as("lang"),
+          coalesce(col("source"), lit("ALL")).as("source"),
+          col("n_docs"), col("tokens"), col("avg_chars"))
+    }),
+
     // Fixed-budget sequence packing: greedy first-fit in (lang, doc_id)
     // order — bin k holds the docs whose running token offset lands in
     // [k·512, (k+1)·512). One keyed window per language partition; at
@@ -90,6 +108,15 @@ object MixQueries {
         |  CASE WHEN bucket < 80 THEN 'train'
         |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
         |FROM b""".stripMargin,
+    "mix_datacard" ->
+      s"""WITH t AS (
+         |  SELECT lang, source, len($toksSql) AS n_tok, n_chars
+         |  FROM documents)
+         |SELECT coalesce(lang, 'ALL') AS lang,
+         |  coalesce(source, 'ALL') AS source,
+         |  count(*) AS n_docs, sum(n_tok)::BIGINT AS tokens,
+         |  round(avg(n_chars), 6) AS avg_chars
+         |FROM t GROUP BY ROLLUP(lang, source)""".stripMargin,
     "pack_sequences" ->
       s"""WITH t AS (
          |  SELECT doc_id, lang, len($toksSql) AS n_tok FROM documents),

@@ -315,6 +315,29 @@ object TextQueries {
           round(gini, 6).as("gini_diversity"))
     }),
 
+    // Text analysis: tokenizer-vocabulary induction + per-doc OOV rate —
+    // the two-phase shape of corpus-level artifacts: (1) aggregate the
+    // whole corpus into a small model (top-16 words by document
+    // frequency, count-desc/word-asc tie-break so the cut is
+    // deterministic), (2) broadcast it back over the corpus. At 100 TB
+    // phase 1 is one map-side-combined word count; phase 2 is a
+    // broadcast hash join — the corpus never shuffles on the word key
+    // a second time.
+    "ta_oov_rate" -> ((s, d) => {
+      val words = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      val vocab = words.groupBy("word").agg(count("*").as("c"))
+        .orderBy(col("c").desc, col("word").asc)
+        .limit(16)
+        .select(col("word"), lit(1).as("in_vocab"))
+      words
+        .join(broadcast(vocab), Seq("word"), "left")
+        .groupBy("doc_id")
+        .agg(round(sum(when(col("in_vocab").isNull, 1).otherwise(0))
+          .cast("double") / count("*"), 6).as("oov_rate"),
+          count("*").as("n_words"))
+    }),
+
     // Text analysis: true polynomial rolling hash (Rabin–Karp family,
     // base 131 mod 2^31−1): the whole-document fingerprint plus per-64-
     // char window hashes — the chunk fingerprints used for shift-robust
@@ -590,6 +613,20 @@ object TextQueries {
          |    (acc, c2) -> acc + (c2 / len(toks)::DOUBLE) * (c2 / len(toks)::DOUBLE)),
          |    6) AS gini_diversity
          |FROM c""".stripMargin,
+    "ta_oov_rate" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, unnest($toksSql) AS word FROM documents),
+         |v AS (
+         |  SELECT word, 1 AS in_vocab FROM (
+         |    SELECT word, count(*) AS c FROM w GROUP BY 1
+         |    ORDER BY c DESC, word ASC LIMIT 16)),
+         |j AS (
+         |  SELECT w.doc_id, v.in_vocab FROM w LEFT JOIN v USING (word))
+         |SELECT doc_id,
+         |  round(sum(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END)::DOUBLE
+         |        / count(*), 6) AS oov_rate,
+         |  count(*) AS n_words
+         |FROM j GROUP BY 1""".stripMargin,
     "ta_rolling_hash" ->
       """WITH c AS (
         |  SELECT doc_id,

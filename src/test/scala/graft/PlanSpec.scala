@@ -56,6 +56,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("sampling/split filters are scan-narrow: zero exchanges in the plan") {
+    for (q <- Seq("samp_stratified", "samp_hash_split")) {
+      val p = planOf(MixQueries.queries(q)(spark, sf))
+      assert(!p.contains("Exchange"), s"$q must not shuffle")
+    }
+  }
+
+  test("mix_datacard rollup is one pass: a single scan, partial agg below the exchange") {
+    val df = MixQueries.queries("mix_datacard")(spark, sf)
+    val p = planOf(df)
+    assert(p.contains("Expand"), "rollup should expand grouping sets, not union scans")
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      "the corpus must be scanned exactly once across all grouping levels")
+    assert(p.contains("partial_count") || p.contains("partial_sum"))
+  }
+
+  test("dd_decontaminate and ta_oov_rate broadcast the small corpus artifact") {
+    val pd = planOf(DedupQueries.queries("dd_decontaminate")(spark, sf))
+    assert(pd.contains("BroadcastHashJoin"),
+      "benchmark gram set must broadcast")
+    val po = planOf(TextQueries.queries("ta_oov_rate")(spark, sf))
+    assert(po.contains("BroadcastHashJoin"), "induced vocab must broadcast")
+  }
+
   test("salted LSH self-join produces row-identical pairs to unsalted") {
     import graft.functions.Hashes
     val sig = MinHashPipeline.signatures(
