@@ -52,6 +52,30 @@ object MixQueries {
             .otherwise("test").as("split"))
     }),
 
+    // Temperature-rebalanced sampling (α = 0.5): keep-rate per language
+    // ∝ 1/√share, the standard multilingual mix flattening — rare
+    // languages keep more, dominant ones are down-sampled. Two phases:
+    // a map-side-combined lang census (tiny) broadcast back onto the
+    // corpus, then the same hash-uniform filter as samp_stratified —
+    // still no corpus shuffle. √ is IEEE-exact, so both engines compute
+    // the identical keep-rate (pow(x, α) would not be).
+    "samp_temperature" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val census = docs.groupBy("lang").agg(count("*").as("n_lang"))
+      val total = docs.groupBy().agg(count("*").as("n_total"))
+      val u = Texts.md5Long(concat(lit("temp#"), col("doc_id")))
+        .cast("double") / HashRange
+      docs
+        .join(broadcast(census), Seq("lang"))
+        .crossJoin(broadcast(total))
+        .withColumn("keep_rate",
+          least(lit(1.0), lit(0.2) /
+            sqrt(col("n_lang").cast("double") / col("n_total"))))
+        .filter(u < col("keep_rate"))
+        .select(col("doc_id"), col("lang"), round(col("keep_rate"), 6)
+          .as("keep_rate"))
+    }),
+
     // Corpus datacard: the per-(lang, source) + marginal + grand-total
     // reporting rollup every released dataset ships with. ROLLUP is one
     // pass — Spark expands grouping sets inside a single partial/final
@@ -108,6 +132,16 @@ object MixQueries {
         |  CASE WHEN bucket < 80 THEN 'train'
         |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
         |FROM b""".stripMargin,
+    "samp_temperature" ->
+      """WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1),
+        |t AS (SELECT count(*) AS n_total FROM documents)
+        |SELECT d.doc_id, d.lang,
+        |  round(least(1.0, 0.2 / sqrt(c.n_lang::DOUBLE / t.n_total)), 6)
+        |    AS keep_rate
+        |FROM documents d JOIN c USING (lang) CROSS JOIN t
+        |WHERE ('0x' || substr(md5('temp#' || d.doc_id), 1, 15))::BIGINT
+        |        / 1152921504606846976.0
+        |      < least(1.0, 0.2 / sqrt(c.n_lang::DOUBLE / t.n_total))""".stripMargin,
     "mix_datacard" ->
       s"""WITH t AS (
          |  SELECT lang, source, len($toksSql) AS n_tok, n_chars
