@@ -111,6 +111,51 @@ object SourceSinkQueries {
     // dir as binary files with path/length metadata, classify by
     // extension (P4 format whitelist). Oracle: DuckDB glob() over the
     // same directory.
+    // S4 HTML title/body extraction — the PARSE half of the reference's
+    // html_to_orpml fetch (html_to_orpml.py:20-67; the HTTP GET itself
+    // stays out of engine scope). The reference's three BeautifulSoup
+    // strategies become one data-driven fallback chain: body from
+    // #contentContainer, else <main> paragraphs, else #mainContent
+    // paragraphs; title from the last breadcrumb <li> when an <ol>
+    // exists, else <head><title>. Three HTML shapes are constructed from
+    // table columns (doc_id % 3) so every branch is exercised; regexes
+    // are non-greedy and lookaround-free so Java and RE2 agree. Narrow
+    // per-row op — no shuffle.
+    "s4_html_extract" -> ((s, d) => {
+      val head = graft.functions.Texts.smartShorten(col("text"), 6)
+      val t = concat(lit("Doc "), col("doc_id"), lit(" "), col("lang"))
+      val html = when(col("doc_id") % 3 === 0, concat(
+        lit("<html><head><title>"), t, lit("</title></head><body>"),
+        lit("<div id=\"contentContainer\">"), head,
+        lit("</div></body></html>")))
+        .when(col("doc_id") % 3 === 1, concat(
+          lit("<html><head><title>"), t, lit("</title></head><body>"),
+          lit("<ol><li>Home</li><li>"), upper(t), lit("</li></ol>"),
+          lit("<main><p>"), head, lit("</p><p>"), col("source"),
+          lit("</p></main></body></html>")))
+        .otherwise(concat(
+          lit("<html><head><title>"), t, lit("</title></head><body>"),
+          lit("<div id=\"mainContent\"><p>"), head,
+          lit("</p></div></body></html>")))
+      val lis = regexp_extract_all(html, lit("<li>(.*?)</li>"), lit(1))
+      val title = when(size(lis) > 0, element_at(lis, -1))
+        .otherwise(regexp_extract(html, "<title>(.*?)</title>", 1))
+      val cc = regexp_extract(html,
+        "<div id=\"contentContainer\">(.*?)</div>", 1)
+      val mainPs = regexp_extract_all(
+        regexp_extract(html, "<main>(.*?)</main>", 1),
+        lit("<p>(.*?)</p>"), lit(1))
+      val mcPs = regexp_extract_all(
+        regexp_extract(html, "<div id=\"mainContent\">(.*?)</div>", 1),
+        lit("<p>(.*?)</p>"), lit(1))
+      val body = when(cc =!= "", cc)
+        .when(size(mainPs) > 0, array_join(mainPs, " "))
+        .otherwise(array_join(mcPs, " "))
+      Tables.documents(s, d)
+        .select(col("doc_id"), title.as("title"),
+          regexp_replace(body, "\\s+", " ").as("body"))
+    }),
+
     "s1_binary_listing" -> ((s, d) => {
       s.read.format("binaryFile")
         .option("pathGlobFilter", "*.parquet")
@@ -183,6 +228,46 @@ object SourceSinkQueries {
   private val VerifySfDir = "/root/testdata/sf0.01"
 
   val oracles: Map[String, String] = Map(
+    "s4_html_extract" ->
+      """WITH base AS (
+        |  SELECT doc_id, source, 'Doc ' || doc_id || ' ' || lang AS t,
+        |    array_to_string((string_split(text, ' '))[1:6], ' ') AS head
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN
+        |      '<html><head><title>' || t ||
+        |      '</title></head><body><div id="contentContainer">' || head ||
+        |      '</div></body></html>'
+        |    WHEN doc_id % 3 = 1 THEN
+        |      '<html><head><title>' || t ||
+        |      '</title></head><body><ol><li>Home</li><li>' || upper(t) ||
+        |      '</li></ol><main><p>' || head || '</p><p>' || source ||
+        |      '</p></main></body></html>'
+        |    ELSE
+        |      '<html><head><title>' || t ||
+        |      '</title></head><body><div id="mainContent"><p>' || head ||
+        |      '</p></div></body></html>' END AS html
+        |  FROM base),
+        |e AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(html, '<li>(.*?)</li>', 1) AS lis,
+        |    regexp_extract(html, '<title>(.*?)</title>', 1) AS ttl,
+        |    regexp_extract(html, '<div id="contentContainer">(.*?)</div>', 1)
+        |      AS cc,
+        |    regexp_extract_all(regexp_extract(html, '<main>(.*?)</main>', 1),
+        |      '<p>(.*?)</p>', 1) AS mainps,
+        |    regexp_extract_all(
+        |      regexp_extract(html, '<div id="mainContent">(.*?)</div>', 1),
+        |      '<p>(.*?)</p>', 1) AS mcps
+        |  FROM h)
+        |SELECT doc_id,
+        |  CASE WHEN len(lis) > 0 THEN lis[-1] ELSE ttl END AS title,
+        |  regexp_replace(
+        |    CASE WHEN cc <> '' THEN cc
+        |         WHEN len(mainps) > 0 THEN array_to_string(mainps, ' ')
+        |         ELSE array_to_string(mcps, ' ') END, '\s+', ' ', 'g') AS body
+        |FROM e""".stripMargin,
     "s1_binary_listing" ->
       s"""SELECT parse_filename(file) AS file,
          |       'parquet' AS document_format,
