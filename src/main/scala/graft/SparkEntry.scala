@@ -24,7 +24,8 @@ object SparkEntry {
       operators.EnrichQueries.queries ++
       operators.SourceSinkQueries.queries ++
       operators.Multimodal.queries ++
-      operators.MixQueries.queries
+      operators.MixQueries.queries ++
+      operators.CorpusQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -37,5 +38,6 @@ object SparkEntry {
       operators.EnrichQueries.oracles ++
       operators.SourceSinkQueries.oracles ++
       operators.Multimodal.oracles ++
-      operators.MixQueries.oracles
+      operators.MixQueries.oracles ++
+      operators.CorpusQueries.oracles
 }

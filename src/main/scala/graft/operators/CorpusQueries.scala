@@ -1,0 +1,188 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Texts
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-refinement operators — the passage-level dedup / keyword /
+  * distribution-trim stage of an LLM training-data pipeline, complementing
+  * the document-level dedup family in [[DedupQueries]].
+  *
+  * All three are built around the same 100 TB discipline as the rest of
+  * the engine: corpus-sized frames only ever shuffle on a derived key
+  * (chunk hash, doc_id) or are filtered by a broadcast scalar; every
+  * "global" computation (document count, value census, vocabulary DF)
+  * is reduced to a tiny aggregate FIRST and broadcast back, so no stage
+  * concentrates the corpus in one task.
+  */
+object CorpusQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Tokens-per-chunk for passage-level dedup. */
+  private val ChunkLen = 10
+
+  val queries: Map[String, Q] = Map(
+    // Passage(chunk)-level exact dedup with document reassembly — the
+    // line-dedup stage of web-corpus pipelines, expressed relationally:
+    // split each document into fixed 10-token chunks, keep only the
+    // globally FIRST occurrence of each distinct chunk (ordered by
+    // (doc_id, chunk_idx) — deterministic, rerun-stable), and rebuild
+    // each document from its surviving chunks. Documents made entirely
+    // of boilerplate vanish — exactly what the stage is for.
+    //
+    // Scale shape: the first-occurrence aggregation and the keep-join
+    // both key on a 60-bit chunk hash, so the wide chunk TEXT never
+    // rides the heavy shuffle twice — the agg input is the slim
+    // (hash, doc_id, idx) projection; text re-attaches by the same key.
+    // Reassembly is one groupBy(doc_id) — uniform by construction.
+    "dd_chunk_dedup" -> ((s, d) => {
+      val tk = Texts.tokens(col("text"))
+      val chunks = transform(
+        sequence(lit(0), ((size(col("tk")) - 1) / ChunkLen).cast("int")),
+        i => array_join(slice(col("tk"), i * ChunkLen + 1, lit(ChunkLen)), " "))
+      val occ = Tables.documents(s, d)
+        .select(col("doc_id"), tk.as("tk"))
+        .filter(size(col("tk")) > 0)
+        .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
+        .withColumn("ck", Texts.md5Long(col("chunk")))
+      val first = occ.select("ck", "doc_id", "chunk_idx")
+        .groupBy("ck")
+        .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("f"))
+      occ.join(first, "ck")
+        .filter(col("doc_id") === col("f.doc_id") &&
+          col("chunk_idx") === col("f.chunk_idx"))
+        .groupBy("doc_id")
+        .agg(
+          array_join(
+            transform(
+              array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
+              c => c("chunk")),
+            " ").as("dedup_text"),
+          count(lit(1)).as("n_kept"))
+        .select(col("doc_id"), col("dedup_text"), col("n_kept"))
+    }),
+
+    // TF-IDF top-3 keywords per document against a CORPUS-level document
+    // frequency (M3 in SURVEY §2 is per-doc TF only; this is the global
+    // variant a real pipeline runs). The idf is kept RATIONAL —
+    // tf · N / df, one double division — instead of the textbook
+    // log(N/df): ln diverges in the last ulp across libm
+    // implementations, and a ranking metric must be bit-identical
+    // between engines (see the repetition-metric precedent).
+    //
+    // Scale shape: term explode is narrow; TF is one keyed agg; the DF
+    // table is vocabulary-sized (orders of magnitude below the corpus)
+    // and broadcast; top-k-per-doc is a row_number window that Spark
+    // prunes map-side via WindowGroupLimit.
+    "ta_tfidf" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tf = docs
+        .select(col("doc_id"), explode(Texts.tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val score = round((col("tf") * col("n_docs")).cast("double") / col("df"), 6)
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("term"))
+      tf.join(broadcast(df), "term")
+        .crossJoin(broadcast(n))
+        .withColumn("score", score)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          col("score"), col("rank"))
+    }),
+
+    // Exact 5th/95th-percentile length trim WITHOUT a global sort: the
+    // quality-distribution tail cut every corpus release applies. The
+    // standard exact-quantile plan (global orderBy + row_number) funnels
+    // the corpus through one ordered exchange; instead we census the
+    // VALUE domain (n_chars has bounded cardinality — the census is tiny
+    // at any corpus size), take cumulative counts over the census, derive
+    // the [lo, hi] keep-band with pure integer comparisons (20·cum vs
+    // total — no float quantile interpolation to diverge cross-engine),
+    // and broadcast the two scalars back as a scan-side filter. The
+    // corpus itself never shuffles at all.
+    "ta_quality_trim" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val census = docs.groupBy("n_chars").agg(count(lit(1)).as("cnt"))
+      val cumW = Window.orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val totW = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val bounds = census
+        .withColumn("cum", sum("cnt").over(cumW))
+        .withColumn("total", sum("cnt").over(totW))
+        .agg(
+          min(when(col("cum") * 20 > col("total"), col("n_chars"))).as("lo"),
+          max(when((col("total") - col("cum") + col("cnt")) * 20 > col("total"),
+            col("n_chars"))).as("hi"))
+      docs.crossJoin(broadcast(bounds))
+        .filter(col("n_chars").between(col("lo"), col("hi")))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    })
+  )
+
+  private val toksSql = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+  val oracles: Map[String, String] = Map(
+    "dd_chunk_dedup" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $toksSql AS tk FROM documents),
+         |idx AS (
+         |  SELECT doc_id, tk,
+         |    unnest(generate_series(0, (len(tk) - 1) // $ChunkLen)) AS i
+         |  FROM toks WHERE len(tk) > 0),
+         |occ AS (
+         |  SELECT doc_id, i AS chunk_idx,
+         |    array_to_string(tk[(i * $ChunkLen + 1):(i * $ChunkLen + $ChunkLen)], ' ')
+         |      AS chunk
+         |  FROM idx),
+         |r AS (
+         |  SELECT doc_id, chunk_idx, chunk,
+         |    row_number() OVER (PARTITION BY chunk
+         |                       ORDER BY doc_id, chunk_idx) AS rn
+         |  FROM occ)
+         |SELECT doc_id,
+         |  string_agg(chunk, ' ' ORDER BY chunk_idx) AS dedup_text,
+         |  count(*) AS n_kept
+         |FROM r WHERE rn = 1 GROUP BY doc_id""".stripMargin,
+    "ta_tfidf" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |sc AS (
+         |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         |    round((tf.tf * n.n_docs)::DOUBLE / df.df, 6) AS score
+         |  FROM tf JOIN df USING (term) CROSS JOIN n),
+         |rk AS (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, term) AS rank
+         |  FROM sc)
+         |SELECT doc_id, term, tf, df, score, rank
+         |FROM rk WHERE rank <= 3""".stripMargin,
+    "ta_quality_trim" ->
+      """WITH c AS (
+        |  SELECT n_chars, count(*) AS cnt FROM documents GROUP BY 1),
+        |w AS (
+        |  SELECT n_chars, cnt,
+        |    sum(cnt) OVER (ORDER BY n_chars
+        |                   ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(cnt) OVER () AS total
+        |  FROM c),
+        |b AS (
+        |  SELECT
+        |    min(CASE WHEN cum * 20 > total THEN n_chars END) AS lo,
+        |    max(CASE WHEN (total - cum + cnt) * 20 > total THEN n_chars END)
+        |      AS hi
+        |  FROM w)
+        |SELECT d.doc_id, d.lang, d.n_chars
+        |FROM documents d CROSS JOIN b
+        |WHERE d.n_chars BETWEEN b.lo AND b.hi""".stripMargin
+  )
+}

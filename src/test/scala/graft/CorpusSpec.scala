@@ -1,0 +1,88 @@
+package graft
+
+import graft.operators.CorpusQueries
+import org.apache.spark.sql.functions._
+
+/** Invariants for the corpus-refinement operators beyond the DuckDB
+  * oracle: chunk-dedup exactness on a hand-built fixture, tf-idf rank
+  * structure, quantile-trim tail bounds and minimality.
+  */
+class CorpusSpec extends SparkSpec {
+
+  /** Write a tiny documents.parquet fixture and return its dir. */
+  private def fixture(rows: Seq[(Long, String)]): String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-corpus-fixture").toString
+    import spark.implicits._
+    rows.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("dd_chunk_dedup keeps exactly the first occurrence of each chunk") {
+    // chunk A = tokens a1..a10; B = b1..b10; C = short tail c1 c2
+    val A = (1 to 10).map(i => s"a$i").mkString(" ")
+    val B = (1 to 10).map(i => s"b$i").mkString(" ")
+    val C = "c1 c2"
+    val dir = fixture(Seq(
+      1L -> s"$A $B",  // owns first occurrence of A and B
+      2L -> s"$A $C",  // A is boilerplate here; keeps only C
+      3L -> A))        // fully boilerplate — must vanish
+    val out = CorpusQueries.queries("dd_chunk_dedup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq((1L, s"$A $B", 2L), (2L, C, 1L)))
+  }
+
+  test("dd_chunk_dedup output chunks are globally unique on real data") {
+    val out = CorpusQueries.queries("dd_chunk_dedup")(spark, sf).cache()
+    // every surviving chunk occurs exactly once across the whole output
+    val total = out.agg(sum("n_kept")).collect()(0).getLong(0)
+    val docs = Tables.documents(spark, sf)
+    val distinctChunks = docs
+      .select(explode(transform(
+        sequence(lit(0),
+          ((size(functions.Texts.tokens(col("text"))) - 1) / 10).cast("int")),
+        i => array_join(
+          slice(functions.Texts.tokens(col("text")), i * 10 + 1, lit(10)),
+          " "))).as("chunk"))
+      .filter(col("chunk") =!= "").distinct().count()
+    assert(total == distinctChunks)
+    out.unpersist()
+  }
+
+  test("ta_tfidf emits contiguous ranks 1..k and corpus-consistent df") {
+    val out = CorpusQueries.queries("ta_tfidf")(spark, sf).cache()
+    val badRank = out.groupBy("doc_id")
+      .agg(max("rank").as("hi"), count(lit(1)).as("n"))
+      .filter(col("hi") =!= col("n") || col("hi") > 3)
+    assert(badRank.count() == 0)
+    // df of a term must equal the number of distinct docs containing it
+    val docs = Tables.documents(spark, sf)
+    val trueDf = docs
+      .select(col("doc_id"),
+        explode(functions.Texts.tokens(col("text"))).as("term"))
+      .distinct().groupBy("term").agg(count(lit(1)).as("true_df"))
+    val mismatch = out.join(trueDf, "term")
+      .filter(col("df") =!= col("true_df"))
+    assert(mismatch.count() == 0)
+    out.unpersist()
+  }
+
+  test("ta_quality_trim drops at most 5% per tail, and minimally so") {
+    val docs = Tables.documents(spark, sf).cache()
+    val total = docs.count()
+    val kept = CorpusQueries.queries("ta_quality_trim")(spark, sf).cache()
+    val Array(lo, hi) = kept.agg(min("n_chars"), max("n_chars"))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+    val below = docs.filter(col("n_chars") < lo).count()
+    val above = docs.filter(col("n_chars") > hi).count()
+    assert(below * 20 <= total && above * 20 <= total)
+    // minimality: including the boundary value's own mass crosses 5%
+    val cntLo = docs.filter(col("n_chars") === lo).count()
+    val cntHi = docs.filter(col("n_chars") === hi).count()
+    assert((below + cntLo) * 20 > total)
+    assert((above + cntHi) * 20 > total)
+    kept.unpersist(); docs.unpersist()
+  }
+}
