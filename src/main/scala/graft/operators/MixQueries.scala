@@ -100,6 +100,19 @@ object MixQueries {
     // 100 TB the window never concentrates (each language packs
     // independently, and a finer pack key — e.g. (lang, shard) — drops
     // in without changing the algebra).
+    // Exact-size deterministic uniform sample: the k docs with the
+    // smallest content hash. Rate-based sampling (samp_stratified) can't
+    // promise a row COUNT; hash-order top-k can, stays reproducible
+    // (no rand()), and compiles to TakeOrderedAndProject — per-partition
+    // heaps of k, no global sort, no full shuffle at any corpus size.
+    "samp_fixed_k" -> ((s, d) => {
+      val u = Texts.md5Long(concat(lit("fixk#"), col("doc_id")))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), u.as("h"))
+        .orderBy(col("h"), col("doc_id"))
+        .limit(100)
+    }),
+
     "pack_sequences" -> ((s, d) => {
       val nTok = size(Texts.tokens(col("text")))
       val w = Window.partitionBy("lang").orderBy("doc_id")
@@ -151,6 +164,10 @@ object MixQueries {
          |  count(*) AS n_docs, sum(n_tok)::BIGINT AS tokens,
          |  round(avg(n_chars), 6) AS avg_chars
          |FROM t GROUP BY ROLLUP(lang, source)""".stripMargin,
+    "samp_fixed_k" ->
+      """SELECT doc_id, lang,
+        |  ('0x' || substr(md5('fixk#' || doc_id), 1, 15))::BIGINT AS h
+        |FROM documents ORDER BY h, doc_id LIMIT 100""".stripMargin,
     "pack_sequences" ->
       s"""WITH t AS (
          |  SELECT doc_id, lang, len($toksSql) AS n_tok FROM documents),

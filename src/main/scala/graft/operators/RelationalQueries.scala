@@ -135,6 +135,37 @@ object RelationalQueries {
           count("*").as("n_items"))
     }),
 
+    // J9 as-of join — attach to every click its user's most recent view
+    // at-or-before the click. Spark has no native ASOF operator; the
+    // naive range join (ts BETWEEN) explodes quadratically per user.
+    // This is the scalable formulation: tag and UNION both sides, then
+    // one keyed window per user carrying the last-seen view forward —
+    // a single shuffle on user_id, linear in events, the same plan at
+    // any scale. Inclusive tie rule (view at the same ts wins) is pinned
+    // by ordering the view side before the click side. The oracle runs
+    // DuckDB's native ASOF LEFT JOIN — an independent algorithm for the
+    // same declared semantics.
+    "j9_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          lit(1).as("side"), lit(null).cast("timestamp").as("v_ts"),
+          lit(null).cast("double").as("v_value"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(lit(null).cast("long").as("event_id"), col("user_id"),
+          col("ts"), lit(0).as("side"), col("ts").as("v_ts"),
+          col("value").as("v_value"))
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.unionByName(views)
+        .withColumn("asof_ts", last(col("v_ts"), ignoreNulls = true).over(w))
+        .withColumn("asof_value",
+          last(col("v_value"), ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("asof_ts"), col("asof_value"))
+    }),
+
     // A1 group-collect attribute pivot (helpers.py:50-59): one row per
     // entity with a sorted set-valued cell. Rendered to a ','-joined
     // string at the output boundary (the driver's pandas compare can't
@@ -354,6 +385,12 @@ object RelationalQueries {
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
+    "j9_asof_join" ->
+      """SELECT c.event_id, c.user_id, c.ts,
+        |       v.ts AS asof_ts, v.value AS asof_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON c.user_id = v.user_id AND c.ts >= v.ts""".stripMargin,
     "a1_collect_attrs" ->
       """SELECT user_id,
         |       array_to_string(list_sort(list(DISTINCT event_type)), ',')

@@ -184,6 +184,29 @@ object SimilarityQueries {
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
         .select("bucket", "q_id", "n_id", "sim", "rk")
+    }),
+
+    // All-pairs k-NN graph (k=3) over the WHOLE corpus — the SemDeDup /
+    // embedding-clustering precursor, i.e. sim_ann_bucketed with every
+    // vector as a query. The sign-bucket blocks the self-join so the
+    // candidate set per vector is corpus/2^8 in expectation regardless
+    // of labels; the per-vector top-k is a keyed window that Spark
+    // prunes map-side (WindowGroupLimit). At 100 TB the same two-stage
+    // key (bucket join, vec_id window) holds — widen the bucket to more
+    // sign bits to keep per-block fan-out constant as the corpus grows.
+    "sim_knn_graph" -> ((s, d) => {
+      val e = emb(s, d).withColumn("bucket", Vectors.signBucket(col("v"), 8))
+      val a = e.select(col("vec_id"), col("v").as("a_v"), col("bucket"))
+      val b = e.select(col("vec_id").as("nbr_id"), col("v").as("b_v"),
+        col("bucket"))
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("sim").desc, col("nbr_id").asc)
+      a.join(b, Seq("bucket"))
+        .filter(col("vec_id") =!= col("nbr_id"))
+        .withColumn("sim", Vectors.cosineRounded(col("a_v"), col("b_v")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select("vec_id", "nbr_id", "sim", "rk")
     })
   )
 
@@ -308,6 +331,19 @@ object SimilarityQueries {
         |  WHERE q.vec_id < 50),
         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
         |        ORDER BY sim DESC, n_id ASC) AS rk FROM s)
-        |SELECT bucket, q_id, n_id, sim, rk FROM r WHERE rk <= 3""".stripMargin
+        |SELECT bucket, q_id, n_id, sim, rk FROM r WHERE rk <= 3""".stripMargin,
+    "sim_knn_graph" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    list_sum(list_transform(generate_series(0, 7), i ->
+        |      CASE WHEN v[i+1] > 0 THEN (1::BIGINT << i) ELSE 0 END))::BIGINT AS bucket
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT a.vec_id, b.vec_id AS nbr_id,
+        |    round(list_cosine_similarity(a.v, b.v), 4) AS sim
+        |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY sim DESC, nbr_id ASC) AS rk FROM s)
+        |SELECT vec_id, nbr_id, sim, rk FROM r WHERE rk <= 3""".stripMargin
   )
 }

@@ -202,4 +202,26 @@ class PlanSpec extends SparkSpec {
     // the lang filter must be pushed to the scan, not evaluated post-window
     assert(p.contains("PushedFilters") && p.contains("EqualTo(lang,en)"))
   }
+
+  test("j9_asof_join: no join operator at all — union + one keyed window, " +
+    "never a per-user range join") {
+    val p = planOf(RelationalQueries.queries("j9_asof_join")(spark, sf))
+    assert(!p.contains("Join"), "as-of must be the union+window form")
+    assert(p.contains("Window"))
+    assert(p.contains("hashpartitioning(user_id"))
+  }
+
+  test("sim_knn_graph: bucket self-join is a keyed equi-join with " +
+    "map-side rank pruning") {
+    val p = planOf(SimilarityQueries.queries("sim_knn_graph")(spark, sf))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("WindowGroupLimit"))
+  }
+
+  test("samp_fixed_k compiles to TakeOrderedAndProject (no global sort)") {
+    val p = planOf(MixQueries.queries("samp_fixed_k")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Exchange rangepartitioning"))
+  }
 }
