@@ -95,6 +95,39 @@ object CorpusQueries {
           col("score"), col("rank"))
     }),
 
+    // KMV (k-minimum-values) distinct sketch, k = 64 — approximate
+    // distinct 3-gram count per language, with the exact count alongside
+    // to exhibit the error. Unlike HLL, KMV on a FIXED hash is fully
+    // deterministic, so the estimate is oracle-checkable bit-for-bit:
+    // est = (k-1) · 2^60 / h_k, pure multiply/divide (no ln — the
+    // cross-engine float rule). This is the mergeable-sketch shape for
+    // 100 TB cardinality work: per-partition top-k heaps (WindowGroupLimit
+    // prunes map-side) merge associatively; only 64 longs per group ever
+    // reach the final reduce, however large the corpus.
+    "sk_kmv_distinct" -> ((s, d) => {
+      val k = 64
+      val tk = Texts.tokens(col("text"))
+      val grams = Tables.documents(s, d)
+        .filter(size(tk) >= 3)
+        .select(col("lang"), tk.as("tk"))
+        .select(col("lang"), explode(Texts.wordNgrams(col("tk"), 3)).as("g3"))
+        .distinct()
+        .select(col("lang"), Texts.md5Long(col("g3")).as("h"))
+      val w = Window.partitionBy("lang").orderBy("h")
+      val sketch = grams
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .groupBy("lang")
+        .agg(max(col("h")).as("hk"), count(lit(1)).as("n_kept"))
+      val exact = grams.groupBy("lang").agg(count(lit(1)).as("exact_distinct"))
+      sketch.join(exact, "lang")
+        .select(col("lang"), col("n_kept"), col("exact_distinct"),
+          when(col("n_kept") < k, col("n_kept").cast("double"))
+            .otherwise(round(
+              lit((k - 1).toDouble * 1.152921504606846976e18) / col("hk"), 2))
+            .as("est_distinct"))
+    }),
+
     // Exact 5th/95th-percentile length trim WITHOUT a global sort: the
     // quality-distribution tail cut every corpus release applies. The
     // standard exact-quantile plan (global orderBy + row_number) funnels
@@ -166,6 +199,29 @@ object CorpusQueries {
          |  FROM sc)
          |SELECT doc_id, term, tf, df, score, rank
          |FROM rk WHERE rank <= 3""".stripMargin,
+    "sk_kmv_distinct" ->
+      s"""WITH t AS (
+         |  SELECT lang, $toksSql AS tk FROM documents),
+         |g AS (
+         |  SELECT DISTINCT lang, array_to_string(tk[i : i + 2], ' ') AS g3
+         |  FROM t, unnest(generate_series(1, len(tk) - 2)) AS u(i)
+         |  WHERE len(tk) >= 3),
+         |h AS (
+         |  SELECT lang, ('0x' || substr(md5(g3), 1, 15))::BIGINT AS h
+         |  FROM g),
+         |r AS (
+         |  SELECT lang, h,
+         |    row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+         |  FROM h),
+         |sk AS (
+         |  SELECT lang, max(h) AS hk, count(*) AS n_kept
+         |  FROM r WHERE rn <= 64 GROUP BY lang),
+         |ex AS (SELECT lang, count(*) AS exact_distinct FROM h GROUP BY lang)
+         |SELECT sk.lang, sk.n_kept, ex.exact_distinct,
+         |  CASE WHEN sk.n_kept < 64 THEN sk.n_kept::DOUBLE
+         |       ELSE round(63.0 * 1152921504606846976.0 / sk.hk, 2) END
+         |    AS est_distinct
+         |FROM sk JOIN ex USING (lang)""".stripMargin,
     "ta_quality_trim" ->
       """WITH c AS (
         |  SELECT n_chars, count(*) AS cnt FROM documents GROUP BY 1),

@@ -166,6 +166,33 @@ object RelationalQueries {
           col("asof_ts"), col("asof_value"))
     }),
 
+    // J10 range (interval) join — clicks falling in each error's
+    // 10-minute window, NO equi-key. A naive theta-join is a cartesian
+    // product; the scalable form bucketizes time: a window of width W
+    // spans ≤2 W-aligned buckets, so exploding each interval to its ≤2
+    // buckets and equi-joining on the bucket key bounds the candidate
+    // set to the points in the window's two buckets, then the exact
+    // range predicate filters. One keyed shuffle, output-proportional
+    // work — the plan holds at any event rate (narrower W or a
+    // (bucket, salt) key if one window gets hot). Bucket ids come from
+    // integer `div` on epoch micros — no float boundary to disagree on.
+    "j10_range_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("ts").as("c_ts"),
+          expr("unix_micros(ts) div 600000000").as("bucket"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("e_id"), col("ts").as("e_ts"),
+          expr("unix_micros(ts) div 600000000").as("b0"))
+        .select(col("e_id"), col("e_ts"),
+          explode(array(col("b0"), col("b0") + 1)).as("bucket"))
+      errors.join(clicks, Seq("bucket"))
+        .filter(col("c_ts") >= col("e_ts") &&
+          col("c_ts") < col("e_ts") + expr("INTERVAL 10 MINUTES"))
+        .groupBy(col("e_id").as("event_id"))
+        .agg(count(lit(1)).as("n_clicks"))
+    }),
+
     // A1 group-collect attribute pivot (helpers.py:50-59): one row per
     // entity with a sorted set-valued cell. Rendered to a ','-joined
     // string at the output boundary (the driver's pandas compare can't
@@ -391,6 +418,12 @@ object RelationalQueries {
         |FROM (SELECT * FROM events WHERE event_type = 'click') c
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
         |  ON c.user_id = v.user_id AND c.ts >= v.ts""".stripMargin,
+    "j10_range_join" ->
+      """SELECT e.event_id, count(*) AS n_clicks
+        |FROM events e JOIN events c
+        |  ON e.event_type = 'error' AND c.event_type = 'click'
+        | AND c.ts >= e.ts AND c.ts < e.ts + INTERVAL 10 MINUTE
+        |GROUP BY e.event_id""".stripMargin,
     "a1_collect_attrs" ->
       """SELECT user_id,
         |       array_to_string(list_sort(list(DISTINCT event_type)), ',')

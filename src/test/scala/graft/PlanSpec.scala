@@ -219,6 +219,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"))
   }
 
+  test("j10_range_join: bucketized interval join is a keyed equi-join, " +
+    "never a cartesian theta-join") {
+    val p = planOf(RelationalQueries.queries("j10_range_join")(spark, sf))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("sk_kmv_distinct: per-group minimum-hash top-k prunes map-side") {
+    val p = planOf(CorpusQueries.queries("sk_kmv_distinct")(spark, sf))
+    assert(p.contains("WindowGroupLimit"))
+  }
+
   test("samp_fixed_k compiles to TakeOrderedAndProject (no global sort)") {
     val p = planOf(MixQueries.queries("samp_fixed_k")(spark, sf))
     assert(p.contains("TakeOrderedAndProject"))
