@@ -47,7 +47,12 @@ object Vectors {
     * planes are axis-aligned, which is deterministic and portable).
     * Vectors sharing a bucket are ANN candidates. */
   def signBucket(a: Column, nBits: Int): Column =
-    aggregate(sequence(lit(0), lit(nBits - 1)), lit(0L), (acc, i) =>
-      acc + when(element_at(a, i + 1) > 0,
-        call_function("shiftleft", lit(1L), i)).otherwise(lit(0L)))
+    // unrolled (nBits is compile-time): a plain when-sum instead of an
+    // `aggregate` HOF — Spark 4.1's predicate pushdown fails to rewrite
+    // lambda-captured attributes when an inferred isnotnull(bucket) is
+    // pushed through the defining projection (binds the stale attribute
+    // at execution), and the flat form also stays in whole-stage codegen
+    (0 until nBits).map { i =>
+      when(element_at(a, i + 1) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
 }

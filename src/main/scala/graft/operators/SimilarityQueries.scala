@@ -207,6 +207,29 @@ object SimilarityQueries {
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
         .select("vec_id", "nbr_id", "sim", "rk")
+    }),
+
+    // SemDeDup-style drop list: greedy keep-lowest-id within embedding
+    // near-dup pairs — a vector is dropped iff some LOWER-id bucket-mate
+    // sits within the similarity gate, and the drop is attributed to the
+    // smallest such keeper (deterministic, order-free). Emitting the
+    // DROP list (small) rather than the survivor set (corpus-sized) is
+    // the warehouse pattern: downstream anti-joins it. Same sign-bucket
+    // equi-join as the knn graph; the gate (0.4 here — the synthetic
+    // embeddings are near-orthogonal) is a parameter, not structure.
+    "dd_semdedup" -> ((s, d) => {
+      val e = emb(s, d)
+      val victim = e.select(col("vec_id"), col("v").as("a_v"),
+        Vectors.signBucket(col("v"), 8).as("bucket"))
+      val keeper = e.select(col("vec_id").as("kept_id"), col("v").as("b_v"),
+        Vectors.signBucket(col("v"), 8).as("bucket"))
+      victim.join(keeper, Seq("bucket"))
+        .filter(col("kept_id") < col("vec_id"))
+        .withColumn("sim", Vectors.cosineRounded(col("a_v"), col("b_v")))
+        .filter(col("sim") >= 0.4)
+        .groupBy("vec_id")
+        .agg(min(col("kept_id")).as("kept_id"),
+          min_by(col("sim"), col("kept_id")).as("sim"))
     })
   )
 
@@ -344,6 +367,20 @@ object SimilarityQueries {
         |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
         |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
         |        ORDER BY sim DESC, nbr_id ASC) AS rk FROM s)
-        |SELECT vec_id, nbr_id, sim, rk FROM r WHERE rk <= 3""".stripMargin
+        |SELECT vec_id, nbr_id, sim, rk FROM r WHERE rk <= 3""".stripMargin,
+    "dd_semdedup" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    list_sum(list_transform(generate_series(0, 7), i ->
+        |      CASE WHEN v[i+1] > 0 THEN (1::BIGINT << i) ELSE 0 END))::BIGINT AS bucket
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id, b.vec_id AS kept_id,
+        |    round(list_cosine_similarity(a.v, b.v), 4) AS sim
+        |  FROM e a JOIN e b ON a.bucket = b.bucket AND b.vec_id < a.vec_id
+        |  WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.4),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY kept_id, sim) AS rn FROM p)
+        |SELECT vec_id, kept_id, sim FROM r WHERE rn = 1""".stripMargin
   )
 }

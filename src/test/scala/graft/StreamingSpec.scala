@@ -173,4 +173,37 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains(("2024-01-01 10:00:00", "signup", 2L, 4.0)))
     assert(rows.contains(("2024-01-01 11:00:00", "error", 1L, 5.0)))
   }
+
+  test("stream-stream interval join: clicks pair with same-user views " +
+    "within 10 minutes, watermarks bound the join state") {
+    // the streaming counterpart of j10_range_join: per-key symmetric hash
+    // join whose buffered state is evicted by the watermark + time bound,
+    // so state size is O(rate × window), not O(stream history)
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val views = MemoryStream[(Long, Long, Timestamp)]
+    val c = clicks.toDF().toDF("c_id", "c_user", "c_ts")
+      .withWatermark("c_ts", "20 minutes")
+    val v = views.toDF().toDF("v_id", "v_user", "v_ts")
+      .withWatermark("v_ts", "20 minutes")
+    val joined = c.join(v, expr(
+      "c_user = v_user AND v_ts >= c_ts AND v_ts < c_ts + INTERVAL 10 MINUTES"))
+
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj").start()
+    clicks.addData(
+      (1L, 1L, ts("2024-01-01 10:00:00")),
+      (2L, 1L, ts("2024-01-01 10:30:00")),
+      (3L, 2L, ts("2024-01-01 10:00:00")))
+    views.addData(
+      (10L, 1L, ts("2024-01-01 10:05:00")),  // matches click 1 only
+      (11L, 1L, ts("2024-01-01 10:31:00")),  // matches click 2 only
+      (12L, 2L, ts("2024-01-01 10:20:00")))  // outside click 3's window
+    q.processAllAvailable()
+    q.stop()
+
+    val pairs = spark.table("ssj").select($"c_id", $"v_id")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 10L), (2L, 11L)))
+  }
 }
