@@ -365,6 +365,19 @@ object RelationalQueries {
         .select(explode(split(col("text"), " ")).as("word"))
         .filter(col("word") =!= "")
         .groupBy("word").agg(count("*").as("n"))
+    }),
+
+    // T5 pivot: long → wide reshaping (docs per source × language). The
+    // value set is DECLARED, not discovered — the two-pass discover-
+    // values form collects distinct pivot keys to the driver, which at
+    // 100 TB is an extra full scan plus a driver-side width explosion.
+    // With pinned values it is a single map-side conditional aggregation,
+    // no second pass.
+    "t5_pivot" -> ((s, d) => {
+      Tables.documents(s, d)
+        .groupBy("source")
+        .pivot("lang", Seq("en", "de", "es", "fr", "zh"))
+        .agg(count(lit(1)))
     })
   )
 
@@ -471,6 +484,14 @@ object RelationalQueries {
         |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
         |WHERE word <> ''
         |GROUP BY word""".stripMargin,
+    "t5_pivot" ->
+      """SELECT source,
+        |  sum(CASE WHEN lang = 'en' THEN 1 END) AS en,
+        |  sum(CASE WHEN lang = 'de' THEN 1 END) AS de,
+        |  sum(CASE WHEN lang = 'es' THEN 1 END) AS es,
+        |  sum(CASE WHEN lang = 'fr' THEN 1 END) AS fr,
+        |  sum(CASE WHEN lang = 'zh' THEN 1 END) AS zh
+        |FROM documents GROUP BY source""".stripMargin,
     "skew_salted_wordcount" ->
       """SELECT word AS key, count(*)::BIGINT AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t

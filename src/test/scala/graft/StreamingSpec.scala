@@ -206,4 +206,34 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 10L), (2L, 11L)))
   }
+
+  test("native session_window groups events by activity gap per user") {
+    // Spark's built-in session windows (dynamic, gap-merged) — the
+    // declarative alternative to the flatMapGroupsWithState sessionizer,
+    // state bounded by the watermark
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Timestamp)]
+    val agg = input.toDF().toDF("event_id", "user_id", "ts")
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window($"ts", "10 minutes").as("sw"), $"user_id")
+      .agg(count(lit(1)).as("n"))
+
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("sess").start()
+    input.addData(
+      (1L, 1L, ts("2024-01-01 10:00:00")),
+      (2L, 1L, ts("2024-01-01 10:05:00")),  // gap 5m < 10m: same session
+      (3L, 1L, ts("2024-01-01 10:30:00")),  // gap 25m: new session
+      (4L, 2L, ts("2024-01-01 10:00:00")))
+    q.processAllAvailable()
+    q.stop()
+
+    val sessions = spark.table("sess")
+      .select($"user_id", $"sw.start".cast("string"), $"n")
+      .as[(Long, String, Long)].collect().toSet
+    assert(sessions == Set(
+      (1L, "2024-01-01 10:00:00", 2L),
+      (1L, "2024-01-01 10:30:00", 1L),
+      (2L, "2024-01-01 10:00:00", 1L)))
+  }
 }
