@@ -23,6 +23,21 @@ object CorpusQueries {
   /** Tokens-per-chunk for passage-level dedup. */
   private val ChunkLen = 10
 
+  /** Explode `(doc_id, lang, text)` rows into 10-token chunk occurrences
+    * `(doc_id, lang, chunk_idx, chunk, ck)` with a 60-bit chunk hash —
+    * shared by dd_chunk_dedup and the refinery pipeline. */
+  private def chunkOccurrences(df: DataFrame): DataFrame = {
+    val tk = Texts.tokens(col("text"))
+    val chunks = transform(
+      sequence(lit(0), ((size(col("tk")) - 1) / ChunkLen).cast("int")),
+      i => array_join(slice(col("tk"), i * ChunkLen + 1, lit(ChunkLen)), " "))
+    df.select(col("doc_id"), col("lang"), tk.as("tk"))
+      .filter(size(col("tk")) > 0)
+      .select(col("doc_id"), col("lang"),
+        posexplode(chunks).as(Seq("chunk_idx", "chunk")))
+      .withColumn("ck", Texts.md5Long(col("chunk")))
+  }
+
   val queries: Map[String, Q] = Map(
     // Passage(chunk)-level exact dedup with document reassembly — the
     // line-dedup stage of web-corpus pipelines, expressed relationally:
@@ -38,15 +53,7 @@ object CorpusQueries {
     // (hash, doc_id, idx) projection; text re-attaches by the same key.
     // Reassembly is one groupBy(doc_id) — uniform by construction.
     "dd_chunk_dedup" -> ((s, d) => {
-      val tk = Texts.tokens(col("text"))
-      val chunks = transform(
-        sequence(lit(0), ((size(col("tk")) - 1) / ChunkLen).cast("int")),
-        i => array_join(slice(col("tk"), i * ChunkLen + 1, lit(ChunkLen)), " "))
-      val occ = Tables.documents(s, d)
-        .select(col("doc_id"), tk.as("tk"))
-        .filter(size(col("tk")) > 0)
-        .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
-        .withColumn("ck", Texts.md5Long(col("chunk")))
+      val occ = chunkOccurrences(Tables.documents(s, d))
       val first = occ.select("ck", "doc_id", "chunk_idx")
         .groupBy("ck")
         .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("f"))
@@ -93,6 +100,67 @@ object CorpusQueries {
         .filter(col("rank") <= 3)
         .select(col("doc_id"), col("term"), col("tf"), col("df"),
           col("score"), col("rank"))
+    }),
+
+    // The flagship composition: the four corpus-release stages chained
+    // as ONE declarative plan — (1) length-band trim (census bounds,
+    // broadcast scalars), (2) benchmark decontamination (broadcast
+    // 8-gram set, anti-join), (3) passage-level dedup with reassembly
+    // census, (4) deterministic split assignment. A user of the engine
+    // runs exactly this before a training run. Because every stage is
+    // relational, the composition adds no corpus-sized exchange of its
+    // own: trim and split are row-local filters on broadcast scalars,
+    // decontamination is a broadcast anti-join, and the only heavy
+    // shuffles remain chunk-dedup's two keyed ones. (Each stage re-reads
+    // the pruned scan here; a deployment persists the trimmed frame.)
+    // Per-stage semantics are pinned individually by ta_quality_trim /
+    // dd_decontaminate / dd_chunk_dedup / samp_hash_split; this entry
+    // pins the composition itself.
+    "pipe_corpus_refinery" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      // stage 1: census-derived [lo, hi] keep band (see ta_quality_trim)
+      val census = docs.groupBy("n_chars").agg(count(lit(1)).as("cnt"))
+      val cumW = Window.orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val totW = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val bounds = census
+        .withColumn("cum", sum("cnt").over(cumW))
+        .withColumn("total", sum("cnt").over(totW))
+        .agg(
+          min(when(col("cum") * 20 > col("total"), col("n_chars"))).as("lo"),
+          max(when((col("total") - col("cum") + col("cnt")) * 20 > col("total"),
+            col("n_chars"))).as("hi"))
+      val trimmed = docs.crossJoin(broadcast(bounds))
+        .filter(col("n_chars").between(col("lo"), col("hi")))
+        .select(col("doc_id"), col("lang"), col("text"))
+      // stage 2: benchmark decontamination (see dd_decontaminate — the
+      // bench slice comes from the FULL corpus, not the trimmed one)
+      def grams(df: DataFrame) = df.select(col("doc_id"),
+        explode(array_distinct(
+          Texts.wordNgrams(Texts.tokens(col("text")), 8))).as("gram"))
+      val benchGrams = grams(docs.filter(col("doc_id") < 20))
+        .select("gram").distinct()
+      val flagged = grams(trimmed.filter(col("doc_id") >= 20))
+        .join(broadcast(benchGrams), Seq("gram"))
+        .select("doc_id").distinct()
+      val clean = trimmed.filter(col("doc_id") >= 20)
+        .join(flagged, Seq("doc_id"), "left_anti")
+      // stage 3: chunk-level dedup census over the survivors
+      val occ = chunkOccurrences(clean)
+      val first = occ.select("ck", "doc_id", "chunk_idx")
+        .groupBy("ck")
+        .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("f"))
+      val kept = occ.join(first, "ck")
+        .filter(col("doc_id") === col("f.doc_id") &&
+          col("chunk_idx") === col("f.chunk_idx"))
+        .groupBy("doc_id")
+        .agg(max(col("lang")).as("lang"), count(lit(1)).as("n_kept"))
+      // stage 4: deterministic split (see samp_hash_split)
+      val bucket = Texts.md5Long(concat(lit("split#"), col("doc_id"))) % 100
+      kept.select(col("doc_id"), col("lang"), col("n_kept"),
+        when(bucket < 80, "train").when(bucket < 90, "val")
+          .otherwise("test").as("split"))
     }),
 
     // KMV (k-minimum-values) distinct sketch, k = 64 — approximate
@@ -199,6 +267,62 @@ object CorpusQueries {
          |  FROM sc)
          |SELECT doc_id, term, tf, df, score, rank
          |FROM rk WHERE rank <= 3""".stripMargin,
+    "pipe_corpus_refinery" ->
+      s"""WITH cns AS (
+         |  SELECT n_chars, count(*) AS cnt FROM documents GROUP BY 1),
+         |w AS (
+         |  SELECT n_chars, cnt,
+         |    sum(cnt) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS cum,
+         |    sum(cnt) OVER () AS total
+         |  FROM cns),
+         |b AS (
+         |  SELECT min(CASE WHEN cum * 20 > total THEN n_chars END) AS lo,
+         |    max(CASE WHEN (total - cum + cnt) * 20 > total THEN n_chars END)
+         |      AS hi
+         |  FROM w),
+         |trimmed AS (
+         |  SELECT d.doc_id, d.lang, d.text FROM documents d CROSS JOIN b
+         |  WHERE d.n_chars BETWEEN b.lo AND b.hi),
+         |bt AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |bg AS (
+         |  SELECT DISTINCT array_to_string(tk[i : i + 7], ' ') AS gram
+         |  FROM bt, unnest(generate_series(1, greatest(len(tk) - 7, 1)))
+         |    AS u(i)
+         |  WHERE doc_id < 20),
+         |tt AS (SELECT doc_id, $toksSql AS tk FROM trimmed
+         |       WHERE doc_id >= 20),
+         |tg AS (
+         |  SELECT DISTINCT doc_id, array_to_string(tk[i : i + 7], ' ') AS gram
+         |  FROM tt, unnest(generate_series(1, greatest(len(tk) - 7, 1)))
+         |    AS u(i)),
+         |flagged AS (SELECT DISTINCT doc_id FROM tg JOIN bg USING (gram)),
+         |clean AS (
+         |  SELECT * FROM trimmed WHERE doc_id >= 20
+         |    AND doc_id NOT IN (SELECT doc_id FROM flagged)),
+         |toks AS (SELECT doc_id, lang, $toksSql AS tk FROM clean),
+         |idx AS (
+         |  SELECT doc_id, lang, tk,
+         |    unnest(generate_series(0, (len(tk) - 1) // $ChunkLen)) AS i
+         |  FROM toks WHERE len(tk) > 0),
+         |occ AS (
+         |  SELECT doc_id, lang, i AS chunk_idx,
+         |    array_to_string(tk[(i * $ChunkLen + 1):(i * $ChunkLen + $ChunkLen)], ' ')
+         |      AS chunk
+         |  FROM idx),
+         |r AS (
+         |  SELECT doc_id, lang, chunk_idx,
+         |    row_number() OVER (PARTITION BY chunk
+         |                       ORDER BY doc_id, chunk_idx) AS rn
+         |  FROM occ),
+         |k AS (
+         |  SELECT doc_id, max(lang) AS lang, count(*) AS n_kept
+         |  FROM r WHERE rn = 1 GROUP BY doc_id)
+         |SELECT doc_id, lang, n_kept,
+         |  CASE WHEN ('0x' || substr(md5('split#' || doc_id), 1, 15))::BIGINT
+         |         % 100 < 80 THEN 'train'
+         |       WHEN ('0x' || substr(md5('split#' || doc_id), 1, 15))::BIGINT
+         |         % 100 < 90 THEN 'val' ELSE 'test' END AS split
+         |FROM k""".stripMargin,
     "sk_kmv_distinct" ->
       s"""WITH t AS (
          |  SELECT lang, $toksSql AS tk FROM documents),

@@ -14,7 +14,8 @@ class CorpusSpec extends SparkSpec {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-corpus-fixture").toString
     import spark.implicits._
-    rows.toDF("doc_id", "text").write.mode("overwrite")
+    rows.map { case (id, text) => (id, text, "en") }
+      .toDF("doc_id", "text", "lang").write.mode("overwrite")
       .parquet(s"$dir/documents.parquet")
     dir
   }

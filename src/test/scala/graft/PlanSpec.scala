@@ -219,6 +219,38 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"))
   }
 
+  test("dd_chunk_dedup: first-occurrence agg and keep-join are keyed " +
+    "(hash) operations — no nested loop anywhere") {
+    val p = planOf(CorpusQueries.queries("dd_chunk_dedup")(spark, sf))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("partial_min") || p.contains("partial_count"),
+      "first-occurrence must combine map-side")
+  }
+
+  test("ta_tfidf: the vocabulary DF table broadcasts onto per-doc TF") {
+    val p = planOf(CorpusQueries.queries("ta_tfidf")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("WindowGroupLimit"))
+  }
+
+  test("ta_quality_trim: the corpus never shuffles — only the tiny value " +
+    "census does") {
+    val p = planOf(CorpusQueries.queries("ta_quality_trim")(spark, sf))
+    // the doc-side filter is a broadcast of two scalars, not an exchange
+    // of the corpus: no hashpartitioning on any documents column
+    assert(!p.contains("hashpartitioning(doc_id"))
+    assert(!p.contains("Exchange rangepartitioning"))
+  }
+
+  test("pipe_corpus_refinery: composed stages add no cartesian and keep " +
+    "the decontamination gram set broadcast") {
+    val p = planOf(CorpusQueries.queries("pipe_corpus_refinery")(spark, sf))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("partial_min") || p.contains("partial_count"))
+  }
+
   test("j10_range_join: bucketized interval join is a keyed equi-join, " +
     "never a cartesian theta-join") {
     val p = planOf(RelationalQueries.queries("j10_range_join")(spark, sf))
