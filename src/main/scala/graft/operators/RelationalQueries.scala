@@ -326,6 +326,21 @@ object RelationalQueries {
           size(split(col("text").substr(lit(1), pos), "\\.", -1)).as("sent_pos"))
     }),
 
+    // W6 ranked-distribution windows: percent_rank, cume_dist, ntile in
+    // one keyed pass per language — the "where does this doc sit in its
+    // stratum" enrichment. Arithmetic is rational ((rank−1)/(n−1),
+    // cum/n — divisions of exact integers), the ordering a total order
+    // (n_chars, doc_id), so both engines agree bit-for-bit. Keyed
+    // windows scale (per-language partitions); nothing global.
+    "w6_percent_rank" -> ((s, d) => {
+      val w = Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"),
+          ntile(4).over(w).as("quartile"))
+    }),
+
     // Skew-salted aggregation (two-phase): word counts with the hot keys
     // spread over 8 deterministic salts before the final merge — result
     // identical to the unsalted plan, shuffle skew bounded by 1/8.
@@ -526,6 +541,13 @@ object RelationalQueries {
     "w4_first_sentence_match" ->
       """SELECT doc_id,
         |  len(string_split(substr(text, 1, strpos(text, 'join')), '.')) AS sent_pos
-        |FROM documents WHERE strpos(text, 'join') > 0""".stripMargin
+        |FROM documents WHERE strpos(text, 'join') > 0""".stripMargin,
+    "w6_percent_rank" ->
+      """SELECT doc_id, lang, n_chars,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd,
+        |  ntile(4) OVER w AS quartile
+        |FROM documents
+        |WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)""".stripMargin
   )
 }
