@@ -413,6 +413,30 @@ object DedupQueries {
     // Near-duplicates agree on leading sign bits (cos≥0.3 here), so the
     // blocking is also recall-aligned — same quantizer as
     // sim_ann_bucketed.
+    // Fuzzy (edit-distance) title near-dup: pairs whose 5-word title
+    // prefix sits within Levenshtein 10 but is not identical (identical
+    // titles are exact-dup territory — dd_exact/t2). Blocked on
+    // (lang, first-token): the quadratic Levenshtein only ever runs
+    // inside a block, i.e. a keyed equi-join — the standard fuzzy-match
+    // shape at scale (tighter blocks — first two tokens, length bucket —
+    // drop in as the corpus grows). Levenshtein has identical semantics
+    // in both engines, so the distance itself is oracle-checked.
+    "dd_fuzzy_title" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          Texts.smartShorten(col("text"), 5).as("title"))
+        .withColumn("blk", substring_index(col("title"), " ", 1))
+      val a = base.select(col("lang"), col("blk"),
+        col("doc_id").as("a_id"), col("title").as("a_t"))
+      val b = base.select(col("lang"), col("blk"),
+        col("doc_id").as("b_id"), col("title").as("b_t"))
+      a.join(b, Seq("lang", "blk"))
+        .filter(col("a_id") < col("b_id"))
+        .withColumn("dist", levenshtein(col("a_t"), col("b_t")))
+        .filter(col("dist").between(1, 10))
+        .select("a_id", "b_id", "dist")
+    }),
+
     "dd_embed_cosine" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -530,6 +554,17 @@ object DedupQueries {
          |SELECT simhash, min(doc_id) AS canonical_id, count(*) AS n_docs,
          |  array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS members
          |FROM f GROUP BY simhash HAVING count(*) > 1""".stripMargin,
+    "dd_fuzzy_title" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    array_to_string((string_split(text, ' '))[1:5], ' ') AS title
+        |  FROM documents),
+        |b AS (SELECT *, split_part(title, ' ', 1) AS blk FROM t)
+        |SELECT a.doc_id AS a_id, c.doc_id AS b_id,
+        |  levenshtein(a.title, c.title) AS dist
+        |FROM b a JOIN b c
+        |  ON a.lang = c.lang AND a.blk = c.blk AND a.doc_id < c.doc_id
+        |WHERE levenshtein(a.title, c.title) BETWEEN 1 AND 10""".stripMargin,
     "dd_embed_cosine" ->
       """WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v,
