@@ -32,6 +32,9 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       spark.catalog.clearCache()
+      // localCheckpoint RDDs (dd_cluster_cc) bypass the CacheManager, so
+      // clearCache() alone would pin their blocks for the rest of the sweep
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

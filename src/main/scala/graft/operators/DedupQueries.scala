@@ -293,7 +293,19 @@ object DedupQueries {
     // (localCheckpoint), and convergence is detected by a scalar count —
     // the only driver-side value. LSH dup clusters are near-cliques, so
     // the fixed point lands in 2-3 rounds regardless of corpus size.
-    "dd_cluster_cc" -> ((s, d) => {
+    "dd_cluster_cc" -> ((s0, d) => {
+      // Dedicated child session: shares the SparkContext (so caches and
+      // localCheckpoints are shared) but has an ISOLATED SQLConf, so the
+      // rule exclusion below never leaks to queries running concurrently
+      // on the caller's session, and the returned lazy frame — optimized
+      // only when the caller acts on it — still sees the exclusion.
+      val s = s0.newSession()
+      // InferFiltersFromConstraints mis-resolves plans that reference the
+      // same checkpointed relation on both sides of a join-under-union
+      // (NoSuchElementException: key not found on the duplicated side).
+      // The rule is an optimization, never a correctness dependency.
+      s.conf.set("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromConstraints")
       val edges = queries("dd_minhash_lsh")(s, d)
         .filter(col("est_jac") >= 0.75) // high-confidence cluster edges
         .select(col("a_id"), col("b_id"))
@@ -341,47 +353,31 @@ object DedupQueries {
         .localCheckpoint(true)
       var converged = false
       var rounds = 0
-      // InferFiltersFromConstraints mis-resolves plans that reference the
-      // same checkpointed relation on both sides of a join-under-union
-      // (NoSuchElementException: key not found on the duplicated side) —
-      // exclude just that rule for the loop's actions and restore after.
-      // The rule is an optimization, never a correctness dependency.
-      val exclKey = "spark.sql.optimizer.excludedRules"
-      val prevExcl = s.conf.getOption(exclKey)
-      s.conf.set(exclKey,
-        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromConstraints")
-      try {
-        // Convergence via a monotone checksum: every per-vertex comp is
-        // non-increasing under min-propagation, so sum(comp) is unchanged
-        // iff NO vertex changed — one cached-scan aggregate per round in
-        // place of a vertex-sized prev-labels join.
-        var checksum = labels.agg(coalesce(sum("comp"), lit(0L))).head.getLong(0)
-        while (!converged && rounds < 20) {
-          def hop(ls: org.apache.spark.sql.DataFrame) =
-            ls.unionByName(cEdges
-                .join(ls.withColumnRenamed("id", "src"), "src")
-                .select(col("dst").as("id"), col("comp")))
-              .groupBy("id").agg(min("comp").as("comp"))
-          // one hop plus one pointer jump (comp <- comp(comp)) per round,
-          // all over the contracted residue graph
-          def jump(ls: org.apache.spark.sql.DataFrame) =
-            ls.alias("x")
-              .join(ls.select(col("id").as("comp"),
-                col("comp").as("comp2")).alias("y"), Seq("comp"), "left")
-              .select(col("id"),
-                least(col("comp"), coalesce(col("comp2"), col("comp"))).as("comp"))
-          val next = jump(hop(labels)).localCheckpoint(true)
-          val nextSum = next.agg(coalesce(sum("comp"), lit(0L))).head.getLong(0)
-          labels = next
-          converged = nextSum == checksum
-          checksum = nextSum
-          rounds += 1
-        }
-      } finally {
-        prevExcl match {
-          case Some(v) => s.conf.set(exclKey, v)
-          case None    => s.conf.unset(exclKey)
-        }
+      // Convergence via a monotone checksum: every per-vertex comp is
+      // non-increasing under min-propagation, so sum(comp) is unchanged
+      // iff NO vertex changed — one cached-scan aggregate per round in
+      // place of a vertex-sized prev-labels join.
+      var checksum = labels.agg(coalesce(sum("comp"), lit(0L))).head.getLong(0)
+      while (!converged && rounds < 20) {
+        def hop(ls: org.apache.spark.sql.DataFrame) =
+          ls.unionByName(cEdges
+              .join(ls.withColumnRenamed("id", "src"), "src")
+              .select(col("dst").as("id"), col("comp")))
+            .groupBy("id").agg(min("comp").as("comp"))
+        // one hop plus one pointer jump (comp <- comp(comp)) per round,
+        // all over the contracted residue graph
+        def jump(ls: org.apache.spark.sql.DataFrame) =
+          ls.alias("x")
+            .join(ls.select(col("id").as("comp"),
+              col("comp").as("comp2")).alias("y"), Seq("comp"), "left")
+            .select(col("id"),
+              least(col("comp"), coalesce(col("comp2"), col("comp"))).as("comp"))
+        val next = jump(hop(labels)).localCheckpoint(true)
+        val nextSum = next.agg(coalesce(sum("comp"), lit(0L))).head.getLong(0)
+        labels = next
+        converged = nextSum == checksum
+        checksum = nextSum
+        rounds += 1
       }
       // Compose: original vertex → its contraction representative → that
       // representative's final component (identity where the loop never

@@ -501,11 +501,11 @@ object RelationalQueries {
         |GROUP BY word""".stripMargin,
     "t5_pivot" ->
       """SELECT source,
-        |  sum(CASE WHEN lang = 'en' THEN 1 END) AS en,
-        |  sum(CASE WHEN lang = 'de' THEN 1 END) AS de,
-        |  sum(CASE WHEN lang = 'es' THEN 1 END) AS es,
-        |  sum(CASE WHEN lang = 'fr' THEN 1 END) AS fr,
-        |  sum(CASE WHEN lang = 'zh' THEN 1 END) AS zh
+        |  sum(CASE WHEN lang = 'en' THEN 1 END)::BIGINT AS en,
+        |  sum(CASE WHEN lang = 'de' THEN 1 END)::BIGINT AS de,
+        |  sum(CASE WHEN lang = 'es' THEN 1 END)::BIGINT AS es,
+        |  sum(CASE WHEN lang = 'fr' THEN 1 END)::BIGINT AS fr,
+        |  sum(CASE WHEN lang = 'zh' THEN 1 END)::BIGINT AS zh
         |FROM documents GROUP BY source""".stripMargin,
     "skew_salted_wordcount" ->
       """SELECT word AS key, count(*)::BIGINT AS n

@@ -27,14 +27,18 @@ class FingerprintDedup
   override def handleInputRows(key: String, rows: Iterator[(String, Long)],
       timerValues: TimerValues): Iterator[(Long, String)] = {
     // rows of one fingerprint arrive together; state makes the FIRST-ever
-    // arrival new and everything after duplicate
-    rows.map { case (_, uid) =>
+    // arrival new and everything after duplicate. Materialized eagerly:
+    // if the returned iterator were lazy and a downstream operator
+    // stopped consuming early, seen.update would never run for the
+    // unconsumed rows and the fingerprint could re-classify as new later.
+    val out = rows.map { case (_, uid) =>
       if (seen.exists()) (uid, "duplicate")
       else {
         seen.update(true)
         (uid, "new")
       }
-    }
+    }.toVector
+    out.iterator
   }
 }
 

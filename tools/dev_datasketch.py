@@ -11,6 +11,27 @@ Scheme (all public knowledge -- datasketch library docs + kshingle docs):
 
 Perm table (a, b) is parsed out of DatasketchPerms.scala, whose first
 entries are independently pinned against numpy RandomState(1).
+
+PROVENANCE LIMITATION (acknowledged): this build environment has no
+network egress and no datasketch/kshingle/numpy wheels, so the pins
+cannot be generated with the real libraries here. This transcription
+shares no code with the Scala impl (pure-python, written from the
+reference source + library docs), but a shared MISREADING of the
+datasketch semantics would pass both. To upgrade the pins to
+library-ground-truth, run in any networked env:
+
+    pip install datasketch==1.6.4 kshingle numpy
+    python - <<'EOF'
+    from datasketch import MinHash
+    import kshingle
+    for text in ["the quick brown fox jumps over the lazy dog", "ab"]:
+        m = MinHash(num_perm=256, seed=1)
+        for sh in kshingle.shingleset_k(text, 5):
+            m.update(sh.encode("utf8"))
+        print(list(m.hashvalues[:8]))
+    EOF
+
+and diff against EXPECTED below; record the output alongside this file.
 """
 import hashlib
 import re
