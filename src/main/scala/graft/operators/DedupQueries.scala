@@ -104,6 +104,39 @@ object DedupQueries {
         .agg(count("*").as("n_shared"))
     }),
 
+    // Bloom-prefiltered decontamination — same semantics as
+    // dd_decontaminate, but the corpus-side gram stream is first pruned
+    // by a Bloom filter built over the benchmark grams (one driver-side
+    // sketch, broadcast as a few MB of bits), and only the tiny surviving
+    // fraction reaches the exact join. This is the 100 TB shape when the
+    // benchmark union is too large to broadcast as a raw hash relation
+    // (dozens of eval sets × contamination windows): the bits still fit
+    // everywhere, ~all non-contaminated grams die at the scan projection,
+    // and the exact verify join — now over ~0.1% of the stream — makes
+    // Bloom false positives semantically invisible, which is what keeps
+    // this oracle-checkable (output ≡ exact decontamination).
+    // The probe is a Scala UDF by necessity: a sketch membership test has
+    // no Column-expression form; it is a read-only bit probe, cheap and
+    // branch-predictable, and it FOLLOWS the codegen'd explode/distinct.
+    "dd_bloom_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      def grams(df: DataFrame) = df
+        .select(col("doc_id"), explode(array_distinct(
+          Texts.wordNgrams(Texts.tokens(col("text")), 8))).as("gram"))
+      val benchGrams = grams(docs.filter(col("doc_id") < 20))
+        .select("gram").distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // 1e6 expected items ≫ any eval set; 1% fpp → ~1.2 MB of bits
+      val bf = benchGrams.stat.bloomFilter("gram", 1000000L, 0.01)
+      val bfB = s.sparkContext.broadcast(bf)
+      val mightContain = udf((g: String) => bfB.value.mightContainString(g))
+      grams(docs.filter(col("doc_id") >= 20))
+        .filter(mightContain(col("gram")))
+        .join(benchGrams, Seq("gram")) // exact verify; AQE broadcasts it
+        .groupBy("doc_id")
+        .agg(count("*").as("n_shared"))
+    }),
+
     // n-gram (distinct-word-set) Jaccard near-dup with (lang, size-bucket)
     // blocking: candidate pairs only within a block → keyed equi-join, not
     // a cross join. Threshold 0.9.
@@ -478,6 +511,21 @@ object DedupQueries {
          |  min(doc_id) AS canonical_id, count(*) AS n_dups
          |FROM documents GROUP BY 1 HAVING count(*) > 1""".stripMargin,
     "dd_decontaminate" ->
+      """WITH t AS (SELECT doc_id,
+        |         list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |       FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |        generate_series(1, greatest(len(tk) - 7, 1)),
+        |        i -> array_to_string(tk[i:i+7], ' ')))) AS gram
+        |      FROM t),
+        |b AS (SELECT DISTINCT gram FROM g WHERE doc_id < 20)
+        |SELECT g.doc_id, count(*) AS n_shared
+        |FROM g JOIN b USING (gram)
+        |WHERE g.doc_id >= 20
+        |GROUP BY 1""".stripMargin,
+    // Bloom prefilter + exact verify ≡ exact decontamination, so the
+    // oracle is identical to dd_decontaminate's.
+    "dd_bloom_decontaminate" ->
       """WITH t AS (SELECT doc_id,
         |         list_filter(string_split(text, ' '), x -> x <> '') AS tk
         |       FROM documents),

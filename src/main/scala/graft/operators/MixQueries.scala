@@ -113,6 +113,26 @@ object MixQueries {
         .limit(100)
     }),
 
+    // Deterministic global shuffle + shard assignment — the terminal
+    // stage of a training-data writer: every epoch reader wants the
+    // corpus in a content-derived pseudo-random order, cut into N
+    // equal-ish shards (one output file each). shard = hash mod N is the
+    // scalable assignment (shard sizes concentrate within a fraction of
+    // a percent of corpus/N at real corpus sizes); the within-shard
+    // position comes from a window PARTITIONED BY shard — exactly the
+    // one hash exchange + per-shard sort the physical writer performs
+    // anyway, never a global single-partition window. Rerun-stable at
+    // any parallelism: both shard and pos are pure functions of doc_id.
+    "samp_shuffle_shard" -> ((s, d) => {
+      val h = Texts.md5Long(concat(lit("shuf#"), col("doc_id")))
+      val w = Window.partitionBy("shard").orderBy(col("h"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), h.as("h"))
+        .withColumn("shard", pmod(col("h"), lit(16L)))
+        .withColumn("pos", row_number().over(w))
+        .select(col("doc_id"), col("shard"), col("pos"))
+    }),
+
     "pack_sequences" -> ((s, d) => {
       val nTok = size(Texts.tokens(col("text")))
       val w = Window.partitionBy("lang").orderBy("doc_id")
@@ -168,6 +188,14 @@ object MixQueries {
       """SELECT doc_id, lang,
         |  ('0x' || substr(md5('fixk#' || doc_id), 1, 15))::BIGINT AS h
         |FROM documents ORDER BY h, doc_id LIMIT 100""".stripMargin,
+    "samp_shuffle_shard" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5('shuf#' || doc_id), 1, 15))::BIGINT AS h
+        |  FROM documents)
+        |SELECT doc_id, h % 16 AS shard,
+        |  row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id) AS pos
+        |FROM b""".stripMargin,
     "pack_sequences" ->
       s"""WITH t AS (
          |  SELECT doc_id, lang, len($toksSql) AS n_tok FROM documents),

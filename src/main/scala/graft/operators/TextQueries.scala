@@ -174,6 +174,35 @@ object TextQueries {
             least(lit(1.0), nTok.cast("double") / 50.0), 6).as("quality"))
     }),
 
+    // Composite rule-based quality filter — the Gopher/C4-style document
+    // gate (MassiveText rules, Rae et al. 2021 §A1.1): length bounds,
+    // mean-word-length band, alphabetic-word fraction, minimum stopword
+    // evidence, symbol-token ratio; keep = AND of all rules. Every rule
+    // is evaluated as an INTEGER cross-multiplication (5·n_alpha ≥ 4·n
+    // instead of n_alpha/n ≥ 0.8), so there is no float rounding to
+    // diverge between engines — and per-doc, narrow, no shuffle: at
+    // 100 TB this runs entirely at the scan.
+    "ta_gopher_rules" -> ((s, d) => {
+      val toks = tokens(col("text"))
+      val n = size(toks)
+      val sumLen = aggregate(transform(toks, t => length(t)),
+        lit(0L), (a, x) => a + x)
+      val nAlpha = size(filter(toks, t => t.rlike("[a-zA-Z]")))
+      val nStop = size(array_distinct(
+        filter(toks, t => t.isin(StopWords.map(x => x: Any): _*))))
+      val nSym = size(filter(toks,
+        t => t.contains("#") || t.contains("...")))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          (n >= 10 && n <= 10000).as("r_len"),
+          (sumLen >= n * 3 && sumLen <= n * 10).as("r_word_len"),
+          (nAlpha * 5 >= n * 4).as("r_alpha"),
+          (nStop >= 2).as("r_stop"),
+          (nSym * 10 <= n).as("r_symbol"))
+        .withColumn("keep", col("r_len") && col("r_word_len") &&
+          col("r_alpha") && col("r_stop") && col("r_symbol"))
+    }),
+
     // Text analysis: marker-vote language ID vs the labeled lang column
     // (langdetect replacement, summarisation.py:34-41 / M4).
     "ta_lang_id" -> ((s, d) => {
@@ -533,6 +562,26 @@ object TextQueries {
          |SELECT doc_id, stop_ratio,
          |  round((1.0 - stop_ratio) * least(1.0, n_tokens / 50.0), 6) AS quality
          |FROM t""".stripMargin,
+    "ta_gopher_rules" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |r AS (SELECT doc_id, len(tk) AS n,
+         |    list_sum(list_transform(tk, x -> strlen(x)))::BIGINT AS sum_len,
+         |    len(list_filter(tk, x -> regexp_matches(x, '[a-zA-Z]'))) AS n_alpha,
+         |    len(list_distinct(list_filter(tk,
+         |      x -> x IN (${StopWords.map(w => s"'$w'").mkString(",")})))) AS n_stop,
+         |    len(list_filter(tk,
+         |      x -> contains(x, '#') OR contains(x, '...'))) AS n_sym
+         |  FROM t)
+         |SELECT doc_id,
+         |  n >= 10 AND n <= 10000 AS r_len,
+         |  sum_len >= n * 3 AND sum_len <= n * 10 AS r_word_len,
+         |  n_alpha * 5 >= n * 4 AS r_alpha,
+         |  n_stop >= 2 AS r_stop,
+         |  n_sym * 10 <= n AS r_symbol,
+         |  (n >= 10 AND n <= 10000) AND (sum_len >= n * 3 AND sum_len <= n * 10)
+         |    AND (n_alpha * 5 >= n * 4) AND (n_stop >= 2)
+         |    AND (n_sym * 10 <= n) AS keep
+         |FROM r""".stripMargin,
     "ta_lang_id" ->
       s"""WITH t AS (
          |  SELECT doc_id, lang,

@@ -268,4 +268,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"))
     assert(!p.contains("Exchange rangepartitioning"))
   }
+
+  test("samp_shuffle_shard: within-shard window is keyed — one hash " +
+    "exchange on shard, never a single-partition window") {
+    val p = planOf(MixQueries.queries("samp_shuffle_shard")(spark, sf))
+    assert(p.contains("hashpartitioning(shard"),
+      "window must partition by shard")
+    assert(!p.contains("Exchange SinglePartition"),
+      "a global window would serialize the corpus through one task")
+  }
+
+  test("ta_gopher_rules is scan-narrow: zero exchanges") {
+    val p = planOf(TextQueries.queries("ta_gopher_rules")(spark, sf))
+    assert(!p.contains("Exchange"))
+  }
+
+  test("dd_bloom_decontaminate: bloom prefilter is semantically invisible " +
+    "(row-identical to exact decontamination)") {
+    val exact = DedupQueries.queries("dd_decontaminate")(spark, sf)
+      .orderBy("doc_id").collect().toSeq
+    val bloom = DedupQueries.queries("dd_bloom_decontaminate")(spark, sf)
+      .orderBy("doc_id").collect().toSeq
+    assert(bloom == exact)
+  }
 }
