@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.Texts
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -196,6 +196,62 @@ object CorpusQueries {
             .as("est_distinct"))
     }),
 
+    // Pairwise corpus-overlap estimation from MERGED KMV sketches — "how
+    // much does source A's content overlap source B's?", the question a
+    // data-mixing decision needs answered across every source pair
+    // without ever joining the corpora. The corpus is read ONCE to build
+    // one k=64 sketch per source (keyed window, map-side pruned); all
+    // pair math then happens on sketches of ≤64 longs: union-sketch =
+    // re-minimized merge of two sketches (the KMV merge law), intersect
+    // by inclusion–exclusion. At 100 TB the pair stage touches
+    // sources²·k longs — independent of corpus size.
+    "sk_kmv_overlap" -> ((s, d) => {
+      val k = 64
+      val tk = Texts.tokens(col("text"))
+      val grams = Tables.documents(s, d)
+        .filter(size(tk) >= 3)
+        .select(col("source"), tk.as("tk"))
+        .select(col("source"), explode(Texts.wordNgrams(col("tk"), 3)).as("g3"))
+        .distinct()
+        .select(col("source"), Texts.md5Long(col("g3")).as("h"))
+      val w = Window.partitionBy("source").orderBy("h")
+      val kept = grams
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+        .select("source", "h")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // materialize NOW: the sketch (≤ 64·n_sources longs) feeds five
+      // branches of the pair stage below; without this the lazy cache
+      // would re-run the corpus scan per branch on first execution
+      kept.count()
+      def est(hk: Column, n: Column) =
+        when(n < k, n.cast("double")).otherwise(round(
+          lit((k - 1).toDouble * 1.152921504606846976e18) / hk, 2))
+      val perSrc = kept.groupBy("source")
+        .agg(max("h").as("hk"), count(lit(1)).as("n"))
+        .select(col("source"), est(col("hk"), col("n")).as("est"))
+      val pairs = perSrc
+        .select(col("source").as("sa"), col("est").as("est_a"))
+        .crossJoin(perSrc.select(col("source").as("sb"), col("est").as("est_b")))
+        .filter(col("sa") < col("sb"))
+      val merged = pairs.select("sa", "sb")
+        .join(kept.select(col("source").as("sa"), col("h")), "sa")
+        .select("sa", "sb", "h")
+        .unionByName(pairs.select("sa", "sb")
+          .join(kept.select(col("source").as("sb"), col("h")), "sb")
+          .select("sa", "sb", "h"))
+        .distinct()
+      val wm = Window.partitionBy("sa", "sb").orderBy("h")
+      val estU = merged
+        .withColumn("rn", row_number().over(wm)).filter(col("rn") <= k)
+        .groupBy("sa", "sb").agg(max("h").as("hk"), count(lit(1)).as("n"))
+        .select(col("sa"), col("sb"), est(col("hk"), col("n")).as("est_union"))
+      pairs.join(estU, Seq("sa", "sb"))
+        .select(col("sa"), col("sb"), col("est_a"), col("est_b"),
+          col("est_union"),
+          round(greatest(lit(0.0),
+            col("est_a") + col("est_b") - col("est_union")), 2).as("est_inter"))
+    }),
+
     // Exact 5th/95th-percentile length trim WITHOUT a global sort: the
     // quality-distribution tail cut every corpus release applies. The
     // standard exact-quantile plan (global orderBy + row_number) funnels
@@ -346,6 +402,49 @@ object CorpusQueries {
          |       ELSE round(63.0 * 1152921504606846976.0 / sk.hk, 2) END
          |    AS est_distinct
          |FROM sk JOIN ex USING (lang)""".stripMargin,
+    "sk_kmv_overlap" ->
+      s"""WITH t AS (
+         |  SELECT source, $toksSql AS tk FROM documents),
+         |g AS (
+         |  SELECT DISTINCT source, array_to_string(tk[i : i + 2], ' ') AS g3
+         |  FROM t, unnest(generate_series(1, len(tk) - 2)) AS u(i)
+         |  WHERE len(tk) >= 3),
+         |h AS (
+         |  SELECT source, ('0x' || substr(md5(g3), 1, 15))::BIGINT AS h
+         |  FROM g),
+         |kept AS (
+         |  SELECT source, h FROM (
+         |    SELECT source, h,
+         |      row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+         |    FROM h) x WHERE rn <= 64),
+         |per AS (
+         |  SELECT source,
+         |    CASE WHEN count(*) < 64 THEN count(*)::DOUBLE
+         |         ELSE round(63.0 * 1152921504606846976.0 / max(h), 2) END
+         |      AS est
+         |  FROM kept GROUP BY source),
+         |pairs AS (
+         |  SELECT a.source AS sa, b.source AS sb, a.est AS est_a,
+         |    b.est AS est_b
+         |  FROM per a JOIN per b ON a.source < b.source),
+         |m AS (
+         |  SELECT DISTINCT p.sa, p.sb, k.h
+         |  FROM pairs p JOIN kept k ON k.source = p.sa OR k.source = p.sb),
+         |mu AS (
+         |  SELECT sa, sb, h FROM (
+         |    SELECT sa, sb, h,
+         |      row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+         |    FROM m) x WHERE rn <= 64),
+         |eu AS (
+         |  SELECT sa, sb,
+         |    CASE WHEN count(*) < 64 THEN count(*)::DOUBLE
+         |         ELSE round(63.0 * 1152921504606846976.0 / max(h), 2) END
+         |      AS est_union
+         |  FROM mu GROUP BY sa, sb)
+         |SELECT p.sa, p.sb, p.est_a, p.est_b, eu.est_union,
+         |  round(greatest(0.0, p.est_a + p.est_b - eu.est_union), 2)
+         |    AS est_inter
+         |FROM pairs p JOIN eu USING (sa, sb)""".stripMargin,
     "ta_quality_trim" ->
       """WITH c AS (
         |  SELECT n_chars, count(*) AS cnt FROM documents GROUP BY 1),

@@ -133,6 +133,35 @@ object SimilarityQueries {
         .select("q_id", "n_id", "sim", "rk")
     }),
 
+    // One Lloyd iteration of k-means (k = 8, seeds = the first 8 vectors
+    // ≙ a provided initialization) — the embedding-clustering primitive
+    // under IVF codebook training and SemDeDup-style cluster pruning.
+    // E-step: broadcast the 8 centroids, every vector picks its nearest
+    // by (rounded) L2 — per-partition work against the tiny codebook,
+    // identical shape to sim_ann_ivf's assignment. M-step: the new
+    // centroid matrix as ONE keyed aggregation over (cluster, dim) —
+    // per-dimension means partial-aggregate map-side, so at 100 TB the
+    // shuffle carries k·dims partial sums per partition, never vectors.
+    "sim_kmeans_step" -> ((s, d) => {
+      val e = emb(s, d)
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("c_id"), col("v").as("c_v"))
+      def d2 = round(aggregate(
+        zip_with(col("v"), col("c_v"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x), 6)
+      val byDist = Window.partitionBy("vec_id")
+        .orderBy(col("d2").asc, col("c_id").asc)
+      val assigned = e.crossJoin(broadcast(cents))
+        .withColumn("d2", d2)
+        .withColumn("rk", row_number().over(byDist))
+        .filter(col("rk") === 1)
+        .select(col("c_id").as("cluster_id"), col("v"))
+      assigned
+        .select(col("cluster_id"), posexplode(col("v")).as(Seq("p", "x")))
+        .groupBy(col("cluster_id"), (col("p") + 1).as("pos"))
+        .agg(count(lit(1)).as("n_members"), round(avg("x"), 6).as("mean"))
+    }),
+
     // Product-quantization ANN (PQ, Jégou et al. 2011 — public method):
     // 64-dim vectors split into M=4 subspaces × 16 dims, each subvector
     // quantized to its nearest of 8 per-subspace centroids (deterministic
@@ -270,6 +299,25 @@ object SimilarityQueries {
         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
         |        ORDER BY sim DESC, n_id ASC) AS rk FROM scored)
         |SELECT q_id, n_id, sim, rk FROM r WHERE rk <= 3""".stripMargin,
+    "sim_kmeans_step" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cents AS (SELECT vec_id AS c_id, v AS c_v FROM e WHERE vec_id < 8),
+        |dist AS (
+        |  SELECT e.vec_id, e.v, c.c_id,
+        |    round(list_sum(list_transform(generate_series(1, 64),
+        |      i -> (e.v[i] - c.c_v[i]) * (e.v[i] - c.c_v[i]))), 6) AS d2
+        |  FROM e, cents c),
+        |assigned AS (
+        |  SELECT c_id AS cluster_id, v FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |             ORDER BY d2 ASC, c_id ASC) AS rk FROM dist) t
+        |  WHERE rk = 1),
+        |u AS (
+        |  SELECT cluster_id, i AS pos, v[i] AS x
+        |  FROM assigned, unnest(generate_series(1, 64)) AS g(i))
+        |SELECT cluster_id, pos, count(*) AS n_members,
+        |  round(avg(x), 6) AS mean
+        |FROM u GROUP BY cluster_id, pos""".stripMargin,
     "sim_ann_pq" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |sub AS (

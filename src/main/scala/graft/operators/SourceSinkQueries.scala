@@ -36,6 +36,38 @@ object SourceSinkQueries {
       s.read.option("header", "true").schema(schema).csv(out)
     }),
 
+    // S12: JSON-lines sink + source round-trip — the interchange format
+    // every crawl/annotation pipeline emits. Write is one narrow pass;
+    // read-back uses an EXPLICIT schema (schema inference at 100 TB is a
+    // full extra scan of every byte — never infer in production paths).
+    "s12_jsonl_roundtrip" -> ((s, d) => {
+      val out = tmpDir(s"jsonl-${d.replace('/', '_')}")
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          round(col("value"), 2).as("value"))
+        .write.mode("overwrite").json(out)
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      s.read.schema(schema).json(out)
+        .select("event_id", "user_id", "event_type", "value")
+    }),
+
+    // S13/K-ORC: columnar ORC write partitioned by lang, read back with a
+    // partition-pruning filter — the read must touch only the lang=en
+    // directory (PartitionFilters in the scan), the same layout contract
+    // k2 pins for parquet.
+    "s13_orc_partitioned" -> ((s, d) => {
+      val out = tmpDir(s"orc-${d.replace('/', '_')}")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+        .write.mode("overwrite").partitionBy("lang").orc(out)
+      s.read.orc(out)
+        .filter(col("lang") === "en")
+        .select(col("doc_id"), col("n_chars"))
+    }),
+
     // F21/K3 JSON: serialize rows to JSON strings (sorted-key envelope ≙
     // typedb_ingestion.py:16-25), parse back with from_json, project the
     // fields — serialization round-trip identity.
@@ -289,6 +321,11 @@ object SourceSinkQueries {
         |FROM events""".stripMargin,
     "f21_json_roundtrip" ->
       "SELECT event_id, event_type, user_id FROM events",
+    "s12_jsonl_roundtrip" ->
+      """SELECT event_id, user_id, event_type, round(value, 2) AS value
+        |FROM events""".stripMargin,
+    "s13_orc_partitioned" ->
+      "SELECT doc_id, n_chars FROM documents WHERE lang = 'en'",
     "k2_partitioned_write" ->
       """SELECT lang, count(*) AS n, sum(n_chars)::BIGINT AS chars
         |FROM documents

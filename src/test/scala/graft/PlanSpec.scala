@@ -283,6 +283,37 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"))
   }
 
+  test("sim_kmeans_step: M-step is a keyed partial aggregation over " +
+    "(cluster, dim) — never a single-partition reduce") {
+    val p = planOf(SimilarityQueries.queries("sim_kmeans_step")(spark, sf))
+    assert(p.contains("partial_count") || p.contains("partial_avg"),
+      "per-dimension means must combine map-side")
+    assert(p.contains("hashpartitioning(cluster_id"))
+    assert(!p.contains("Exchange SinglePartition"))
+  }
+
+  test("sk_kmv_overlap: per-source sketch window prunes map-side; the " +
+    "pair stage never rescans the corpus") {
+    val p = planOf(CorpusQueries.queries("sk_kmv_overlap")(spark, sf))
+    // every FileScan in the rendered plan sits INSIDE an InMemoryTableScan
+    // cacheBuilder print (2 lineage renders per cache node) — the pair
+    // stage itself only ever reads the materialized sketch
+    assert(p.contains("InMemoryTableScan"),
+      "pair branches must read the materialized sketch")
+    assert(p.contains("WindowGroupLimit"),
+      "the per-source top-64 must prune map-side")
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    val caches = "InMemoryTableScan".r.findAllIn(p).size
+    assert(scans <= 2 * caches,
+      "a FileScan outside a cacheBuilder lineage means the corpus is rescanned")
+  }
+
+  test("s13_orc_partitioned: read-back prunes to the lang=en partition") {
+    val p = planOf(SourceSinkQueries.queries("s13_orc_partitioned")(spark, sf))
+    assert(p.contains("PartitionFilters") && p.contains("lang"),
+      "the lang filter must prune partitions at the ORC scan")
+  }
+
   test("dd_bloom_decontaminate: bloom prefilter is semantically invisible " +
     "(row-identical to exact decontamination)") {
     val exact = DedupQueries.queries("dd_decontaminate")(spark, sf)

@@ -151,6 +151,39 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("dropDuplicatesWithinWatermark: dedup state is TTL'd by the " +
+    "watermark — unbounded-corpus streaming dedup with bounded state") {
+    // the time-windowed dedup policy FingerprintDedup's TTLConfig points
+    // at, expressed with the built-in operator: duplicates are dropped
+    // while their fingerprint is younger than the watermark delay, and
+    // state older than the watermark is evicted (bounded at any rate)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp)]
+    val out = input.toDF().toDF("fingerprint", "ts")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("fingerprint")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("wmdedup").start()
+    input.addData(("fpA", ts("2024-01-01 10:00:00")),
+      ("fpA", ts("2024-01-01 10:01:00")), // in-window duplicate: dropped
+      ("fpB", ts("2024-01-01 10:02:00")))
+    q.processAllAvailable()
+    // advance event time far past the delay so fpA's state is evictable
+    input.addData(("adv", ts("2024-01-01 12:00:00")))
+    q.processAllAvailable()
+    input.addData(("fpA", ts("2024-01-01 12:01:00"))) // re-emerges post-TTL
+    q.processAllAvailable()
+    q.stop()
+    val emitted = spark.table("wmdedup")
+      .select($"fingerprint", $"ts".cast("string"))
+      .as[(String, String)].collect().toSeq
+    assert(emitted.count(_._1 == "fpA") == 2,
+      "one emit in-window, one after state eviction")
+    assert(!emitted.contains(("fpA", "2024-01-01 10:01:00")),
+      "the in-window duplicate must be dropped")
+    assert(emitted.count(_._1 == "fpB") == 1)
+  }
+
   test("windowed throughput with watermark emits per-window counts") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
