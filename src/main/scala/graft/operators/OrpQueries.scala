@@ -47,6 +47,52 @@ object OrpQueries {
       links.select(col("link_type"), col("src_id"), col("dst_id"))
     }),
 
+    // One PageRank power-iteration step over the extracted publication
+    // graph (Jacobi step, uniform rank-1 start, damping 0.85; dangling
+    // mass dropped — the standard one-step simplification). The scale
+    // shape IS the whole algorithm: outdegree census (keyed agg) +
+    // edge⋈degree (keyed join) + contribution sum (keyed agg) — three
+    // hash exchanges on node ids per iteration, nothing driver-side.
+    // Per-edge contributions are rounded then summed as DECIMAL so the
+    // reduction is exact and associative — partition order can never
+    // wiggle the low bits (double += is not associative; a parallel
+    // engine must not let reduction order reach the result).
+    "g_pagerank_step" -> ((s, d) => {
+      val (_, links) = StreamPipeline.extractElements(Tables.events(s, d))
+      val edges = links.select(col("src_id"), col("dst_id"))
+      val outdeg = edges.groupBy("src_id").agg(count(lit(1)).as("deg"))
+      val contrib = edges.join(outdeg, "src_id")
+        .select(col("dst_id").as("node_id"),
+          round(lit(1.0) / col("deg"), 9).cast("decimal(28,12)").as("c"))
+        .groupBy("node_id")
+        .agg(sum("c").as("m"))
+        .select(col("node_id"),
+          round(lit(0.15) + lit(0.85) * col("m").cast("double"), 6).as("rank"))
+      val nodes = edges.select(col("src_id").as("node_id"))
+        .unionByName(edges.select(col("dst_id").as("node_id"))).distinct()
+      nodes.join(contrib, Seq("node_id"), "left")
+        .select(col("node_id"), coalesce(col("rank"), lit(0.15)).as("rank"))
+    }),
+
+    // Inverted-index construction — the posting-list build behind the
+    // search surface (P1/orp_search query it; this materializes it):
+    // term → document frequency, total term frequency, and a capped
+    // sorted postings sample. One explode + one keyed aggregation; at
+    // 100 TB this is the classic skewed wordcount, and the postings cap
+    // bounds the per-term payload so hot terms can't blow up a reducer.
+    "ix_postings" -> ((s, d) => {
+      import graft.functions.Texts
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(Texts.tokens(col("text"))).as(Seq("pos", "term")))
+        .groupBy("term")
+        .agg(countDistinct("doc_id").as("df"),
+          count(lit(1)).as("tf_total"),
+          array_join(slice(array_sort(collect_list(
+            concat(col("doc_id"), lit(":"), col("pos") + 1))), 1, 20), ",")
+            .as("postings"))
+    }),
+
     // ST3–ST6 SCD-2 merge: current store ⊕ incoming batch → versioned
     // rows with archive flips (record_handler.py:39-80). Incoming is a
     // deterministic mutation of documents: every 3rd doc re-ingested
@@ -162,6 +208,38 @@ object OrpQueries {
         |  ('0x' || substr(md5('user_' || user_id), 1, 15))::BIGINT AS src_id,
         |  ('0x' || substr(md5('event_' || event_id), 1, 15))::BIGINT AS dst_id
         |FROM events""".stripMargin,
+    "g_pagerank_step" ->
+      """WITH e AS (
+        |  SELECT ('0x' || substr(md5('user_' || user_id), 1, 15))::BIGINT
+        |           AS src_id,
+        |         ('0x' || substr(md5('event_' || event_id), 1, 15))::BIGINT
+        |           AS dst_id
+        |  FROM events),
+        |deg AS (SELECT src_id, count(*) AS deg FROM e GROUP BY src_id),
+        |contrib AS (
+        |  SELECT e.dst_id AS node_id,
+        |    round(0.15 + 0.85 *
+        |      sum(round(1.0 / deg.deg, 9)::DECIMAL(28,12))::DOUBLE, 6)
+        |      AS rank
+        |  FROM e JOIN deg USING (src_id) GROUP BY e.dst_id),
+        |nodes AS (
+        |  SELECT src_id AS node_id FROM e
+        |  UNION SELECT dst_id FROM e)
+        |SELECT n.node_id, coalesce(c.rank, 0.15) AS rank
+        |FROM nodes n LEFT JOIN contrib c USING (node_id)""".stripMargin,
+    "ix_postings" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, i AS pos, tk[i] AS term
+        |  FROM t, unnest(generate_series(1, len(tk))) AS u(i))
+        |SELECT term, count(DISTINCT doc_id) AS df, count(*) AS tf_total,
+        |  array_to_string(
+        |    list_sort(list(doc_id::VARCHAR || ':' || pos::VARCHAR))[1:20], ',')
+        |    AS postings
+        |FROM p GROUP BY term""".stripMargin,
     "g_scd2_merge" ->
       """WITH cur AS (
         |  SELECT doc_id::VARCHAR AS uid, text, lang, 1::BIGINT AS version,
