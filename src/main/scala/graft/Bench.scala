@@ -41,7 +41,12 @@ object Bench {
         : (Double, Boolean) = {
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
-        catch { case _: Throwable => false }
+        catch { case e: Throwable =>
+          // a failure must be LOUD: a swallowed exception times as a
+          // fast "success" and reads as a speedup in round-over-round
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          false
+        }
       val dt = (System.nanoTime() - t0) / 1e9
       // Queries that persist intermediates (the self-join dedup family)
       // would otherwise accumulate storage across the run and skew later
@@ -76,11 +81,13 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val failed = firstPass.collect { case (n, _, _, false) => n }
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     Files.writeString(Paths.get(outFile),
-      s"""{"metric":"total","value":$total,"unit":"sec","agg":"min-of-2 for queries >1s","queries":$qs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","agg":"min-of-2 for queries >1s","errors":$failedJson,"queries":$qs,"sf":"$sfDir"}""")
     // Final stdout line stays under ~200 bytes so the driver's capture
     // never truncates mid-JSON.
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","queries_file":"$outFile"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_errors":${failed.size},"sf":"$sfDir","queries_file":"$outFile"}""")
     spark.stop()
   }
 }

@@ -104,6 +104,40 @@ object DedupQueries {
         .agg(count("*").as("n_shared"))
     }),
 
+    // Chunked signature aggregation via the SigMin UDAF (SURVEY §2.11's
+    // MinHashAgg): 16-perm portable signatures are computed per 10-token
+    // CHUNK, then merged to the document signature with the custom
+    // TypedImperativeAggregate — element-wise min is associative, so the
+    // merge combines map-side and only one 16-long buffer per group
+    // crosses the shuffle. Because min(min over chunks) = min over all
+    // tokens, the merged result is EXACTLY the flat whole-document
+    // signature — which is what the oracle computes, so the UDAF's
+    // update/merge/serialize cycle is verified end-to-end by equality.
+    "agg_sig_min_chunks" -> ((s, d) => {
+      val P = Hashes.MinHashPrime
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(Texts.tokens(col("text"))).as(Seq("pos", "tok")))
+      val permAggs = (0 until 16).map { i =>
+        val a = (2654435761L * (i + 1)) % P
+        val b = (40503L * (i + 7)) % P
+        min((lit(a) * col("h") + lit(b)) % P).as(s"s$i")
+      }
+      val chunkSig = toks
+        .select(col("doc_id"), floor(col("pos") / 10).as("chunk_idx"),
+          (Texts.md5Long(col("tok")) % P).as("h"))
+        .groupBy("doc_id", "chunk_idx")
+        .agg(permAggs.head, permAggs.tail: _*)
+        .select(col("doc_id"),
+          array((0 until 16).map(i => col(s"s$i")): _*).as("sig"))
+      chunkSig.groupBy("doc_id")
+        .agg(graft.plans.Native.sig_min_agg(col("sig")).as("sig"),
+          count(lit(1)).as("n_chunks"))
+        .select(col("doc_id"), col("n_chunks"),
+          array_join(transform(col("sig"), x => x.cast("string")), ",")
+            .as("signature"))
+    }),
+
     // Bloom-prefiltered decontamination — same semantics as
     // dd_decontaminate, but the corpus-side gram stream is first pruned
     // by a Bloom filter built over the benchmark grams (one driver-side
@@ -523,6 +557,27 @@ object DedupQueries {
         |FROM g JOIN b USING (gram)
         |WHERE g.doc_id >= 20
         |GROUP BY 1""".stripMargin,
+    // The oracle computes the FLAT whole-document signature — chunked
+    // UDAF-merged signatures must equal it exactly (min is associative).
+    "agg_sig_min_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |  FROM documents),
+        |tok AS (SELECT doc_id, len(tk) AS n_tok, unnest(tk) AS tok FROM t),
+        |h AS (
+        |  SELECT doc_id, n_tok,
+        |    ('0x' || substr(md5(tok), 1, 15))::BIGINT % 2147483647 AS h
+        |  FROM tok),
+        |s AS (
+        |  SELECT doc_id, max(n_tok) AS n_tok, p,
+        |    min(((2654435761 * (p+1) % 2147483647) * h
+        |         + (40503 * (p+7) % 2147483647)) % 2147483647) AS m
+        |  FROM h, unnest(generate_series(0, 15)) AS g(p)
+        |  GROUP BY doc_id, p)
+        |SELECT doc_id, ((max(n_tok) + 9) // 10)::BIGINT AS n_chunks,
+        |  array_to_string(list(m::VARCHAR ORDER BY p), ',') AS signature
+        |FROM s GROUP BY doc_id""".stripMargin,
     // Bloom prefilter + exact verify ≡ exact decontamination, so the
     // oracle is identical to dd_decontaminate's.
     "dd_bloom_decontaminate" ->

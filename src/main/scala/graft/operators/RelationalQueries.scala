@@ -393,6 +393,22 @@ object RelationalQueries {
         .groupBy("source")
         .pivot("lang", Seq("en", "de", "es", "fr", "zh"))
         .agg(count(lit(1)))
+    }),
+
+    // T5 inverse: unpivot/melt wide → long. Pure metadata reshaping —
+    // each wide row expands row-locally (an Expand node, no shuffle
+    // beyond the pivot's own aggregation), so melt adds zero exchanges
+    // at any scale. Null cells (absent combinations) are dropped to
+    // restore the exact long-form census.
+    "t6_unpivot" -> ((s, d) => {
+      Tables.documents(s, d)
+        .groupBy("source")
+        .pivot("lang", Seq("en", "de", "es", "fr", "zh"))
+        .agg(count(lit(1)))
+        .unpivot(Array(col("source")),
+          Array(col("en"), col("de"), col("es"), col("fr"), col("zh")),
+          "lang", "n")
+        .filter(col("n").isNotNull)
     })
   )
 
@@ -507,6 +523,11 @@ object RelationalQueries {
         |  sum(CASE WHEN lang = 'fr' THEN 1 END)::BIGINT AS fr,
         |  sum(CASE WHEN lang = 'zh' THEN 1 END)::BIGINT AS zh
         |FROM documents GROUP BY source""".stripMargin,
+    "t6_unpivot" ->
+      """SELECT source, lang, count(*)::BIGINT AS n
+        |FROM documents
+        |WHERE lang IN ('en','de','es','fr','zh')
+        |GROUP BY source, lang""".stripMargin,
     "skew_salted_wordcount" ->
       """SELECT word AS key, count(*)::BIGINT AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t

@@ -44,6 +44,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("sig_agree",
         "sig_agree(a, b) - fraction of agreeing MinHash signature positions"),
       (es: Seq[Expression]) => SigAgree(es.head, es(1))))
+    e.injectFunction((FunctionIdentifier("sig_min"),
+      info("sig_min",
+        "sig_min(sig) - element-wise min of long-array signatures (UDAF)"),
+      (es: Seq[Expression]) => SigMin(es.head)))
     e.injectFunction((FunctionIdentifier("json_find_key"),
       info("json_find_key",
         "json_find_key(json, key) - recursive document-order key search"),

@@ -205,6 +205,80 @@ case class SimHash64(child: Expression)
     copy(child = c)
 }
 
+/** sig_min(array<long>) → array<long>: element-wise minimum across the
+  * group — the MinHash signature MERGE as a custom UDAF
+  * (`TypedImperativeAggregate`, SURVEY §2.11's `MinHashAgg`). min is
+  * associative and commutative, so partial buffers combine map-side and
+  * the shuffle carries one `numPerms`-long array per (partition, group):
+  * signatures of document chunks aggregate to exactly the whole-document
+  * signature without re-reading any text. Buffer is a primitive
+  * long[] sized lazily from the first input; serialization is the raw
+  * 8·n bytes. */
+case class SigMin(child: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate
+    .TypedImperativeAggregate[Array[Long]]
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  override def createAggregationBuffer(): Array[Long] = null
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v == null) buf
+    else {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val b = if (buf == null) Array.fill(n)(Long.MaxValue) else buf
+      var i = 0
+      val m = math.min(n, b.length)
+      while (i < m) {
+        val x = arr.getLong(i)
+        if (x < b(i)) b(i) = x
+        i += 1
+      }
+      b
+    }
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] =
+    if (b1 == null) b2
+    else if (b2 == null) b1
+    else {
+      var i = 0
+      val m = math.min(b1.length, b2.length)
+      while (i < m) { if (b2(i) < b1(i)) b1(i) = b2(i); i += 1 }
+      b1
+    }
+
+  override def eval(buf: Array[Long]): Any =
+    if (buf == null) null else new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] =
+    if (buf == null) Array.emptyByteArray
+    else {
+      val bb = java.nio.ByteBuffer.allocate(8 * buf.length)
+      buf.foreach(bb.putLong)
+      bb.array()
+    }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] =
+    if (bytes.isEmpty) null
+    else {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      Array.fill(bytes.length / 8)(bb.getLong)
+    }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): SigMin =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): SigMin =
+    copy(inputAggBufferOffset = newOffset)
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def withNewChildInternal(newChild: Expression): SigMin =
+    copy(child = newChild)
+  override def prettyName: String = "sig_min"
+}
+
 /** Column-level entry points + SQL registration. */
 object Native {
   import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
@@ -217,6 +291,8 @@ object Native {
     column(SortedIntersectCount(expression(a), expression(b)))
   def sig_agree(a: Column, b: Column): Column =
     column(SigAgree(expression(a), expression(b)))
+  def sig_min_agg(c: Column): Column =
+    column(SigMin(expression(c)).toAggregateExpression())
 
   /** Register for SQL use in an existing session
     * (`SELECT cosine_sim(a, b) …`); [[GraftExtensions]] is the
@@ -235,6 +311,10 @@ object Native {
       es => SortedIntersectCount(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("sig_agree",
       es => SigAgree(es.head, es(1)), "scala_udf")
+    // aggregate: the analyzer wraps a bare AggregateFunction returned
+    // from the registry into AggregateExpression itself
+    reg.createOrReplaceTempFunction("sig_min",
+      es => SigMin(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("json_find_key",
       es => graft.functions.JsonFindKey(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("json_flatten_paths",

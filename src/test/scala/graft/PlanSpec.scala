@@ -283,6 +283,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"))
   }
 
+  test("SigMin UDAF: callable from SQL, merges element-wise, and the " +
+    "chunk→doc merge partial-aggregates map-side") {
+    val r = spark.sql(
+      "SELECT sig_min(s) FROM VALUES (array(5L,1L)), (array(2L,9L)) AS t(s)")
+      .head.getSeq[Long](0)
+    assert(r == Seq(2L, 1L))
+    val p = planOf(DedupQueries.queries("agg_sig_min_chunks")(spark, sf))
+    assert(p.contains("ObjectHashAggregate"),
+      "TypedImperativeAggregate must plan as object hash aggregation")
+    assert(p.contains("partial_sig_min"),
+      "signature buffers must combine before the exchange")
+  }
+
   test("sim_kmeans_step: M-step is a keyed partial aggregation over " +
     "(cluster, dim) — never a single-partition reduce") {
     val p = planOf(SimilarityQueries.queries("sim_kmeans_step")(spark, sf))
