@@ -131,9 +131,15 @@ object CorpusQueries {
           min(when(col("cum") * 20 > col("total"), col("n_chars"))).as("lo"),
           max(when((col("total") - col("cum") + col("cnt")) * 20 > col("total"),
             col("n_chars"))).as("hi"))
+      // persisted: the trimmed survivor set feeds BOTH the
+      // decontamination gram explode and the anti-join/chunk stages —
+      // without this the census + trim filter re-run per consumer (the
+      // "persisted once and feeds all downstream stages" posture
+      // SCALE.md describes for deployment)
       val trimmed = docs.crossJoin(broadcast(bounds))
         .filter(col("n_chars").between(col("lo"), col("hi")))
         .select(col("doc_id"), col("lang"), col("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // stage 2: benchmark decontamination (see dd_decontaminate — the
       // bench slice comes from the FULL corpus, not the trimmed one)
       def grams(df: DataFrame) = df.select(col("doc_id"),
