@@ -78,16 +78,17 @@ object Bench {
         name -> best
       } else name -> dt1
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val failed = firstPass.collect { case (n, _, _, false) => n }
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    Files.writeString(Paths.get(outFile),
-      s"""{"metric":"total","value":$total,"unit":"sec","agg":"min-of-2 for queries >1s","errors":$failedJson,"queries":$qs,"sf":"$sfDir"}""")
-    // Final stdout line stays under ~200 bytes so the driver's capture
-    // never truncates mid-JSON.
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_errors":${failed.size},"sf":"$sfDir","queries_file":"$outFile"}""")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","agg":"min-of-2 for queries >1s","n_errors":${failed.size},"errors":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
+    Files.writeString(Paths.get(outFile), line)
+    // Contract: the final stdout line IS the JSON result, with the
+    // per-query seconds inline (build.sbt's StdoutOutput strategy keeps
+    // it free of sbt's "[info] " prefix so the driver can json-parse it).
+    println(line)
     spark.stop()
   }
 }
