@@ -25,7 +25,8 @@ object SparkEntry {
       operators.SourceSinkQueries.queries ++
       operators.Multimodal.queries ++
       operators.MixQueries.queries ++
-      operators.CorpusQueries.queries
+      operators.CorpusQueries.queries ++
+      operators.Layout.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -39,5 +40,6 @@ object SparkEntry {
       operators.SourceSinkQueries.oracles ++
       operators.Multimodal.oracles ++
       operators.MixQueries.oracles ++
-      operators.CorpusQueries.oracles
+      operators.CorpusQueries.oracles ++
+      operators.Layout.oracles
 }

@@ -150,13 +150,47 @@ object Multimodal {
   /** Oracle-checked query surface: documents' text bytes stand in for
     * media payloads; metadata extraction is pure-expression and portable.
     */
+  private def binDocs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("content"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_media_meta" -> ((s, d) => {
-      val bin = Tables.documents(s, d)
-        .select(col("doc_id"), col("text").cast("binary").as("content"))
-      withMediaMeta(bin)
+      withMediaMeta(binDocs(s, d))
         .select(col("doc_id"), col("meta.media_type"), col("meta.byte_len"),
           substring(col("meta.magic"), 1, 8).as("magic"))
+    }),
+
+    // Video frame-sample stage: one payload row → 8 frame rows through
+    // the partition-batched generator (per-partition codec init, rows
+    // stream — no collect, no state). Frames render as hex so the
+    // oracle compares byte-exact content.
+    "mm_frame_sample" -> ((s, d) => {
+      sampleFrames(binDocs(s, d), 8)
+        .select(col("doc_id"), col("frame_no"),
+          upper(hex(col("frame"))).as("frame_hex"))
+    }),
+
+    // Image resize stage: binary → fixed 16×16 payload per row. The stub
+    // codec's nearest-neighbor byte gather is deterministic, so the
+    // resized payload itself is oracle-checkable (as hex).
+    "mm_resize" -> ((s, d) => {
+      resize(binDocs(s, d), 16, 16)
+        .select(col("doc_id"), upper(hex(col("resized"))).as("resized_hex"),
+          col("out_w"), col("out_h"))
+    }),
+
+    // Feature-extraction stage: payload → 64-dim pooled vector via the
+    // partition-batched codec, then un-normalized back to integer bucket
+    // counts for the cross-engine compare (float vectors don't hash
+    // portably; the counts are exact).
+    "mm_feature_hist" -> ((s, d) => {
+      extractFeatures(binDocs(s, d), 64)
+        .select(col("doc_id"), octet_length(col("content")).cast("long").as("len"),
+          posexplode(col("features")).as(Seq("bucket", "f")))
+        .select(col("doc_id"), col("bucket"),
+          round(col("f") * col("len")).cast("int").as("cnt"))
+        .filter(col("cnt") > 0)
     }))
 
   val oracles: Map[String, String] = Map(
@@ -164,5 +198,36 @@ object Multimodal {
       """SELECT doc_id, 'unknown' AS media_type,
         |  octet_length(text::BLOB)::BIGINT AS byte_len,
         |  substr(upper(hex(text::BLOB)), 1, 8) AS magic
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+    // DuckDB has no BLOB substr, so both frame/resize oracles slice the
+    // hex rendering (2 chars per byte) — byte i lives at hex[2i+1, 2].
+    "mm_frame_sample" ->
+      """WITH b AS (SELECT doc_id, upper(hex(text::BLOB)) h,
+        |             octet_length(text::BLOB) len FROM documents),
+        |s AS (SELECT doc_id, h, greatest(len // 8, 1) AS span FROM b)
+        |SELECT doc_id, CAST(i AS INT) AS frame_no,
+        |       substr(h, 2 * i * span + 1, 2 * span) AS frame_hex
+        |FROM s, generate_series(0, 7) t(i)""".stripMargin,
+    "mm_resize" ->
+      """WITH b AS (SELECT doc_id, upper(hex(text::BLOB)) h,
+        |             octet_length(text::BLOB) len FROM documents),
+        |g AS (SELECT doc_id, i,
+        |        substr(h, 2 * CAST((i * len) // 256 AS INT) + 1, 2) p
+        |      FROM b, generate_series(0, 255) t(i))
+        |SELECT doc_id, string_agg(p, '' ORDER BY i) AS resized_hex,
+        |       16 AS out_w, 16 AS out_h
+        |FROM g GROUP BY doc_id""".stripMargin,
+    // Histogram of byte values mod 64; the byte value is reconstructed
+    // from its two hex digits. The series bound is static (docs are
+    // < 16 KiB) because this DuckDB build lacks lateral generate_series.
+    "mm_feature_hist" ->
+      """WITH b AS (SELECT doc_id, upper(hex(text::BLOB)) h,
+        |             octet_length(text::BLOB) len FROM documents),
+        |v AS (SELECT doc_id,
+        |        ((strpos('0123456789ABCDEF', substr(h, 2*i+1, 1)) - 1) * 16
+        |         + strpos('0123456789ABCDEF', substr(h, 2*i+2, 1)) - 1) % 64
+        |          AS bucket
+        |      FROM b, generate_series(0, 16383) t(i) WHERE i < len)
+        |SELECT doc_id, CAST(bucket AS INT) AS bucket, CAST(count(*) AS INT) cnt
+        |FROM v GROUP BY doc_id, bucket""".stripMargin)
 }

@@ -409,6 +409,56 @@ object RelationalQueries {
           Array(col("en"), col("de"), col("es"), col("fr"), col("zh")),
           "lang", "n")
         .filter(col("n").isNotNull)
+    }),
+
+    // §2.6 time-range rolling window: per-customer trailing-30-day order
+    // count and spend. RANGE frame over an integer day index (identical
+    // frame semantics in both engines); the money sum runs in DECIMAL so
+    // it is associative and order-independent. Keyed window — one hash
+    // exchange on o_custkey, per-partition sort, nothing global.
+    "w7_rolling_range" -> ((s, d) => {
+      val day = datediff(col("o_orderdate"), lit("1970-01-01"))
+      val w = Window.partitionBy("o_custkey").orderBy(day)
+        .rangeBetween(-29, Window.currentRow)
+      Tables.orders(s, d)
+        .withColumn("n_30d", count(lit(1)).over(w))
+        .withColumn("amt_30d",
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+            .cast("decimal(18,2)"))
+        .select("o_orderkey", "o_custkey", "n_30d", "amt_30d")
+    }),
+
+    // §2.5 hierarchical aggregation: ROLLUP over (returnflag, linestatus)
+    // — per-group subtotals and the grand total in ONE pass. Catalyst
+    // compiles this to an Expand node (each row replicated once per
+    // grouping set) feeding a single keyed aggregation, so the fact
+    // table is scanned once, not once per level. gid distinguishes the
+    // NULL-as-subtotal rows from genuine NULL keys.
+    "t7_rollup" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(grouping_id().cast("int").as("gid"),
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").as("sum_qty"))
+        .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
+    }),
+
+    // §2.5 exact distribution summary: quartiles of l_quantity per
+    // return flag via the exact `percentile` aggregate. Linear
+    // interpolation at rank p·(n−1) — the same definition as DuckDB's
+    // quantile_cont — and the inputs are integer-valued doubles, so the
+    // interpolated values are exact binary fractions, bit-equal across
+    // engines. (The scale path is percentile_approx/t-digest; the exact
+    // form is the oracle-checkable baseline.)
+    "a8_percentiles" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))")
+          .as("qs"))
+        .select(col("l_returnflag"), posexplode(col("qs")).as(Seq("pos", "q")))
+        .select(col("l_returnflag"),
+          ((col("pos") + 1).cast("double") * 0.25).as("p"), col("q"))
     })
   )
 
@@ -569,6 +619,26 @@ object RelationalQueries {
         |  round(cume_dist() OVER w, 6) AS cd,
         |  ntile(4) OVER w AS quartile
         |FROM documents
-        |WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)""".stripMargin
+        |WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)""".stripMargin,
+    "w7_rolling_range" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_30d,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w
+        |       AS DECIMAL(18,2)) AS amt_30d
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |  RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "t7_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "a8_percentiles" ->
+      """SELECT l_returnflag,
+        |  CAST(unnest([0.25, 0.5, 0.75]) AS DOUBLE) AS p,
+        |  unnest(quantile_cont(l_quantity, [0.25, 0.5, 0.75])) AS q
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin
   )
 }

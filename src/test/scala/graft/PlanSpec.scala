@@ -335,4 +335,33 @@ class PlanSpec extends SparkSpec {
       .orderBy("doc_id").collect().toSeq
     assert(bloom == exact)
   }
+
+  test("w7_rolling_range: the RANGE window is keyed on o_custkey — one " +
+    "hash exchange, never a single-partition window") {
+    val p = planOf(RelationalQueries.queries("w7_rolling_range")(spark, sf))
+    assert(p.contains("Window"))
+    assert(p.contains("hashpartitioning(o_custkey"),
+      "window exchange must partition by the customer key")
+    assert(!p.contains("SinglePartition"),
+      "an unkeyed window would move the whole table to one task")
+  }
+
+  test("t7_rollup: every grouping level comes from ONE fact scan via " +
+    "Expand, with a map-side partial aggregate") {
+    val p = planOf(RelationalQueries.queries("t7_rollup")(spark, sf))
+    assert(p.contains("Expand"), "rollup must compile to Expand, not rescans")
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      "one scan feeds all grouping sets")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "partial aggregation must run map-side before the exchange")
+  }
+
+  test("layout_zorder_key: the Morton key is pure codegen'd projection — " +
+    "scan-narrow, zero exchanges") {
+    val p = planOf(Layout.queries("layout_zorder_key")(spark, sf))
+    assert(!p.contains("Exchange"), "key derivation must not shuffle")
+    assert(p.contains("*(1) Project"),
+      "the unrolled shift/mask arithmetic must stay inside codegen " +
+        "(the *(n) prefix is the whole-stage-codegen marker)")
+  }
 }
