@@ -41,6 +41,25 @@ object Layout {
       .drop("_zkey")
       .write.mode("overwrite").parquet(path)
 
+  /** Small-file compaction: rewrite a parquet directory into
+    * ⌈bytes / targetBytes⌉ balanced files. At 100 TB the steady-state
+    * enemy of scan throughput is the long tail of KB-sized files left
+    * by incremental appends — listing, footer reads, and task scheduling
+    * start to dominate the actual IO. One round-robin repartition rewrite
+    * restores scan-efficient sizes; returns the output file count. */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+      targetBytes: Long): Int = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(inPath), spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(inPath))
+      .getLength
+    val files = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(inPath)
+      .repartition(files)
+      .write.mode("overwrite").parquet(outPath)
+    files
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // The key computation itself, oracle-checked bit-for-bit: Morton key
     // over the (partkey, suppkey) plane of lineitem.

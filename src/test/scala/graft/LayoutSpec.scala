@@ -51,4 +51,24 @@ class LayoutSpec extends SparkSpec {
     // every file — a y-filter reads everything
     assert(avgSpread(ldir, "y") > 48, "1-D layout leaves y unbounded")
   }
+
+  test("compact rewrites a small-file directory to size-targeted files, " +
+    "row-preserving") {
+    val frag = "/tmp/graft-test-fragmented"
+    val comp = "/tmp/graft-test-compacted"
+    spark.range(10000).select(col("id"), (col("id") * 7 % 100).as("v"))
+      .repartition(64) // the incremental-append long tail: 64 tiny files
+      .write.mode("overwrite").parquet(frag)
+    def parquetFiles(p: String) =
+      new java.io.File(p).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(frag) == 64)
+    val totalBytes = new java.io.File(frag).listFiles
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    val n = Layout.compact(spark, frag, comp, targetBytes = totalBytes / 4)
+    assert(parquetFiles(comp) == n && n >= 2 && n <= 8,
+      s"expected a handful of size-targeted files, got $n")
+    // row-identical content
+    assert(spark.read.parquet(comp).orderBy("id").collect().toSeq ==
+      spark.read.parquet(frag).orderBy("id").collect().toSeq)
+  }
 }
