@@ -285,6 +285,52 @@ object CorpusQueries {
       docs.crossJoin(broadcast(bounds))
         .filter(col("n_chars").between(col("lo"), col("hi")))
         .select(col("doc_id"), col("lang"), col("n_chars"))
+    }),
+
+    // Data-quality audit: the contract checks a pipeline runs before
+    // promoting a corpus snapshot (null keys, duplicate keys, referential
+    // integrity, domain/range violations, cardinalities) rolled up into
+    // one (check, metric) report. Shapes per check class: the scalar
+    // metrics come from ONE conditional-aggregation pass over each fact
+    // table (no per-check rescans); duplicate detection is a keyed count;
+    // FK verification a broadcast anti-join against the dim keys.
+    "dq_audit" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val docs = Tables.documents(s, d)
+      val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+        "5-LOW")
+      val oScalars = o.agg(
+        count(lit(1)).as("orders.row_count"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L))
+          .as("orders.o_custkey.null_count"),
+        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L))
+          .as("orders.o_totalprice.nonpositive_count"),
+        sum(when(!col("o_orderpriority").isin(prios: _*), 1L).otherwise(0L))
+          .as("orders.o_orderpriority.domain_violation_count"),
+        count_distinct(col("o_custkey")).as("orders.o_custkey.distinct_count"))
+      val docScalars = docs.agg(
+        count(lit(1)).as("documents.row_count"),
+        sum(when(length(col("text")) === 0, 1L).otherwise(0L))
+          .as("documents.text.empty_count"))
+      def melt(df: DataFrame) = {
+        // backtick-quote: the check names contain dots, which a bare
+        // col() would parse as struct-field access
+        df.unpivot(Array.empty[org.apache.spark.sql.Column],
+          df.columns.map(c => col(s"`$c`")), "check", "metric")
+      }
+      val dupOrders = o.groupBy("o_orderkey").agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+        .agg(coalesce(count(lit(1)), lit(0L)).as("metric"))
+        .select(lit("orders.o_orderkey.duplicate_count").as("check"),
+          col("metric"))
+      val fkViol = o.join(
+          broadcast(Tables.customer(s, d).select(col("c_custkey"))),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(coalesce(count(lit(1)), lit(0L)).as("metric"))
+        .select(lit("orders.o_custkey.fk_violation_count").as("check"),
+          col("metric"))
+      melt(oScalars).unionByName(melt(docScalars))
+        .unionByName(dupOrders).unionByName(fkViol)
     })
   )
 
@@ -468,6 +514,33 @@ object CorpusQueries {
         |  FROM w)
         |SELECT d.doc_id, d.lang, d.n_chars
         |FROM documents d CROSS JOIN b
-        |WHERE d.n_chars BETWEEN b.lo AND b.hi""".stripMargin
+        |WHERE d.n_chars BETWEEN b.lo AND b.hi""".stripMargin,
+    "dq_audit" ->
+      """SELECT 'orders.row_count' AS "check", count(*)::BIGINT AS metric
+        |  FROM orders
+        |UNION ALL SELECT 'orders.o_custkey.null_count',
+        |  sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+        |  FROM orders
+        |UNION ALL SELECT 'orders.o_totalprice.nonpositive_count',
+        |  sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)::BIGINT
+        |  FROM orders
+        |UNION ALL SELECT 'orders.o_orderpriority.domain_violation_count',
+        |  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH',
+        |    '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW')
+        |    THEN 1 ELSE 0 END)::BIGINT FROM orders
+        |UNION ALL SELECT 'orders.o_custkey.distinct_count',
+        |  count(DISTINCT o_custkey)::BIGINT FROM orders
+        |UNION ALL SELECT 'documents.row_count', count(*)::BIGINT
+        |  FROM documents
+        |UNION ALL SELECT 'documents.text.empty_count',
+        |  sum(CASE WHEN length(text) = 0 THEN 1 ELSE 0 END)::BIGINT
+        |  FROM documents
+        |UNION ALL SELECT 'orders.o_orderkey.duplicate_count',
+        |  count(*)::BIGINT FROM (
+        |    SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)
+        |UNION ALL SELECT 'orders.o_custkey.fk_violation_count',
+        |  (SELECT count(*) FROM orders
+        |   WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))::BIGINT"""
+        .stripMargin
   )
 }

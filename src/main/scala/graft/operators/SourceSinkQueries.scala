@@ -68,6 +68,26 @@ object SourceSinkQueries {
         .select(col("doc_id"), col("n_chars"))
     }),
 
+    // S14 schema evolution: a corpus written over months accretes columns
+    // (v2 files carry n_chars, v1 files don't). mergeSchema unions the
+    // footer schemas at planning time — old files surface NULL for the
+    // new column, no rewrite of historical data. (Merge only on the
+    // evolving prefix; corpus-wide mergeSchema at 100 TB reads every
+    // footer — pin the schema once evolution settles.)
+    "s14_merge_schema" -> ((s, d) => {
+      val out = tmpDir(s"evolve-${d.replace('/', '_')}")
+      val docs = Tables.documents(s, d)
+      docs.filter(col("doc_id") % 2 === 0).select("doc_id", "lang")
+        .write.mode("overwrite").parquet(s"$out/v1")
+      docs.filter(col("doc_id") % 2 === 1).select("doc_id", "lang", "n_chars")
+        .write.mode("overwrite").parquet(s"$out/v2")
+      s.read.option("mergeSchema", "true").parquet(s"$out/v1", s"$out/v2")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("n_chars")).as("n_with_chars"),
+          coalesce(sum("n_chars"), lit(0L)).cast("long").as("sum_chars"))
+    }),
+
     // F21/K3 JSON: serialize rows to JSON strings (sorted-key envelope ≙
     // typedb_ingestion.py:16-25), parse back with from_json, project the
     // fields — serialization round-trip identity.
@@ -260,6 +280,12 @@ object SourceSinkQueries {
   private val VerifySfDir = "/root/testdata/sf0.01"
 
   val oracles: Map[String, String] = Map(
+    "s14_merge_schema" ->
+      """SELECT lang, count(*) AS n_rows,
+        |  count(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS n_with_chars,
+        |  CAST(coalesce(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars END), 0)
+        |       AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY lang""".stripMargin,
     "s4_html_extract" ->
       """WITH base AS (
         |  SELECT doc_id, source, 'Doc ' || doc_id || ' ' || lang AS t,

@@ -240,6 +240,29 @@ class StreamingSpec extends SparkSpec {
     assert(pairs == Set((1L, 10L), (2L, 11L)))
   }
 
+  test("stream-static broadcast join enriches micro-batches; unmatched " +
+    "events survive as left rows") {
+    // the streaming face of J2: the dimension is a plain batch frame
+    // broadcast into every micro-batch — per-batch hash join, no
+    // streaming state at all, dim refresh = next batch reads new frame
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val dim = Seq(("signup", "acquisition"), ("purchase", "revenue"))
+      .toDF("event_type", "category")
+    val joined = input.toDF().toDF("event_id", "event_type")
+      .join(broadcast(dim), Seq("event_type"), "left")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("enriched").start()
+    input.addData((1L, "signup"), (2L, "browse"), (3L, "purchase"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("enriched")
+      .select($"event_id", $"category").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(rows == Map(1L -> Some("acquisition"), 2L -> None,
+      3L -> Some("revenue")))
+  }
+
   test("native session_window groups events by activity gap per user") {
     // Spark's built-in session windows (dynamic, gap-merged) — the
     // declarative alternative to the flatMapGroupsWithState sessionizer,
