@@ -94,6 +94,33 @@ object MixQueries {
           col("n_docs"), col("tokens"), col("avg_chars"))
     }),
 
+    // Incremental datacard maintenance: the stored per-(lang, source)
+    // aggregate state merges with a delta batch's partials by pure
+    // algebra — counts and sums ADD; the average is re-derived from the
+    // merged sums — so refreshing the card after an append touches only
+    // the delta, never a corpus rescan. (That mergeability is why the
+    // card stores sum+count, not avg.) Split is deterministic
+    // (doc_id % 10); the oracle is the full recompute, so the query IS
+    // the incremental≡full proof.
+    "mix_datacard_incr" -> ((s, d) => {
+      val nTok = size(Texts.tokens(col("text")))
+      def partials(df: DataFrame) = df
+        .select(col("lang"), col("source"), nTok.as("n_tok"), col("n_chars"))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens"),
+          sum("n_chars").as("chars"))
+      val docs = Tables.documents(s, d)
+      val stored = partials(docs.filter(col("doc_id") % 10 =!= 0))
+      val delta = partials(docs.filter(col("doc_id") % 10 === 0))
+      stored.unionByName(delta)
+        .groupBy("lang", "source")
+        .agg(sum("n_docs").as("n_docs"), sum("tokens").as("tokens"),
+          sum("chars").as("chars"))
+        .select(col("lang"), col("source"), col("n_docs"), col("tokens"),
+          round(col("chars").cast("double") / col("n_docs"), 6)
+            .as("avg_chars"))
+    }),
+
     // Fixed-budget sequence packing: greedy first-fit in (lang, doc_id)
     // order — bin k holds the docs whose running token offset lands in
     // [k·512, (k+1)·512). One keyed window per language partition; at
@@ -184,6 +211,14 @@ object MixQueries {
          |  count(*) AS n_docs, sum(n_tok)::BIGINT AS tokens,
          |  round(avg(n_chars), 6) AS avg_chars
          |FROM t GROUP BY ROLLUP(lang, source)""".stripMargin,
+    "mix_datacard_incr" ->
+      s"""WITH t AS (
+         |  SELECT lang, source, len($toksSql) AS n_tok, n_chars
+         |  FROM documents)
+         |SELECT lang, source, count(*) AS n_docs,
+         |  sum(n_tok)::BIGINT AS tokens,
+         |  round(sum(n_chars)::DOUBLE / count(*), 6) AS avg_chars
+         |FROM t GROUP BY lang, source""".stripMargin,
     "samp_fixed_k" ->
       """SELECT doc_id, lang,
         |  ('0x' || substr(md5('fixk#' || doc_id), 1, 15))::BIGINT AS h

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Malformed-input behavior of the ingest surface: at 100 TB there WILL
+  * be corrupt records in every crawl drop, and the pipeline contract is
+  * quarantine-and-continue (PERMISSIVE + corrupt-record column), with
+  * FAILFAST reserved for formats that must be trusted end-to-end. */
+class RobustnessSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeMixedJson(): String = {
+    val dir = new java.io.File("/tmp/graft-test-badjson")
+    dir.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(dir, "part-0.json").toPath,
+      java.util.List.of(
+        """{"a": 1, "b": "ok"}""",
+        """{"a": 2, "b": "also ok"}""",
+        """{"a": THIS IS NOT JSON""",
+        """{"a": "not-a-long", "b": "type mismatch"}"""))
+    dir.toString
+  }
+
+  test("PERMISSIVE json read quarantines corrupt rows, keeps good ones") {
+    val dir = writeMixedJson()
+    val schema = StructType(Seq(
+      StructField("a", LongType), StructField("b", StringType),
+      StructField("_corrupt_record", StringType)))
+    // Spark requires materializing before filtering on the internal
+    // corrupt-record column (SPARK-21610)
+    val df = spark.read.schema(schema).json(dir).cache()
+    try {
+      assert(df.count() == 4)
+      val good = df.filter($"_corrupt_record".isNull)
+        .select($"a", $"b").as[(Long, String)].collect().toSet
+      assert(good == Set((1L, "ok"), (2L, "also ok")))
+      val quarantined = df.filter($"_corrupt_record".isNotNull).count()
+      assert(quarantined == 2, "both the broken line and the type " +
+        "mismatch must land in quarantine, not kill the job")
+    } finally df.unpersist()
+  }
+
+  test("FAILFAST surfaces the malformed row as a job error") {
+    val dir = writeMixedJson()
+    val schema = StructType(Seq(
+      StructField("a", LongType), StructField("b", StringType)))
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read.option("mode", "FAILFAST").schema(schema).json(dir)
+        .collect()
+    }
+    // the malformed-record class sits in the cause chain under the
+    // generic FAILED_READ_FILE wrapper
+    def chain(t: Throwable): List[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toList ++ chain(t.getCause)
+    assert(chain(e).exists(_.toUpperCase.contains("MALFORMED")),
+      chain(e).mkString(" | "))
+  }
+}
