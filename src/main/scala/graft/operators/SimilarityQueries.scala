@@ -259,46 +259,77 @@ object SimilarityQueries {
         .groupBy("vec_id")
         .agg(min(col("kept_id")).as("kept_id"),
           min_by(col("sim"), col("kept_id")).as("sim"))
+    }),
+
+    // ANN quality measurement: recall@3 of the IVF probe against the
+    // exact top-3 — the accept/reject metric that decides whether an
+    // approximate index ships. Pure composition of the two pipelines
+    // above; hits are an (q_id, n_id) equi-join, so the metric is
+    // integer-exact across engines. (At 100 TB: recall is measured on a
+    // sampled query set exactly like this one — the exact side is the
+    // only brute-force scan, bounded by the sample.)
+    "sim_ann_recall" -> ((s, d) => {
+      val exact = queries("sim_ann_bruteforce")(s, d)
+        .filter(col("rk") <= 3).select(col("q_id"), col("n_id"))
+      val approx = queries("sim_ann_ivf")(s, d)
+        .filter(col("q_id") < 20).select(col("q_id"), col("n_id"))
+      exact.join(approx, Seq("q_id", "n_id"))
+        .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
     })
   )
 
+  private val bruteforceSql =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |s AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |    round(list_cosine_similarity(q.v, c.v), 4) AS sim
+       |  FROM e q JOIN e c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+       |        ORDER BY sim DESC, n_id ASC) AS rk FROM s)
+       |SELECT q_id, n_id, sim, rk FROM r WHERE rk <= $K""".stripMargin
+
+  private val ivfSql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |cents AS (SELECT vec_id AS c_id, v AS c_v FROM e WHERE vec_id < 8),
+      |dist AS (
+      |  SELECT e.vec_id, e.v, c.c_id,
+      |    round(list_sum(list_transform(generate_series(1, 64),
+      |      i -> (e.v[i] - c.c_v[i]) * (e.v[i] - c.c_v[i]))), 6) AS d2
+      |  FROM e, cents c),
+      |assigned AS (
+      |  SELECT vec_id AS n_id, v AS n_v, c_id AS cell FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |             ORDER BY d2 ASC, c_id ASC) AS rk FROM dist) t
+      |  WHERE rk = 1),
+      |probed AS (
+      |  SELECT vec_id AS q_id, v AS q_v, c_id AS cell FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |             ORDER BY d2 ASC, c_id ASC) AS rk
+      |    FROM dist WHERE vec_id < 30) t
+      |  WHERE rk <= 2),
+      |scored AS (
+      |  SELECT p.q_id, a.n_id,
+      |    round(list_cosine_similarity(p.q_v, a.n_v), 4) AS sim
+      |  FROM probed p JOIN assigned a ON p.cell = a.cell
+      |  WHERE p.q_id <> a.n_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+      |        ORDER BY sim DESC, n_id ASC) AS rk FROM scored)
+      |SELECT q_id, n_id, sim, rk FROM r WHERE rk <= 3""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "sim_ann_bruteforce" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |s AS (
-         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
-         |    round(list_cosine_similarity(q.v, c.v), 4) AS sim
-         |  FROM e q JOIN e c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
-         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
-         |        ORDER BY sim DESC, n_id ASC) AS rk FROM s)
-         |SELECT q_id, n_id, sim, rk FROM r WHERE rk <= $K""".stripMargin,
-    "sim_ann_ivf" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |cents AS (SELECT vec_id AS c_id, v AS c_v FROM e WHERE vec_id < 8),
-        |dist AS (
-        |  SELECT e.vec_id, e.v, c.c_id,
-        |    round(list_sum(list_transform(generate_series(1, 64),
-        |      i -> (e.v[i] - c.c_v[i]) * (e.v[i] - c.c_v[i]))), 6) AS d2
-        |  FROM e, cents c),
-        |assigned AS (
-        |  SELECT vec_id AS n_id, v AS n_v, c_id AS cell FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id
-        |             ORDER BY d2 ASC, c_id ASC) AS rk FROM dist) t
-        |  WHERE rk = 1),
-        |probed AS (
-        |  SELECT vec_id AS q_id, v AS q_v, c_id AS cell FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id
-        |             ORDER BY d2 ASC, c_id ASC) AS rk
-        |    FROM dist WHERE vec_id < 30) t
-        |  WHERE rk <= 2),
-        |scored AS (
-        |  SELECT p.q_id, a.n_id,
-        |    round(list_cosine_similarity(p.q_v, a.n_v), 4) AS sim
-        |  FROM probed p JOIN assigned a ON p.cell = a.cell
-        |  WHERE p.q_id <> a.n_id),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
-        |        ORDER BY sim DESC, n_id ASC) AS rk FROM scored)
-        |SELECT q_id, n_id, sim, rk FROM r WHERE rk <= 3""".stripMargin,
+    "sim_ann_bruteforce" -> bruteforceSql,
+    "sim_ann_ivf" -> ivfSql,
+    // Both component pipelines are independently oracle-green; the recall
+    // oracle composes them verbatim as subqueries so the two engines
+    // measure the identical approx-vs-exact comparison.
+    "sim_ann_recall" ->
+      s"""WITH exact AS (
+         |  SELECT q_id, n_id FROM ($bruteforceSql) WHERE rk <= 3),
+         |approx AS (
+         |  SELECT q_id, n_id FROM ($ivfSql) WHERE q_id < 20)
+         |SELECT q_id, count(*) AS n_hits
+         |FROM exact JOIN approx USING (q_id, n_id)
+         |GROUP BY q_id""".stripMargin,
     "sim_kmeans_step" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |cents AS (SELECT vec_id AS c_id, v AS c_v FROM e WHERE vec_id < 8),

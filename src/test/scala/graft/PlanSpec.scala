@@ -356,6 +356,27 @@ class PlanSpec extends SparkSpec {
       "partial aggregation must run map-side before the exchange")
   }
 
+  test("dynamic partition pruning: a runtime-only dim filter prunes fact " +
+    "partitions at the scan") {
+    val dir = "/tmp/graft-test-dpp"
+    Tables.lineitem(spark, sf)
+      .withColumn("ship_year", year(col("l_shipdate")))
+      .write.mode("overwrite").partitionBy("ship_year").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    // the surviving years exist only at runtime (an aggregate above a
+    // filter), so static pruning can't apply — DPP must inject a
+    // subquery filter into the fact scan's PartitionFilters
+    val dim = Tables.orders(spark, sf)
+      .groupBy(year(col("o_orderdate")).as("ship_year"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 2000)
+    val q = fact.join(dim, "ship_year")
+      .agg(sum(col("l_quantity")).as("s"))
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      "fact scan must carry a dynamic pruning subquery filter")
+  }
+
   test("layout_zorder_key: the Morton key is pure codegen'd projection — " +
     "scan-narrow, zero exchanges") {
     val p = planOf(Layout.queries("layout_zorder_key")(spark, sf))
