@@ -273,8 +273,13 @@ object SimilarityQueries {
         .filter(col("rk") <= 3).select(col("q_id"), col("n_id"))
       val approx = queries("sim_ann_ivf")(s, d)
         .filter(col("q_id") < 20).select(col("q_id"), col("n_id"))
-      exact.join(approx, Seq("q_id", "n_id"))
-        .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+      val hits = exact.join(approx, Seq("q_id", "n_id"))
+        .groupBy("q_id").agg(count(lit(1)).as("h"))
+      // keep zero-hit query points: a miss is exactly what the metric
+      // exists to surface
+      exact.select("q_id").distinct()
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"), coalesce(col("h"), lit(0L)).as("n_hits"))
     })
   )
 
@@ -326,10 +331,12 @@ object SimilarityQueries {
       s"""WITH exact AS (
          |  SELECT q_id, n_id FROM ($bruteforceSql) WHERE rk <= 3),
          |approx AS (
-         |  SELECT q_id, n_id FROM ($ivfSql) WHERE q_id < 20)
-         |SELECT q_id, count(*) AS n_hits
-         |FROM exact JOIN approx USING (q_id, n_id)
-         |GROUP BY q_id""".stripMargin,
+         |  SELECT q_id, n_id FROM ($ivfSql) WHERE q_id < 20),
+         |h AS (SELECT q_id, count(*) AS h
+         |      FROM exact JOIN approx USING (q_id, n_id) GROUP BY q_id)
+         |SELECT q.q_id, coalesce(h.h, 0)::BIGINT AS n_hits
+         |FROM (SELECT DISTINCT q_id FROM exact) q
+         |LEFT JOIN h USING (q_id)""".stripMargin,
     "sim_kmeans_step" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |cents AS (SELECT vec_id AS c_id, v AS c_v FROM e WHERE vec_id < 8),

@@ -42,6 +42,23 @@ class MultimodalSpec extends SparkSpec {
     assert(feats == again)
   }
 
+  test("feature histogram un-normalizes to exact integer byte counts " +
+    "(the mm_feature_hist portability contract)") {
+    val rows = Multimodal.extractFeatures(media, dims = 8)
+      .select($"id", $"content", $"features").collect()
+    rows.foreach { r =>
+      val bytes = r.getAs[Array[Byte]](1)
+      val feats = r.getSeq[Float](2)
+      val direct = bytes.groupBy(b => java.lang.Byte.toUnsignedInt(b) % 8)
+        .view.mapValues(_.length).toMap
+      (0 until 8).foreach { bucket =>
+        val recovered = math.round(feats(bucket).toDouble * bytes.length)
+        assert(recovered == direct.getOrElse(bucket, 0).toLong,
+          s"id=${r.getLong(0)} bucket=$bucket")
+      }
+    }
+  }
+
   test("resize produces a fixed w×h payload per row, keeps input columns") {
     val out = Multimodal.resize(media, 4, 2)
     assert(out.columns.toSeq ==
