@@ -240,6 +240,82 @@ class StreamingSpec extends SparkSpec {
     assert(pairs == Set((1L, 10L), (2L, 11L)))
   }
 
+  test("end-to-end ingest loop: dedup gate → 3-way outcome → SCD-2 merge " +
+    "across micro-batches (the reference pipeline composed)") {
+    // The full ST path in one foreachBatch: signature the batch, classify
+    // against the live store (duplicate / version / new), drop
+    // duplicates, route versions onto their matched node id, merge.
+    import graft.operators.{DedupGate, MinHashPipeline}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String, String)]
+    var store = Seq.empty[(Long, String, String, String, Long, String)]
+      .toDF("uid", "text", "lang", "meta_key", "version", "status")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-e2e").toString
+    def runOnce(): Unit = {
+      val q = StreamPipeline.run(
+        input.toDF().toDF("uid", "text", "lang", "meta_key"), ckpt) {
+        (batch0, _) =>
+          val batch = batch0.localCheckpoint(true)
+          val live = store.filter($"status" =!= "archive")
+            .localCheckpoint(true)
+          def sigged(df: org.apache.spark.sql.DataFrame, id: String) =
+            MinHashPipeline.signatures(df, id, $"text")
+              .join(df, id)
+          val incoming = sigged(batch, "uid")
+            .select($"uid", $"sig", $"meta_key")
+          val corpus = sigged(live, "uid")
+            .select($"uid".as("node_id"), $"sig", $"meta_key", $"status")
+          val outcomes = DedupGate.classify(incoming, corpus, 4, 4)
+          val routed = batch.join(
+              outcomes.select($"uid", $"outcome", $"matched_node_id",
+                $"best_sim"), "uid")
+            .filter($"outcome" =!= "duplicate")
+            .select(
+              coalesce($"matched_node_id", $"uid").as("uid"),
+              $"text", $"lang", $"meta_key",
+              coalesce($"best_sim", lit(0.0)).as("sim"))
+          store = GraphMerge.merge(store, routed,
+            Seq("text", "lang", "meta_key")).localCheckpoint(true)
+          ()
+      }
+      q.awaitTermination()
+    }
+
+    val baseText = "the quick brown fox jumps over the lazy dog again " * 3
+    input.addData(
+      (1L, baseText, "en", "metaA"),
+      (2L, "completely different payload about regulations", "en", "metaB"))
+    runOnce()
+    assert(store.filter($"status" =!= "archive").count() == 2)
+
+    input.addData(
+      // exact resend of doc 1 under a new uid, same metadata → duplicate
+      (10L, baseText, "en", "metaA"),
+      // near-identical content, different metadata → version of node 1
+      (11L, baseText + " amended", "en", "metaC"),
+      // novel content → new node
+      (12L, "unrelated fresh document about something else", "en", "metaD"))
+    runOnce()
+
+    val live = store.filter($"status" =!= "archive")
+      .select($"uid", $"version", $"meta_key").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // duplicate was dropped at the gate: node 10 never reached the store
+    assert(!live.contains(10L) &&
+      store.filter($"uid" === 10L).count() == 0)
+    // the version outcome landed ON node 1 (id carried forward); its
+    // amendment sits past the 24-word signature window, so best_sim is
+    // 1.0 ≥ 0.995 and the merge applies the ST5 in-place path: metadata
+    // updated, version unchanged, nothing archived (the < 0.995 fork
+    // path is unit-covered in GraphMergeSpec)
+    assert(live(1L) == (1L, "metaC"))
+    assert(store.filter($"uid" === 1L && $"status" === "archive")
+      .count() == 0)
+    // novel doc inserted fresh
+    assert(live(12L) == (1L, "metaD"))
+    assert(live(2L) == (1L, "metaB"))
+  }
+
   test("stream-static broadcast join enriches micro-batches; unmatched " +
     "events survive as left rows") {
     // the streaming face of J2: the dimension is a plain batch frame
