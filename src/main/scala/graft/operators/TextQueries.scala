@@ -25,6 +25,12 @@ object TextQueries {
     "es" -> Seq("el", "la", "los", "que"),
     "fr" -> Seq("le", "les", "et", "dans"))
 
+  /** Decomposed (NFD-style) suffix for the F26 normalization probe:
+    * "cafe" + COMBINING ACUTE, "nai" + COMBINING DIAERESIS + "ve" —
+    * built from escapes so the source literal itself can't be silently
+    * precomposed by an editor. Shared verbatim with the DuckDB oracle. */
+  private val DecomposedSuffix = " café naïve"
+
   val queries: Map[String, Q] = Map(
     // F1–F3 clean_text normalization chain (pdf_to_orpml.py:29-57).
     "f1_clean_text" -> ((s, d) => {
@@ -386,6 +392,40 @@ object TextQueries {
           array_join(transform(sequence(lit(0), nChunks),
             i => fold(slice(col("cs"), i * 64 + 1, lit(64))).cast("string")),
             ",").as("chunk_hashes"))
+    }),
+
+    // F26 Unicode NFC normalization (native expression, codegen'd): fold
+    // combining sequences into precomposed forms so downstream hashing /
+    // dedup / tokenization see one representation per grapheme. The test
+    // corpus is ASCII, so decomposed suffixes are synthesized from fixed
+    // combining-mark literals — len_before > len_after is the observable
+    // composition, and DuckDB's independent nfc_normalize is the oracle.
+    "f26_nfc_normalize" -> ((s, d) => {
+      val decomposed = concat(substring(col("text"), 1, 20),
+        lit(DecomposedSuffix))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.plans.Native.nfc_normalize(decomposed).as("norm"),
+          length(decomposed).as("len_before"),
+          length(graft.plans.Native.nfc_normalize(decomposed))
+            .as("len_after"))
+    }),
+
+    // URL / domain census: extract link domains from text — the crawl-
+    // curation stat behind per-domain quality decisions. Row-local
+    // regexp_extract_all + explode, then one keyed count; the regex is
+    // alternation-free so Java and RE2 agree. Links are synthesized from
+    // table columns (the corpus has none), same device as s4.
+    "ta_url_domains" -> ((s, d) => {
+      val t2 = concat_ws(" ", col("text"),
+        concat(lit("https://"), col("source"), lit(".example.org/d/"),
+          col("doc_id")),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("http://mirror-"), col("lang"), lit(".net/x"))))
+      Tables.documents(s, d)
+        .select(explode(regexp_extract_all(t2,
+          lit("https?://([A-Za-z0-9.-]+)"), lit(1))).as("domain"))
+        .groupBy("domain").agg(count(lit(1)).as("n"))
     })
   )
 
@@ -690,6 +730,24 @@ object TextQueries {
         |    i -> list_reduce(list_prepend(0::BIGINT, cs[i*64+1 : i*64+64]),
         |           (acc, x) -> (acc * 131 + x) % 2147483647)::VARCHAR), ',')
         |    AS chunk_hashes
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+    "f26_nfc_normalize" ->
+      s"""SELECT doc_id,
+         |  nfc_normalize(substr(text, 1, 20) || '$DecomposedSuffix') AS norm,
+         |  length(substr(text, 1, 20) || '$DecomposedSuffix') AS len_before,
+         |  length(nfc_normalize(substr(text, 1, 20) || '$DecomposedSuffix'))
+         |    AS len_after
+         |FROM documents""".stripMargin,
+    "ta_url_domains" ->
+      """WITH t AS (
+        |  SELECT concat_ws(' ', text,
+        |    'https://' || source || '.example.org/d/' || doc_id,
+        |    CASE WHEN doc_id % 3 = 0
+        |         THEN 'http://mirror-' || lang || '.net/x' END) AS t2
+        |  FROM documents),
+        |d AS (
+        |  SELECT unnest(regexp_extract_all(t2,
+        |    'https?://([A-Za-z0-9.-]+)', 1)) AS domain FROM t)
+        |SELECT domain, count(*) AS n FROM d GROUP BY domain""".stripMargin
   )
 }

@@ -48,6 +48,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("sig_min",
         "sig_min(sig) - element-wise min of long-array signatures (UDAF)"),
       (es: Seq[Expression]) => SigMin(es.head)))
+    e.injectFunction((FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize",
+        "nfc_normalize(s) - Unicode NFC canonical composition"),
+      (es: Seq[Expression]) => NfcNormalize(es.head)))
     e.injectFunction((FunctionIdentifier("json_find_key"),
       info("json_find_key",
         "json_find_key(json, key) - recursive document-order key search"),

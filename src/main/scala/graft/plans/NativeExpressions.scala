@@ -105,6 +105,16 @@ object NativeImpl {
     c.toDouble / na
   }
 
+  /** Unicode NFC canonical composition; identity (no allocation) when
+    * the input is already normalized — the common case for real text. */
+  def nfcNormalize(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC))
+      s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
   /** 64-bit SimHash over a token array (murmur3 per token, seed 1). */
   def simhash64(toks: ArrayData): Long = {
     val counts = new Array[Int](64)
@@ -205,6 +215,23 @@ case class SimHash64(child: Expression)
     copy(child = c)
 }
 
+/** nfc_normalize(string) → string: Unicode NFC canonical composition —
+  * the corpus-cleaning step that folds combining sequences (e + U+0301)
+  * into their precomposed forms (é) so hashing/dedup/tokenization see one
+  * representation per grapheme. Fast path: `Normalizer.isNormalized` is
+  * a scan without allocation, and real corpora are overwhelmingly
+  * already-NFC, so the hot loop rarely re-encodes. DuckDB's
+  * `nfc_normalize` is the independent oracle. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(t: Any): Any =
+    NativeImpl.nfcNormalize(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.plans.NativeImpl.nfcNormalize($t)")
+  override protected def withNewChildInternal(c: Expression): NfcNormalize =
+    copy(child = c)
+}
+
 /** sig_min(array<long>) → array<long>: element-wise minimum across the
   * group — the MinHash signature MERGE as a custom UDAF
   * (`TypedImperativeAggregate`, SURVEY §2.11's `MinHashAgg`). min is
@@ -293,6 +320,7 @@ object Native {
     column(SigAgree(expression(a), expression(b)))
   def sig_min_agg(c: Column): Column =
     column(SigMin(expression(c)).toAggregateExpression())
+  def nfc_normalize(c: Column): Column = column(NfcNormalize(expression(c)))
 
   /** Register for SQL use in an existing session
     * (`SELECT cosine_sim(a, b) …`); [[GraftExtensions]] is the
@@ -315,6 +343,8 @@ object Native {
     // from the registry into AggregateExpression itself
     reg.createOrReplaceTempFunction("sig_min",
       es => SigMin(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("nfc_normalize",
+      es => NfcNormalize(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("json_find_key",
       es => graft.functions.JsonFindKey(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("json_flatten_paths",

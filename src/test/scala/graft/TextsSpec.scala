@@ -128,4 +128,21 @@ class TextsSpec extends SparkSpec {
       .select(Hashes.jaccard($"a", $"b")).head.getDouble(0)
     assert(r == 0.5)
   }
+
+  test("native NfcNormalize: combining sequence composes, NFC input is " +
+    "identity, callable from SQL") {
+    val decomposed = "cafe\u0301"   // e + COMBINING ACUTE: 5 chars
+    val composed = "caf\u00e9"      // precomposed: 4 chars
+    val df = Seq((1L, decomposed), (2L, composed), (3L, "plain"))
+      .toDF("id", "s")
+    val got = df.select($"id", graft.plans.Native.nfc_normalize($"s").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == composed && got(1L).length == 4)
+    assert(got(2L) == composed)
+    assert(got(3L) == "plain")
+    df.createOrReplaceTempView("v_nfc")
+    val viaSql = spark.sql("SELECT nfc_normalize(s) FROM v_nfc WHERE id = 1")
+      .head.getString(0)
+    assert(viaSql == composed)
+  }
 }
