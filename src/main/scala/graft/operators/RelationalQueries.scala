@@ -444,6 +444,24 @@ object RelationalQueries {
         .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
     }),
 
+    // §2.6 ordered-sequence funnel: per user, earliest signup then the
+    // first purchase AT OR AFTER it — the two-stage conversion query
+    // every event pipeline runs. Two keyed aggregations + one keyed
+    // left join; the order constraint is a conditional min, not a
+    // per-user sort. Times compare as integer epoch micros.
+    "w8_funnel" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val signup = e.filter(col("event_type") === "signup")
+        .groupBy("user_id")
+        .agg(min(unix_micros(col("ts"))).as("t_signup"))
+      val purchase = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("tp"))
+      signup.join(purchase, Seq("user_id"), "left")
+        .groupBy("user_id", "t_signup")
+        .agg(min(when(col("tp") >= col("t_signup"), col("tp")))
+          .as("t_first_purchase"))
+    }),
+
     // §2.5 exact distribution summary: quartiles of l_quantity per
     // return flag via the exact `percentile` aggregate. Linear
     // interpolation at rank p·(n−1) — the same definition as DuckDB's
@@ -635,6 +653,18 @@ object RelationalQueries {
         |  count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "w8_funnel" ->
+      """WITH su AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS t_signup
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |pu AS (
+        |  SELECT user_id, epoch_us(ts) AS tp
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT su.user_id, su.t_signup,
+        |  CAST(min(CASE WHEN pu.tp >= su.t_signup THEN pu.tp END) AS BIGINT)
+        |    AS t_first_purchase
+        |FROM su LEFT JOIN pu USING (user_id)
+        |GROUP BY su.user_id, su.t_signup""".stripMargin,
     "a8_percentiles" ->
       """SELECT l_returnflag,
         |  CAST(unnest([0.25, 0.5, 0.75]) AS DOUBLE) AS p,

@@ -411,6 +411,21 @@ object TextQueries {
             .as("len_after"))
     }),
 
+    // First-occurrence-preserving dedup within a document (the C4-style
+    // within-doc repeated-unit removal, applied at token granularity —
+    // the test corpus has no line breaks): keep token i iff its FIRST
+    // occurrence is at i. Entirely row-local higher-order functions —
+    // zero shuffle at any corpus size (plan-asserted); the oracle
+    // recomputes it relationally (explode → min-position window →
+    // ordered re-agg), so two independent formulations must agree.
+    "ta_dedup_tokens" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val kept = filter(toks, (x, i) => array_position(toks, x) === i + 1)
+      Tables.documents(s, d)
+        .select(col("doc_id"), array_join(kept, " ").as("dedup_text"),
+          (size(toks) - size(kept)).as("n_removed"))
+    }),
+
     // URL / domain census: extract link domains from text — the crawl-
     // curation stat behind per-domain quality decisions. Row-local
     // regexp_extract_all + explode, then one keyed count; the regex is
@@ -738,6 +753,21 @@ object TextQueries {
          |  length(nfc_normalize(substr(text, 1, 20) || '$DecomposedSuffix'))
          |    AS len_after
          |FROM documents""".stripMargin,
+    // Static series bound (docs are < 4096 tokens); this DuckDB build
+    // has no lateral generate_series.
+    "ta_dedup_tokens" ->
+      """WITH s AS (
+        |  SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |e AS (
+        |  SELECT doc_id, CAST(i AS INT) AS i, l[i] AS x
+        |  FROM s, generate_series(1, 4095) t(i) WHERE i <= len(l)),
+        |f AS (
+        |  SELECT doc_id, i, x,
+        |    min(i) OVER (PARTITION BY doc_id, x) AS mi FROM e)
+        |SELECT doc_id,
+        |  string_agg(x, ' ' ORDER BY i) FILTER (WHERE i = mi) AS dedup_text,
+        |  CAST(count(*) - count(*) FILTER (WHERE i = mi) AS INT) AS n_removed
+        |FROM f GROUP BY doc_id""".stripMargin,
     "ta_url_domains" ->
       """WITH t AS (
         |  SELECT concat_ws(' ', text,

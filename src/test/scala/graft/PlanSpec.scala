@@ -377,6 +377,12 @@ class PlanSpec extends SparkSpec {
       "fact scan must carry a dynamic pruning subquery filter")
   }
 
+  test("ta_dedup_tokens: within-doc dedup is row-local HOFs — zero " +
+    "exchanges at any corpus size") {
+    val p = planOf(TextQueries.queries("ta_dedup_tokens")(spark, sf))
+    assert(!p.contains("Exchange"))
+  }
+
   test("layout_zorder_key: the Morton key is pure codegen'd projection — " +
     "scan-narrow, zero exchanges") {
     val p = planOf(Layout.queries("layout_zorder_key")(spark, sf))
