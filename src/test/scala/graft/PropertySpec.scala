@@ -1,0 +1,69 @@
+package graft
+
+import graft.functions.Texts
+import graft.operators.Layout
+import org.apache.spark.sql.functions._
+
+/** Seeded bulk property checks — each property is ONE Spark job over
+  * thousands of generated inputs (not a job per sample), so the suite
+  * stays fast while sweeping far more of the input space than pinned
+  * fixtures do. Seeds are fixed: failures reproduce. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(0xC0FFEE)
+
+  test("zorderKey equals the reference interleave on 10k random pairs " +
+    "and stays bijective") {
+    def ref(x: Long, y: Long): Long = (0 until 16).map { i =>
+      (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+    }.reduce(_ | _)
+    val pairs = Seq.fill(10000)((rnd.nextInt(65536).toLong,
+      rnd.nextInt(65536).toLong)).distinct
+    val df = pairs.toDF("x", "y")
+      .select($"x", $"y", Layout.zorderKey($"x", $"y").as("z"))
+    val rows = df.collect()
+    assert(rows.forall(r => r.getLong(2) == ref(r.getLong(0), r.getLong(1))))
+    assert(rows.map(_.getLong(2)).distinct.length == pairs.length)
+  }
+
+  test("cleanText is idempotent over random printable strings") {
+    val chars = ('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9') ++
+      Seq(' ', ' ', ' ', '.', ',', '!', '?', ';', ':', '<', '>', '/', 'é')
+    def randStr() = Seq.fill(rnd.nextInt(80))(
+      chars(rnd.nextInt(chars.length))).mkString
+    val df = Seq.fill(2000)(randStr()).toDF("s")
+    val bad = df.select(Texts.cleanText($"s").as("c1"))
+      .select($"c1", Texts.cleanText($"c1").as("c2"))
+      .filter($"c1" =!= $"c2")
+    assert(bad.count() == 0, bad.limit(3).collect().mkString(" | "))
+  }
+
+  test("nfc_normalize is idempotent and never lengthens (inputs with " +
+    "random combining marks)") {
+    val marks = Seq("\u0301", "\u0308", "\u0327", "")  // acute, diaeresis, cedilla, none
+    def randStr() = Seq.fill(rnd.nextInt(30))(
+      ('a' + rnd.nextInt(26)).toChar.toString +
+        marks(rnd.nextInt(marks.length))).mkString
+    val df = Seq.fill(2000)(randStr()).toDF("s")
+      .select($"s", graft.plans.Native.nfc_normalize($"s").as("n1"))
+      .select($"s", $"n1", graft.plans.Native.nfc_normalize($"n1").as("n2"),
+        length($"s").as("ls"), length($"n1").as("ln"))
+    assert(df.filter($"n1" =!= $"n2").count() == 0, "idempotency")
+    assert(df.filter($"ln" > $"ls").count() == 0, "NFC never lengthens")
+  }
+
+  test("minhashJaccard is 1 on identical signatures, within [0,1] on " +
+    "corpus pairs") {
+    import graft.functions.Hashes
+    val sigs = graft.operators.MinHashPipeline
+      .signatures(Tables.documents(spark, sf).limit(200), "doc_id", $"text")
+    val self = sigs.select(Hashes.minhashJaccard($"sig", $"sig").as("j"))
+    assert(self.filter($"j" =!= 1.0).count() == 0)
+    val a = sigs.select($"doc_id".as("ia"), $"sig".as("sa"))
+    val b = sigs.select($"doc_id".as("ib"), $"sig".as("sb"))
+    val cross = a.join(b, $"ia" < $"ib")
+      .select(Hashes.minhashJaccard($"sa", $"sb").as("j"))
+    assert(cross.filter($"j" < 0.0 || $"j" > 1.0).count() == 0)
+  }
+}
