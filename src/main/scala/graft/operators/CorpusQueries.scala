@@ -331,6 +331,27 @@ object CorpusQueries {
           col("metric"))
       melt(oScalars).unionByName(melt(docScalars))
         .unionByName(dupOrders).unionByName(fkViol)
+    }),
+
+    // Cross-doc repeated-sequence census — the memorization-risk audit a
+    // corpus release gets: which exact 8-gram sequences recur across the
+    // most documents (license boilerplate, navigation chrome, templated
+    // text — the spans a model memorizes verbatim)? Grams are
+    // per-document DISTINCT before the explode, so one plain count per
+    // gram key IS the document frequency — no count_distinct expand.
+    // One keyed aggregation (map-side partial) and a top-50 that
+    // compiles to TakeOrderedAndProject: at 100 TB the gram key space is
+    // huge but every key's payload is two longs, and no stage ever holds
+    // more than the 50-row result.
+    "ta_repeated_ngrams" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(array_distinct(
+          Texts.wordNgrams(Texts.tokens(col("text")), 8))).as("gram"))
+        .groupBy("gram")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
+        .filter(col("n_docs") >= 3)
+        .orderBy(col("n_docs").desc, col("gram"))
+        .limit(50)
     })
   )
 
@@ -541,6 +562,15 @@ object CorpusQueries {
         |UNION ALL SELECT 'orders.o_custkey.fk_violation_count',
         |  (SELECT count(*) FROM orders
         |   WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))::BIGINT"""
-        .stripMargin
+        .stripMargin,
+    "ta_repeated_ngrams" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |        generate_series(1, greatest(len(tk) - 7, 1)),
+         |        i -> array_to_string(tk[i:i+7], ' ')))) AS gram
+         |      FROM t)
+         |SELECT gram, count(*)::BIGINT AS n_docs, min(doc_id) AS first_doc
+         |FROM g GROUP BY 1 HAVING count(*) >= 3
+         |ORDER BY n_docs DESC, gram LIMIT 50""".stripMargin
   )
 }

@@ -169,6 +169,31 @@ object MixQueries {
         .withColumn("run", sum("n_tok").over(w))
         .select(col("doc_id"), col("lang"), col("n_tok"),
           floor((col("run") - col("n_tok")) / lit(512.0)).as("bin"))
+    }),
+
+    // Mixture-weight solver — turns a target sampling mix (per-source
+    // weights, here a deterministic ramp over src0..src19 standing in
+    // for a config table) plus the measured token supply into the
+    // numbers a training-run config needs: required tokens under the
+    // budget, epochs over each source, and an oversampling flag
+    // (epochs > 1 ⇒ the source repeats). The corpus is read exactly
+    // once, reduced by a map-side-partial keyed aggregation to a
+    // sources-sized frame (≤ thousands of rows at any corpus size);
+    // every downstream column is arithmetic on that tiny frame.
+    "mix_mixture_plan" -> ((s, d) => {
+      val budget = 1000000L
+      val idx = substring(col("source"), 4, 10).cast("int")
+      val weight = (lit(21.0) - idx.cast("double")) / 210.0
+      Tables.documents(s, d)
+        .select(col("source"), size(Texts.tokens(col("text"))).as("n_tok"))
+        .groupBy("source")
+        .agg(sum(col("n_tok").cast("long")).as("avail_tokens"))
+        .select(col("source"), col("avail_tokens"),
+          round(weight, 6).as("weight"),
+          round(weight * budget, 2).as("required_tokens"),
+          round(weight * budget / col("avail_tokens"), 4).as("epochs"),
+          when(weight * budget > col("avail_tokens"), 1).otherwise(0)
+            .as("oversampled"))
     })
   )
 
@@ -241,6 +266,20 @@ object MixQueries {
          |  FROM t)
          |SELECT doc_id, lang, n_tok,
          |  floor((run - n_tok) / 512.0)::BIGINT AS bin
-         |FROM r""".stripMargin
+         |FROM r""".stripMargin,
+    "mix_mixture_plan" ->
+      s"""WITH a AS (
+         |  SELECT source, sum(len($toksSql))::BIGINT AS avail_tokens
+         |  FROM documents GROUP BY 1),
+         |w AS (
+         |  SELECT source, avail_tokens,
+         |    (21.0 - CAST(substr(source, 4) AS INT)) / 210.0 AS wt
+         |  FROM a)
+         |SELECT source, avail_tokens, round(wt, 6) AS weight,
+         |  round(wt * 1000000, 2) AS required_tokens,
+         |  round(wt * 1000000 / avail_tokens, 4) AS epochs,
+         |  CASE WHEN wt * 1000000 > avail_tokens THEN 1 ELSE 0 END
+         |    AS oversampled
+         |FROM w""".stripMargin
   )
 }

@@ -280,6 +280,35 @@ object SimilarityQueries {
       exact.select("q_id").distinct()
         .join(hits, Seq("q_id"), "left")
         .select(col("q_id"), coalesce(col("h"), lit(0L)).as("n_hits"))
+    }),
+
+    // Int8 scalar quantization of the embedding column — the storage and
+    // shuffle-bandwidth path a 100 TB vector corpus actually ships:
+    // 4 bytes/dim float32 → 1 byte/dim code + one scale per vector
+    // (symmetric per-vector max-abs scaling, the classic SQ8 shape).
+    // Everything is row-local codegen'd projection — ZERO exchanges at
+    // any corpus size — and the reconstruction-error column doubles as
+    // the quality audit (max over dims is order-independent, so the
+    // float math is oracle-reproducible; codes render as a string so no
+    // engine-specific array hashing enters the comparison).
+    "sim_quantize_int8" -> ((s, d) => {
+      emb(s, d)
+        .withColumn("scale", array_max(transform(col("v"), x => abs(x))))
+        .filter(col("scale") > 0)
+        .withColumn("codes", transform(col("v"),
+          x => round(x * 127.0 / col("scale")).cast("int")))
+        // scale and max_abs_err ship RAW (no round): every op in their
+        // lineage is elementwise IEEE double math with a fixed operand
+        // order, so both engines produce bit-identical values — while a
+        // round(…,6) would re-INTRODUCE divergence at half-way decimals
+        // (BigDecimal-on-string vs multiply-by-1e6 rounding disagree on
+        // e.g. …12255e-7, observed on 3 of 500 rows at sf0.01).
+        .select(col("vec_id"), col("scale"),
+          array_join(transform(col("codes"), _.cast("string")), ",")
+            .as("codes"),
+          array_max(zip_with(col("v"), col("codes"),
+            (x, c) => abs(x - c * col("scale") / 127.0)))
+            .as("max_abs_err"))
     })
   )
 
@@ -327,6 +356,19 @@ object SimilarityQueries {
     // Both component pipelines are independently oracle-green; the recall
     // oracle composes them verbatim as subqueries so the two engines
     // measure the identical approx-vs-exact comparison.
+    "sim_quantize_int8" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |        list_max(list_transform(v, x -> abs(x))) AS scale FROM e),
+        |c AS (SELECT vec_id, v, scale,
+        |        list_transform(v, x -> CAST(round(x * 127.0 / scale) AS INT))
+        |          AS codes
+        |      FROM s WHERE scale > 0)
+        |SELECT vec_id, scale,
+        |  array_to_string(codes, ',') AS codes,
+        |  list_max(list_transform(generate_series(1, 64),
+        |    i -> abs(v[i] - codes[i] * scale / 127.0))) AS max_abs_err
+        |FROM c""".stripMargin,
     "sim_ann_recall" ->
       s"""WITH exact AS (
          |  SELECT q_id, n_id FROM ($bruteforceSql) WHERE rk <= 3),

@@ -391,4 +391,38 @@ class PlanSpec extends SparkSpec {
       "the unrolled shift/mask arithmetic must stay inside codegen " +
         "(the *(n) prefix is the whole-stage-codegen marker)")
   }
+
+  test("ta_repeated_ngrams: top-50 compiles to TakeOrdered over a " +
+    "map-side-partial keyed count — no global sort of the gram space") {
+    val p = planOf(CorpusQueries.queries("ta_repeated_ngrams")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      "the limit must fuse with the sort")
+    assert(p.contains("partial_count") || p.contains("partial_min"),
+      "gram counting needs a map-side partial stage")
+  }
+
+  test("sim_quantize_int8 is row-local codegen'd projection: zero " +
+    "exchanges at any corpus size") {
+    val p = planOf(SimilarityQueries.queries("sim_quantize_int8")(spark, sf))
+    assert(!p.contains("Exchange"), "quantization must not shuffle")
+  }
+
+  test("mix_mixture_plan: one corpus scan reduced map-side; all plan " +
+    "math happens on the sources-sized aggregate") {
+    val p = planOf(MixQueries.queries("mix_mixture_plan")(spark, sf))
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      "the corpus must be read exactly once")
+    assert(p.contains("partial_sum"),
+      "token census needs a map-side partial stage")
+  }
+
+  test("dd_ngram_jaccard: size-ratio prune sits below the intersect " +
+    "(filter on the join output before the merge-walk expression)") {
+    val p = planOf(DedupQueries.queries("dd_ngram_jaccard")(spark, sf))
+    assert(!p.contains("CartesianProduct"))
+    // the cheap ratio predicate must appear in the plan at all — it is
+    // the guard that keeps the O(|ws|) intersect off pruned pairs
+    assert(p.contains("* 100) >= ") || p.contains("* 100 >= "),
+      "ratio prune predicate missing from the physical plan")
+  }
 }
