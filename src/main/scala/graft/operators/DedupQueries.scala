@@ -190,16 +190,13 @@ object DedupQueries {
         .sorted_intersect_count(col("a_ws"), col("b_ws")).cast("double")
       val jac = round(inter /
         (size(col("a_ws")) + size(col("b_ws")) - inter), 6)
+      // (A size-ratio prune ahead of the intersect — jac ≤ min/max, so
+      // min/max < 0.9 pairs could skip the walk — was measured 1.5×
+      // SLOWER here: the /8 bucket is narrower than the 0.9 ratio at
+      // realistic doc lengths, so ~every pair passes and the extra
+      // predicate only breaks up the join's codegen. Keep the walk.)
       a.join(b, Seq("lang", "bkt"))
         .filter(col("a_id") < col("b_id"))
-        // Size-ratio prune BEFORE the merge-walk intersect: inter ≤ min
-        // and union ≥ max, so jac ≤ min/max — any pair failing
-        // min/max ≥ 0.89 can never reach the 0.9 gate (0.89, not 0.9,
-        // absorbs the round(…,6) slack on the final filter). Two size()
-        // reads per pair in place of an O(|ws|) walk; output-identical,
-        // so the unchanged oracle still certifies it.
-        .filter(least(size(col("a_ws")), size(col("b_ws"))) * 100 >=
-          greatest(size(col("a_ws")), size(col("b_ws"))) * 89)
         .withColumn("jac", jac)
         .filter(col("jac") >= 0.9)
         .select("a_id", "b_id", "jac")

@@ -416,13 +416,9 @@ class PlanSpec extends SparkSpec {
       "token census needs a map-side partial stage")
   }
 
-  test("dd_ngram_jaccard: size-ratio prune sits below the intersect " +
-    "(filter on the join output before the merge-walk expression)") {
+  test("dd_ngram_jaccard: blocked pair join stays a keyed equi-join") {
     val p = planOf(DedupQueries.queries("dd_ngram_jaccard")(spark, sf))
     assert(!p.contains("CartesianProduct"))
-    // the cheap ratio predicate must appear in the plan at all — it is
-    // the guard that keeps the O(|ws|) intersect off pruned pairs
-    assert(p.contains("* 100) >= ") || p.contains("* 100 >= "),
-      "ratio prune predicate missing from the physical plan")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 }
