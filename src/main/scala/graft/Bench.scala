@@ -73,8 +73,15 @@ object Bench {
     val results = firstPass.map { case (name, fn, dt1, ok) =>
       if (ok && dt1 > 1.0) {
         val (dt2, ok2) = timeOne(name, fn)
-        val best = if (ok2) math.min(dt1, dt2) else dt1
-        System.err.println(f"[bench] $name%-28s $best%8.2f s (min of 2)")
+        var best = if (ok2) math.min(dt1, dt2) else dt1
+        var n = 2
+        // the slowest queries carry the most residual noise (GC phase,
+        // page cache) AND dominate the total — buy them a third run
+        if (ok2 && best > 2.5) {
+          val (dt3, ok3) = timeOne(name, fn)
+          if (ok3) { best = math.min(best, dt3); n = 3 }
+        }
+        System.err.println(f"[bench] $name%-28s $best%8.2f s (min of $n)")
         name -> best
       } else name -> dt1
     }
@@ -83,7 +90,7 @@ object Bench {
     val total = results.map(_._2).sum
     val failed = firstPass.collect { case (n, _, _, false) => n }
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","agg":"min-of-2 for queries >1s","n_errors":${failed.size},"errors":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","agg":"min-of-2 for queries >1s, min-of-3 >2.5s","n_errors":${failed.size},"errors":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outFile), line)
     // Contract: the final stdout line IS the JSON result, with the
     // per-query seconds inline (build.sbt's StdoutOutput strategy keeps
