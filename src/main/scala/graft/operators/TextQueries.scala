@@ -338,16 +338,23 @@ object TextQueries {
       val vocab = array_sort(array_distinct(toks))
       val counts = transform(vocab,
         w => size(filter(toks, t => t === w)))
-      val nTok = size(toks).cast("double")
-      val gini = lit(1.0) - aggregate(counts, lit(0.0d),
-        (acc, c) => acc + (c / nTok) * (c / nTok))
+      // Gini as 1 − Σc²/n² with the sum in EXACT integer arithmetic:
+      // folding (c/n)² in doubles accumulated engine-specific rounding
+      // (observed one row off in the 6th decimal at sf0.1), while Σc²
+      // and n² are exact longs, leaving a single IEEE division that is
+      // bit-identical everywhere — so the value ships raw, un-rounded.
+      val sumSq = aggregate(counts, lit(0L),
+        (acc, c) => acc + c.cast("long") * c)
+      val nTok = size(toks)
+      val gini = lit(1.0) - sumSq.cast("double") /
+        greatest(nTok * nTok, lit(1)).cast("double")
       Tables.documents(s, d)
         .select(col("doc_id"),
           round(lit(1.0) - size(array_distinct(big)).cast("double") /
             greatest(size(big), lit(1)), 6).as("dup_bigram_frac"),
           round(array_max(counts).cast("double") /
             greatest(size(toks), lit(1)), 6).as("top_word_frac"),
-          round(gini, 6).as("gini_diversity"))
+          gini.as("gini_diversity"))
     }),
 
     // Text analysis: tokenizer-vocabulary induction + per-doc OOV rate —
@@ -713,9 +720,10 @@ object TextQueries {
          |    AS dup_bigram_frac,
          |  round(list_max(counts)::DOUBLE / greatest(len(toks), 1), 6)
          |    AS top_word_frac,
-         |  round(1.0 - list_reduce(list_prepend(0.0::DOUBLE, counts),
-         |    (acc, c2) -> acc + (c2 / len(toks)::DOUBLE) * (c2 / len(toks)::DOUBLE)),
-         |    6) AS gini_diversity
+         |  1.0 - coalesce(list_sum(list_transform(counts, c2 -> c2 * c2)), 0)
+         |          ::DOUBLE
+         |        / greatest(len(toks) * len(toks), 1)::DOUBLE
+         |    AS gini_diversity
          |FROM c""".stripMargin,
     "ta_oov_rate" ->
       s"""WITH w AS (
