@@ -333,6 +333,31 @@ object CorpusQueries {
         .unionByName(dupOrders).unionByName(fkViol)
     }),
 
+    // Snapshot distribution drift — the release-over-release data-quality
+    // monitor: how far has the language mix moved between two corpus
+    // snapshots (stand-in split: even/odd doc_id)? One corpus scan
+    // reduces to a languages-sized conditional-count frame (map-side
+    // partial); the totals come from an unpartitioned window over THAT
+    // frame — single-partition, but bounded by the language DOMAIN, not
+    // the corpus (the ta_quality_trim census posture), and it keeps the
+    // whole query to exactly one corpus read (a separate totals
+    // aggregate re-scanned the corpus; plan-asserted away). p_diff is
+    // two divisions and a subtraction over exact integer counts —
+    // bit-identical across engines, shipped raw.
+    "dq_drift" -> ((s, d) => {
+      val wAll = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.documents(s, d)
+        .select(col("lang"), (col("doc_id") % 2 === 0).as("is_a"))
+        .groupBy("lang")
+        .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("n_a"),
+          sum(when(!col("is_a"), 1L).otherwise(0L)).as("n_b"))
+        .select(col("lang"), col("n_a"), col("n_b"),
+          (col("n_a").cast("double") / sum("n_a").over(wAll) -
+            col("n_b").cast("double") / sum("n_b").over(wAll))
+            .as("p_diff"))
+    }),
+
     // Cross-doc repeated-sequence census — the memorization-risk audit a
     // corpus release gets: which exact 8-gram sequences recur across the
     // most documents (license boilerplate, navigation chrome, templated
@@ -563,6 +588,17 @@ object CorpusQueries {
         |  (SELECT count(*) FROM orders
         |   WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))::BIGINT"""
         .stripMargin,
+    "dq_drift" ->
+      """WITH t AS (SELECT lang,
+        |         CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS a
+        |       FROM documents),
+        |per AS (SELECT lang, sum(a)::BIGINT AS n_a,
+        |          sum(1 - a)::BIGINT AS n_b FROM t GROUP BY 1),
+        |tot AS (SELECT sum(n_a)::BIGINT AS t_a, sum(n_b)::BIGINT AS t_b
+        |        FROM per)
+        |SELECT lang, n_a, n_b,
+        |  n_a::DOUBLE / t_a - n_b::DOUBLE / t_b AS p_diff
+        |FROM per CROSS JOIN tot""".stripMargin,
     "ta_repeated_ngrams" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
          |g AS (SELECT doc_id, unnest(list_distinct(list_transform(

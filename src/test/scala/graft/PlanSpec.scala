@@ -416,6 +416,15 @@ class PlanSpec extends SparkSpec {
       "token census needs a map-side partial stage")
   }
 
+  test("dq_drift: one corpus scan, conditional counts partial-aggregate " +
+    "map-side; totals are a window over the tiny lang frame, not a rescan") {
+    val p = planOf(CorpusQueries.queries("dq_drift")(spark, sf))
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      "the corpus must be read exactly once across both snapshots")
+    assert(p.contains("partial_sum"))
+    assert(p.contains("Window"), "totals must come from the window pass")
+  }
+
   test("dd_ngram_jaccard: blocked pair join stays a keyed equi-join") {
     val p = planOf(DedupQueries.queries("dd_ngram_jaccard")(spark, sf))
     assert(!p.contains("CartesianProduct"))
