@@ -57,4 +57,37 @@ class ContractSpec extends SparkSpec {
   test("entry smoke: the flagship query returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("global plan hygiene: NO query plans a cartesian product, and " +
+    "nested-loop joins appear only where a broadcast tiny side is the " +
+    "intended shape (allowlist)") {
+    // Queries whose plan legitimately carries a BroadcastNestedLoopJoin:
+    // a ≤8-row broadcast codebook / 1-row scalar frame crossed onto the
+    // corpus — the documented pattern, constant-size by construction.
+    val bnljAllowed = Set(
+      "sim_ann_ivf", "sim_ann_pq", "sim_ann_pq_rerank", "sim_ann_recall",
+      "sim_kmeans_step", "dd_semdedup", "sk_kmv_overlap",
+      "ta_quality_trim", "pipe_corpus_refinery", "samp_temperature",
+      "ta_oov_rate", "ta_tfidf", "dq_audit", "mix_datacard_incr",
+      "dd_decontaminate", "dd_bloom_decontaminate", "sim_ann_bruteforce",
+      "sim_ann_bucketed", "sim_knn_graph",
+      // substring-containment rules join: theta predicate by nature,
+      // against a broadcast ≤dozen-phrase rule table
+      "m5_doc_type")
+    // Constructing some frames triggers eager driver-side scalar jobs
+    // (cluster_cc loop, bloom build) — sf0.001 keeps the sweep cheap.
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val p = fn(spark, sf).queryExecution.executedPlan.toString
+        val cart = p.contains("CartesianProduct")
+        val bnlj = p.contains("BroadcastNestedLoopJoin") &&
+          !bnljAllowed.contains(name)
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+        if (cart) Some(s"$name: CartesianProduct")
+        else if (bnlj) Some(s"$name: unexpected BroadcastNestedLoopJoin")
+        else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
 }
