@@ -66,4 +66,39 @@ class PropertySpec extends SparkSpec {
       .select(Hashes.minhashJaccard($"sa", $"sb").as("j"))
     assert(cross.filter($"j" < 0.0 || $"j" > 1.0).count() == 0)
   }
+
+  test("native sorted_intersect_count equals size(array_intersect) on " +
+    "5k random sorted-distinct pairs (independent built-in as oracle)") {
+    // sort AFTER stringifying: the native's precondition is string order
+    // ("w10" < "w2"), and Texts.tokens callers sort with array_sort on
+    // the string column
+    def randSet() = Seq.fill(rnd.nextInt(60))(rnd.nextInt(80))
+      .distinct.map(i => s"w$i").sorted
+    val df = Seq.fill(5000)((randSet(), randSet())).toDF("a", "b")
+      .select(
+        graft.plans.Native.sorted_intersect_count($"a", $"b").as("native"),
+        size(array_intersect($"a", $"b")).as("builtin"))
+    assert(df.filter($"native" =!= $"builtin").count() == 0)
+  }
+
+  test("native cosine_sim matches the interpreted fold bit-for-bit and " +
+    "is symmetric with self-similarity 1 (random non-zero vectors)") {
+    def randVec() = Seq.fill(16)(rnd.nextDouble() * 2 - 1 + 1e-3)
+    val df = Seq.fill(3000)((randVec(), randVec())).toDF("a", "b")
+    val interpreted = {
+      // the fold cosine_sim replaced — kept inline as the independent oracle
+      def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+        aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+      dot($"a", $"b") / (sqrt(dot($"a", $"a")) * sqrt(dot($"b", $"b")))
+    }
+    val checked = df.select(
+      graft.plans.Native.cosine_sim($"a", $"b").as("n"),
+      graft.plans.Native.cosine_sim($"b", $"a").as("rev"),
+      graft.plans.Native.cosine_sim($"a", $"a").as("self"),
+      interpreted.as("i"))
+    assert(checked.filter($"n" =!= $"i").count() == 0, "native == fold")
+    assert(checked.filter($"n" =!= $"rev").count() == 0, "symmetry")
+    assert(checked.filter(abs($"self" - 1.0) > 1e-12).count() == 0,
+      "self-similarity")
+  }
 }
