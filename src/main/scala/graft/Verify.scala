@@ -6,6 +6,9 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // Glob/read_blob oracles embed a literal directory; point them at
+    // the dir this run actually reads (see SourceSinkQueries.VerifySfDir).
+    System.setProperty("graft.verify.sfDir", sfDir)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

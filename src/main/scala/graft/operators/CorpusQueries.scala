@@ -369,9 +369,14 @@ object CorpusQueries {
     // huge but every key's payload is two longs, and no stage ever holds
     // more than the 50-row result.
     "ta_repeated_ngrams" -> ((s, d) => {
+      // Docs shorter than the gram width are excluded up front:
+      // wordNgrams' greatest(size-7, 1) floor would otherwise emit a
+      // short (or empty-string) artifact gram that pollutes the census.
       Tables.documents(s, d)
+        .select(col("doc_id"), Texts.tokens(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 8)
         .select(col("doc_id"), explode(array_distinct(
-          Texts.wordNgrams(Texts.tokens(col("text")), 8))).as("gram"))
+          Texts.wordNgrams(col("tk"), 8))).as("gram"))
         .groupBy("gram")
         .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
         .filter(col("n_docs") >= 3)
@@ -600,9 +605,10 @@ object CorpusQueries {
         |  n_a::DOUBLE / t_a - n_b::DOUBLE / t_b AS p_diff
         |FROM per CROSS JOIN tot""".stripMargin,
     "ta_repeated_ngrams" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents
+         |           WHERE len($toksSql) >= 8),
          |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
-         |        generate_series(1, greatest(len(tk) - 7, 1)),
+         |        generate_series(1, len(tk) - 7),
          |        i -> array_to_string(tk[i:i+7], ' ')))) AS gram
          |      FROM t)
          |SELECT gram, count(*)::BIGINT AS n_docs, min(doc_id) AS first_doc

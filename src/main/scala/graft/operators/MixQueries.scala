@@ -188,10 +188,15 @@ object MixQueries {
         .select(col("source"), size(Texts.tokens(col("text"))).as("n_tok"))
         .groupBy("source")
         .agg(sum(col("n_tok").cast("long")).as("avail_tokens"))
+        // weight/required_tokens/epochs ship RAW: both engines run the
+        // identical IEEE op sequence (subtract, divide, multiply,
+        // divide), so the doubles are bit-equal — round() on a halfway
+        // decimal would diverge between BigDecimal and float64 rounding
+        // (the sim_quantize_int8 lesson).
         .select(col("source"), col("avail_tokens"),
-          round(weight, 6).as("weight"),
-          round(weight * budget, 2).as("required_tokens"),
-          round(weight * budget / col("avail_tokens"), 4).as("epochs"),
+          weight.as("weight"),
+          (weight * budget).as("required_tokens"),
+          (weight * budget / col("avail_tokens")).as("epochs"),
           when(weight * budget > col("avail_tokens"), 1).otherwise(0)
             .as("oversampled"))
     })
@@ -275,9 +280,9 @@ object MixQueries {
          |  SELECT source, avail_tokens,
          |    (21.0 - CAST(substr(source, 4) AS INT)) / 210.0 AS wt
          |  FROM a)
-         |SELECT source, avail_tokens, round(wt, 6) AS weight,
-         |  round(wt * 1000000, 2) AS required_tokens,
-         |  round(wt * 1000000 / avail_tokens, 4) AS epochs,
+         |SELECT source, avail_tokens, wt AS weight,
+         |  wt * 1000000 AS required_tokens,
+         |  wt * 1000000 / avail_tokens AS epochs,
          |  CASE WHEN wt * 1000000 > avail_tokens THEN 1 ELSE 0 END
          |    AS oversampled
          |FROM w""".stripMargin

@@ -422,9 +422,12 @@ object RelationalQueries {
         .rangeBetween(-29, Window.currentRow)
       Tables.orders(s, d)
         .withColumn("n_30d", count(lit(1)).over(w))
+        // Accumulate in DECIMAL (associative, order-independent), then
+        // convert the FINAL value to DOUBLE once — the oracle does the
+        // same single conversion, so the doubles are bit-identical.
         .withColumn("amt_30d",
           sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
-            .cast("decimal(18,2)"))
+            .cast("decimal(18,2)").cast("double"))
         .select("o_orderkey", "o_custkey", "n_30d", "amt_30d")
     }),
 
@@ -440,7 +443,7 @@ object RelationalQueries {
         .agg(grouping_id().cast("int").as("gid"),
           count(lit(1)).as("n"),
           sum(col("l_quantity").cast("decimal(18,2)"))
-            .cast("decimal(18,2)").as("sum_qty"))
+            .cast("decimal(18,2)").cast("double").as("sum_qty"))
         .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
     }),
 
@@ -641,8 +644,8 @@ object RelationalQueries {
     "w7_rolling_range" ->
       """SELECT o_orderkey, o_custkey,
         |  CAST(count(*) OVER w AS BIGINT) AS n_30d,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w
-        |       AS DECIMAL(18,2)) AS amt_30d
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w
+        |       AS DECIMAL(18,2)) AS DOUBLE) AS amt_30d
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey
         |  ORDER BY datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
@@ -651,7 +654,8 @@ object RelationalQueries {
       """SELECT l_returnflag, l_linestatus,
         |  CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
         |  count(*) AS n,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))
+        |       AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
     "w8_funnel" ->
       """WITH su AS (

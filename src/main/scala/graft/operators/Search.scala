@@ -23,20 +23,33 @@ object Search {
     keywordAnd: Seq[String] = Nil,                 // AND-list, substring
     typeIn: Seq[String] = Nil,                     // OR-list
     statusIn: Seq[String] = Nil,                   // OR-list
+    regulatorIn: Seq[String] = Nil,                // OR-list (search_functions.py:33-38)
     excludeStatus: Option[String] = Some("archive"), // negation
     dateFrom: Option[String] = None,               // inclusive range
     dateTo: Option[String] = None,
     titleContains: Option[String] = None,
+    legislationHrefIn: Seq[String] = Nil,          // by-legislation plan shape (:21-27)
     orderAscending: Boolean = false,
     page: Int = 0,
     pageSize: Int = 10,                            // handler.py:20
-    hardCap: Int = 10000)                          // search_functions.py:64
+    hardCap: Int = 10000,                          // search_functions.py:64
+    legCap: Int = 1000)                            // search_functions.py:26 `limit 1000`
 
   /** Column bindings: which physical columns play uid/topic/keywords/…
-    * so the planner works over any conforming DataFrame. */
+    * so the planner works over any conforming DataFrame. `regulator` has
+    * a conventional default because most conforming frames carry the
+    * reference's own column name; it is only dereferenced when the
+    * request sets `regulatorIn`. */
   case class Binding(
     uid: String, topic: String, text: String, docType: String,
-    status: String, title: String, date: String)
+    status: String, title: String, date: String,
+    regulator: String = "regulator_id")
+
+  /** Bindings for the by-legislation plan shape: the legislation table's
+    * URI column and the publication edge's two endpoint columns
+    * (`search_functions.py:21-27` — `(issuedFor:$x, issued:$regdoc) isa
+    * publication`). */
+  case class LegBinding(legUri: String, edgeLeg: String, edgeDoc: String)
 
   /** P6 — the key set a request is recognized by (`handler.py:16-18`).
     * Pagination/order params deliberately do NOT count: a request with

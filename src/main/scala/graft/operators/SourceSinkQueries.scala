@@ -274,12 +274,17 @@ object SourceSinkQueries {
   private val metaSidecarSql = MetaSidecar
     .map { case (f, k, r) => s"('$f','$k','$r')" }.mkString(",\n  ")
 
-  /** The driver's verify pass runs at this scale factor; glob/read_blob
-    * oracles need the literal directory (DuckDB table functions only
-    * accept constant arguments). */
-  private val VerifySfDir = "/root/testdata/sf0.01"
+  /** glob/read_blob oracles need a literal directory (DuckDB table
+    * functions only accept constant arguments). Verify.main stamps the
+    * actual sweep dir into this property from its sfDir argument, so
+    * the sf0.1 / CPU-variation sweeps run the oracle against the same
+    * data the Spark query read — no hardcoded-scale carve-out. */
+  private def VerifySfDir: String =
+    sys.props.getOrElse("graft.verify.sfDir", "/root/testdata/sf0.01")
 
-  val oracles: Map[String, String] = Map(
+  // def, not val: the dir property must be read at dump time, after
+  // Verify.main has set it (object-init order is otherwise fragile).
+  def oracles: Map[String, String] = Map(
     "s14_merge_schema" ->
       """SELECT lang, count(*) AS n_rows,
         |  count(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS n_with_chars,

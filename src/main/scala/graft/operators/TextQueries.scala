@@ -345,9 +345,11 @@ object TextQueries {
       // bit-identical everywhere — so the value ships raw, un-rounded.
       val sumSq = aggregate(counts, lit(0L),
         (acc, c) => acc + c.cast("long") * c)
-      val nTok = size(toks)
+      // n² in LONG: int×int wraps silently past 46,340 tokens with ANSI
+      // off, and the oracle's len() is already BIGINT.
+      val nTok = size(toks).cast("long")
       val gini = lit(1.0) - sumSq.cast("double") /
-        greatest(nTok * nTok, lit(1)).cast("double")
+        greatest(nTok * nTok, lit(1L)).cast("double")
       Tables.documents(s, d)
         .select(col("doc_id"),
           round(lit(1.0) - size(array_distinct(big)).cast("double") /
