@@ -34,6 +34,51 @@ object OrpQueries {
         .select(col("rn"), col("doc_id"), col("lang"), col("n_chars"))
     }),
 
+    // §3.2 regulator_id OR-list filter (search_functions.py:33-38): same
+    // search plan, page 0, restricted to two regulators. documents.source
+    // plays regulator_id.
+    "orp_search_by_regulator" -> ((s, d) => {
+      val req = Search.Request(
+        regulatorIn = Seq("src4", "src7"),
+        excludeStatus = None,
+        page = 0, pageSize = 10, hardCap = 10000)
+      val b = Search.Binding(uid = "doc_id", topic = "lang", text = "text",
+        docType = "source", status = "source", title = "text",
+        date = "n_chars", regulator = "source")
+      Search.plan(Tables.documents(s, d), req, b)
+        .select(col("rn"), col("doc_id"), col("source"), col("n_chars"))
+    }),
+
+    // §3.2 related-docs plan shape (search_functions.py:21-27): hrefs →
+    // publication edge → live docs, legCap truncation, per-legislation
+    // newest-first pages. customer≙legislation ('leg/'||c_custkey as URI),
+    // orders≙both the publication edge (o_custkey→o_orderkey) and the
+    // document store (uid=o_orderkey, status=o_orderstatus — 'F' plays
+    // "archive", date=o_orderdate). legCap=15 lands mid-corpus so the
+    // truncation path is actually exercised.
+    "orp_search_by_leg" -> ((s, d) => {
+      val req = Search.Request(
+        legislationHrefIn = Seq("leg/7", "leg/23", "leg/911"),
+        excludeStatus = Some("F"),
+        pageSize = 3, legCap = 15)
+      val legs = Tables.customer(s, d)
+        .select(concat(lit("leg/"), col("c_custkey")).as("leg_uri"))
+      val orders = Tables.orders(s, d)
+      val edges = orders.select(
+        concat(lit("leg/"), col("o_custkey")).as("pub_leg"),
+        col("o_orderkey").as("pub_doc"))
+      val docs = orders.select(col("o_orderkey").as("uid"),
+        col("o_orderstatus").as("status"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("dt_pub"))
+      val b = Search.Binding(uid = "uid", topic = "uid", text = "uid",
+        docType = "uid", status = "status", title = "uid", date = "dt_pub")
+      val lb = Search.LegBinding(legUri = "leg_uri",
+        edgeLeg = "pub_leg", edgeDoc = "pub_doc")
+      Search.planByLegislation(legs, edges, docs, req, b, lb)
+        .select(col("legislation_href"), col("rn"), col("uid"),
+          col("dt_pub"))
+    }),
+
     // ST2 graph-element extraction, entity half (extract_graph_elems.py:
     // 20-110): event rows → typed entity nodes with hash-derived ids.
     "g_extract_entities" -> ((s, d) => {
@@ -194,6 +239,33 @@ object OrpQueries {
         |  FROM documents
         |  WHERE lang = 'en' AND text LIKE '%join%' AND text LIKE '%filter%') t
         |WHERE rn BETWEEN 11 AND 20""".stripMargin,
+    "orp_search_by_regulator" ->
+      """SELECT rn, doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |         row_number() OVER (ORDER BY n_chars DESC, doc_id DESC) AS rn
+        |  FROM documents
+        |  WHERE source IN ('src4', 'src7')) t
+        |WHERE rn BETWEEN 1 AND 10""".stripMargin,
+    "orp_search_by_leg" ->
+      """WITH legs AS (
+        |  SELECT 'leg/' || c_custkey AS legislation_href
+        |  FROM customer
+        |  WHERE 'leg/' || c_custkey IN ('leg/7', 'leg/23', 'leg/911')),
+        |live AS (
+        |  SELECT o_orderkey AS uid,
+        |         'leg/' || o_custkey AS pub_leg,
+        |         strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS dt_pub
+        |  FROM orders WHERE o_orderstatus <> 'F'),
+        |capped AS (
+        |  SELECT l.legislation_href, d.uid, d.dt_pub
+        |  FROM legs l JOIN live d ON d.pub_leg = l.legislation_href
+        |  ORDER BY l.legislation_href ASC, d.dt_pub DESC, d.uid DESC
+        |  LIMIT 15)
+        |SELECT legislation_href, rn, uid, dt_pub FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY legislation_href
+        |                               ORDER BY dt_pub DESC, uid DESC) AS rn
+        |  FROM capped) t
+        |WHERE rn <= 3""".stripMargin,
     "g_extract_entities" ->
       """SELECT DISTINCT * FROM (
         |  SELECT ('0x' || substr(md5('user_' || user_id), 1, 15))::BIGINT AS node_id,

@@ -93,13 +93,22 @@ object Search {
           .flatMap(_.split(",")).filter(_.nonEmpty),
         statusIn = ev.get("status").toSeq
           .flatMap(_.split(",")).filter(_.nonEmpty),
+        regulatorIn = ev.get("regulator_id").toSeq
+          .flatMap(_.split(",")).filter(_.nonEmpty),
         dateFrom = from,
         dateTo = to,
         titleContains = ev.get("title"),
+        legislationHrefIn = ev.get("legislation_href").toSeq
+          .flatMap(_.split(",")).filter(_.nonEmpty),
         orderAscending = ev.get("order").contains("asc"),
         page = ev.get("page").map(_.toInt).getOrElse(0),
         pageSize = ev.get("page_size").map(_.toInt).getOrElse(10))
     }
+
+  /** The reference routes `legislation_href` requests to a different plan
+    * shape (related-docs API, `search_functions.py:21-27`) — callers pick
+    * [[planByLegislation]] when this is true, [[plan]] otherwise. */
+  def isByLegislation(r: Request): Boolean = r.legislationHrefIn.nonEmpty
 
   /** Compile the conjunctive predicate (P1). Every branch is a
     * pushdown-friendly `Column` expression — no UDFs, no string plans. */
@@ -112,6 +121,9 @@ object Search {
         r.keywordAnd.map(k => col(b.text).contains(k)).reduce(_ && _)),
       Option.when(r.typeIn.nonEmpty)(col(b.docType).isin(r.typeIn: _*)),
       Option.when(r.statusIn.nonEmpty)(col(b.status).isin(r.statusIn: _*)),
+      // regulator_id OR-list (search_functions.py:33-38 `like "a|b|c"`)
+      Option.when(r.regulatorIn.nonEmpty)(
+        col(b.regulator).isin(r.regulatorIn: _*)),
       r.excludeStatus.map(col(b.status) =!= _),
       r.dateFrom.map(col(b.date) >= _),
       r.dateTo.map(col(b.date) <= _),
@@ -141,5 +153,46 @@ object Search {
       .orderBy(keys: _*).limit(hi)
       .withColumn("rn", row_number().over(Window.orderBy(keys: _*)))
       .filter(col("rn").between(lo, hi))
+  }
+
+  /** The related-documents plan shape (`search_functions.py:21-27`):
+    * legislation rows matching the href OR-list → publication edge →
+    * live (non-archive) documents, `limit 1000` (legCap), then per-
+    * legislation pages of `pageSize` newest docs (`search_reg_docs`'s
+    * `regdocs[:page_size]`, `:69-87`).
+    *
+    * Scale shape: the href list is a literal IN-filter, so the matched
+    * legislation side is tiny by construction — it is broadcast, and the
+    * edge scan filters on the broadcast before the document join (the
+    * docs side never shuffles for the legislation probe). The global
+    * legCap truncation is `orderBy(...).limit(legCap)` ≙
+    * TakeOrderedAndProject (per-partition top-k, one merge of ≤legCap
+    * rows); the per-legislation window then ranks only those ≤legCap
+    * survivors. Deterministic total order: (href, date, uid) — the
+    * reference's bare TQL `limit 1000` is an arbitrary subset; we pin it.
+    *
+    * Output columns: `legislation_href`, the document frame's columns,
+    * and `rn` (1-based rank within its legislation page). `lb.edgeLeg`/
+    * `lb.edgeDoc` name the edge frame's endpoint columns; `b.uid`/
+    * `b.status`/`b.date` are the only document bindings dereferenced. */
+  def planByLegislation(legs: DataFrame, edges: DataFrame, docs: DataFrame,
+      r: Request, b: Binding, lb: LegBinding): DataFrame = {
+    require(r.legislationHrefIn.nonEmpty, "by-legislation plan needs hrefs")
+    val wanted = legs
+      .filter(col(lb.legUri).isin(r.legislationHrefIn: _*))
+      .select(col(lb.legUri).as("legislation_href"))
+    val live = docs.filter(
+      r.excludeStatus.map(col(b.status) =!= _).getOrElse(lit(true)))
+    val keys =
+      if (r.orderAscending) Seq(col(b.date).asc, col(b.uid).asc)
+      else Seq(col(b.date).desc, col(b.uid).desc)
+    edges
+      .join(broadcast(wanted), col(lb.edgeLeg) === col("legislation_href"))
+      .join(live, col(lb.edgeDoc) === col(b.uid))
+      .drop(lb.edgeLeg, lb.edgeDoc)
+      .orderBy((col("legislation_href").asc +: keys): _*).limit(r.legCap)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("legislation_href")).orderBy(keys: _*)))
+      .filter(col("rn") <= r.pageSize)
   }
 }

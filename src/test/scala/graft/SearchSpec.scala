@@ -83,6 +83,74 @@ class SearchSpec extends SparkSpec {
     assert(r.page == 1)
   }
 
+  private val br = b.copy(regulator = "reg")
+  private def regDocs = Seq(
+    ("a", "t1", "alpha", "GD", "published", "A", "2024-01-01", "HSE"),
+    ("b", "t1", "beta", "GD", "published", "B", "2024-02-01", "EA"),
+    ("c", "t1", "gamma", "GD", "published", "C", "2024-03-01", "HSE"),
+    ("d", "t1", "delta", "GD", "published", "D", "2024-04-01", "OFCOM"))
+    .toDF("uid", "topic", "text", "dt", "status", "title", "dt_pub", "reg")
+
+  test("regulator_id OR-list filters (search_functions.py:33-38)") {
+    val r = Search.Request(regulatorIn = Seq("HSE", "EA"),
+      excludeStatus = None, pageSize = 10)
+    val got = Search.plan(regDocs, r, br).select("uid").as[String].collect().toSet
+    assert(got == Set("a", "b", "c")) // d excluded: wrong regulator
+  }
+
+  test("event regulator_id is parsed and actually filters (no silent no-op)") {
+    val ev = Search.fromEvent(Map("regulator_id" -> "HSE")).toOption.get
+    assert(ev.regulatorIn == Seq("HSE"))
+    val got = Search.plan(regDocs, ev.copy(excludeStatus = None), br)
+      .select("uid").as[String].collect().toSet
+    // the old defect returned the unfiltered corpus {a,b,c,d} here
+    assert(got == Set("a", "c"))
+    // comma OR-list
+    val ev2 = Search.fromEvent(Map("regulator_id" -> "HSE,OFCOM")).toOption.get
+    assert(ev2.regulatorIn == Seq("HSE", "OFCOM"))
+  }
+
+  test("event legislation_href parses and routes to the by-leg plan shape") {
+    val ev = Search.fromEvent(
+      Map("legislation_href" -> "leg/1,leg/2")).toOption.get
+    assert(ev.legislationHrefIn == Seq("leg/1", "leg/2"))
+    assert(Search.isByLegislation(ev))
+    assert(!Search.isByLegislation(Search.Request(idEquals = Some("x"))))
+  }
+
+  test("by-legislation plan: edge join, archive exclusion, per-leg page, legCap") {
+    val legs = Seq("leg/1", "leg/2", "leg/3").toDF("leg_uri")
+    val edges = Seq(
+      ("leg/1", "d1"), ("leg/1", "d2"), ("leg/1", "d3"), ("leg/1", "d4"),
+      ("leg/2", "d5"), ("leg/2", "d6"),
+      ("leg/3", "d7"), ("leg/9", "d8")).toDF("pub_leg", "pub_doc")
+    val docs = Seq(
+      ("d1", "published", "2024-01-01"), ("d2", "published", "2024-02-01"),
+      ("d3", "published", "2024-03-01"), ("d4", "published", "2024-04-01"),
+      ("d5", "published", "2024-05-01"), ("d6", "archive", "2024-06-01"),
+      ("d7", "published", "2024-07-01"), ("d8", "published", "2024-08-01"))
+      .toDF("uid", "status", "dt_pub")
+    val lb = Search.LegBinding("leg_uri", "pub_leg", "pub_doc")
+    val bb = Search.Binding(uid = "uid", topic = "uid", text = "uid",
+      docType = "uid", status = "status", title = "uid", date = "dt_pub")
+    val r = Search.Request(legislationHrefIn = Seq("leg/1", "leg/2", "leg/3"),
+      pageSize = 2, legCap = 1000)
+    val got = Search.planByLegislation(legs, edges, docs, r, bb, lb)
+      .select("legislation_href", "rn", "uid")
+      .as[(String, Int, String)].collect().toSet
+    // leg/1: newest 2 of 4 (page cap); leg/2: d6 archived → only d5;
+    // leg/3: d7; d8's edge points at an unrequested leg → absent.
+    assert(got == Set(("leg/1", 1, "d4"), ("leg/1", 2, "d3"),
+      ("leg/2", 1, "d5"), ("leg/3", 1, "d7")))
+    // legCap truncation is deterministic by (href asc, date desc, uid desc):
+    // cap 3 keeps leg/1's 4 candidates minus the last, then nothing else.
+    val capped = Search.planByLegislation(legs, edges, docs,
+      r.copy(legCap = 3), bb, lb)
+      .select("legislation_href", "rn", "uid")
+      .as[(String, Int, String)].collect().toSet
+    assert(capped == Set(("leg/1", 1, "d4"), ("leg/1", 2, "d3")))
+  }
+
   test("P6: event-built request plans identically to the typed request") {
     val ev = Search.fromEvent(Map("regulatory_topic" -> "t1",
       "keyword" -> "alpha beta")).toOption.get
