@@ -22,13 +22,26 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Machine-health canary #1: host load BEFORE we add our own. A
+    // loaded machine (driver running sbt test sweeps, another bench, …)
+    // inflates every measurement ~uniformly; recording loadavg in-band
+    // lets a contaminated run identify itself instead of needing a
+    // forensic re-run (round-5 lesson: 265s "regression" was a busy box).
+    val loadavg = try {
+      Files.readString(Paths.get("/proc/loadavg")).trim.split(" ")(0).toDouble
+    } catch { case _: Throwable => -1.0 }
     // JVM/codegen warmup: the first Spark job in a session pays ~3-4 s of
     // classloading, codegen, and scan setup — attribute that to startup,
     // not to whichever query sorts first alphabetically.
+    // Canary #2: the warmup block is a fixed workload, so its wall time
+    // is a per-run contention probe — on an idle box it's ~4-6 s; a
+    // multiple of that means the sweep's numbers are inflated too.
+    val warm0 = System.nanoTime()
     Tables.documents(spark, sfDir).limit(100).count()
     Tables.events(spark, sfDir).limit(100).count()
     spark.range(100000).groupBy(org.apache.spark.sql.functions.expr("id % 7"))
       .count().count()
+    val warmupSec = (System.nanoTime() - warm0) / 1e9
     // Dev aid: SPARK_GRAFT_BENCH_ONLY=q1,q2 times just those queries
     // (repeated runs of a hot path without the full sweep). Unset in the
     // driver's per-round run, so the contract output is unchanged.
@@ -90,7 +103,7 @@ object Bench {
     val total = results.map(_._2).sum
     val failed = firstPass.collect { case (n, _, _, false) => n }
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","agg":"min-of-2 for queries >1s, min-of-3 >2.5s","n_errors":${failed.size},"errors":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","agg":"min-of-2 for queries >1s, min-of-3 >2.5s","canary_warmup_sec":$warmupSec%.2f,"canary_loadavg_at_start":$loadavg%.2f,"n_errors":${failed.size},"errors":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outFile), line)
     // Contract: the final stdout line IS the JSON result, with the
     // per-query seconds inline (build.sbt's StdoutOutput strategy keeps

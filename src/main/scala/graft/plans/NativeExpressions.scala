@@ -70,12 +70,20 @@ object NativeImpl {
 
   /** |A ∩ B| for two SORTED string arrays — O(n+m) merge walk with raw
     * UTF8String comparisons, replacing per-pair hash-set construction
-    * (`array_intersect`) in the blocked Jaccard join's hot loop. */
+    * (`array_intersect`) in the blocked Jaccard join's hot loop.
+    *
+    * `binaryCompare`, NOT `compareTo`: Spark 4.1's `UTF8String.compareTo`
+    * front-runs every call with `SparkEnvUtils.isTesting` — which builds
+    * a fresh Scala map from `System.getenv` — before delegating to
+    * `binaryCompare`. In this hot loop (millions of pairs × ~50
+    * comparisons each) that overhead measured ~50× the walk itself
+    * (5,300 CPU-s → ~100 CPU-s at sf0.1). Same ordering semantics:
+    * `array_sort` orders strings by the identical binary comparison. */
   def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
     val na = a.numElements(); val nb = b.numElements()
     var i = 0; var j = 0; var c = 0
     while (i < na && j < nb) {
-      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      val cmp = a.getUTF8String(i).binaryCompare(b.getUTF8String(j))
       if (cmp == 0) { c += 1; i += 1; j += 1 }
       else if (cmp < 0) i += 1
       else j += 1
