@@ -171,34 +171,55 @@ object DedupQueries {
         .agg(count("*").as("n_shared"))
     }),
 
-    // n-gram (distinct-word-set) Jaccard near-dup with (lang, size-bucket)
-    // blocking: candidate pairs only within a block → keyed equi-join, not
-    // a cross join. Threshold 0.9.
+    // Same-language distinct-word-set Jaccard near-dup, exact, via PREFIX
+    // FILTERING within language partitions (the multilingual-corpus
+    // reality: near-dups can only be same-lang, so lang rides the
+    // candidate key and per-lang document frequencies drive the global
+    // token order).
+    //
+    // This RETIRES the earlier (lang, size/8-bucket) blocking shape: its
+    // candidate population grew linearly with the corpus — every block
+    // held corpus/|blocks| docs, so block self-joins were quadratic in
+    // corpus size, a 100 TB dead end flagged two rounds running. The
+    // prefix filter's candidates are bounded by true-similarity structure
+    // instead (see dd_jaccard_prefix below for the theorem), and the
+    // bucket's false negatives (true pairs straddling a /8 boundary, e.g.
+    // sizes 15/16) are gone — output is now exactly "all same-lang pairs
+    // with J ≥ 0.9".
     "dd_ngram_jaccard" -> ((s, d) => {
-      // persisted: both sides of the pair self-join read it
-      val base = prepared(s, d)
-        .withColumn("bkt", (size(col("ws")) / 8).cast("int"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val a = base.select(col("doc_id").as("a_id"), col("lang"),
-        col("bkt"), col("ws").as("a_ws"))
-      val b = base.select(col("doc_id").as("b_id"), col("lang"),
-        col("bkt"), col("ws").as("b_ws"))
-      // `ws` is sorted (prepared() sorts once per row), so the native
-      // merge-walk intersection replaces per-pair hash-set building —
-      // the pair join is the hot loop at scale.
+      import org.apache.spark.storage.StorageLevel
+      val t = 0.9
+      val base = prepared(s, d).select(col("doc_id"), col("lang"), col("ws"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val toks = base.select(col("doc_id"), col("lang"),
+        explode(col("ws")).as("tok"))
+      val dfreq = toks.groupBy("lang", "tok").agg(count("*").as("df"))
+      val ordered = toks.join(dfreq, Seq("lang", "tok"))
+        .groupBy("doc_id")
+        .agg(first("lang").as("lang"),
+          sort_array(collect_list(struct(col("df"), col("tok")))).as("o"))
+        .select(col("doc_id"), col("lang"),
+          transform(col("o"), x => x.getField("tok")).as("ows"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val pre = ordered
+        .withColumn("n", size(col("ows")))
+        .select(col("doc_id"), col("lang"), col("n"),
+          explode(slice(col("ows"), lit(1),
+            (col("n") - ceil(lit(t) * col("n")) + 1).cast("int"))).as("tok"))
+      val cand = pre.alias("a").join(pre.alias("b"),
+          col("a.lang") === col("b.lang") && col("a.tok") === col("b.tok") &&
+            col("a.doc_id") < col("b.doc_id") &&
+            col("b.n") <= col("a.n") / t && col("a.n") <= col("b.n") / t)
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .distinct()
       val inter = graft.plans.Native
         .sorted_intersect_count(col("a_ws"), col("b_ws")).cast("double")
-      val jac = round(inter /
-        (size(col("a_ws")) + size(col("b_ws")) - inter), 6)
-      // (A size-ratio prune ahead of the intersect — jac ≤ min/max, so
-      // min/max < 0.9 pairs could skip the walk — was measured 1.5×
-      // SLOWER here: the /8 bucket is narrower than the 0.9 ratio at
-      // realistic doc lengths, so ~every pair passes and the extra
-      // predicate only breaks up the join's codegen. Keep the walk.)
-      a.join(b, Seq("lang", "bkt"))
-        .filter(col("a_id") < col("b_id"))
-        .withColumn("jac", jac)
-        .filter(col("jac") >= 0.9)
+      cand
+        .join(base.select(col("doc_id").as("a_id"), col("ws").as("a_ws")), "a_id")
+        .join(base.select(col("doc_id").as("b_id"), col("ws").as("b_ws")), "b_id")
+        .withColumn("jac",
+          round(inter / (size(col("a_ws")) + size(col("b_ws")) - inter), 6))
+        .filter(col("jac") >= t)
         .select("a_id", "b_id", "jac")
     }),
 
@@ -598,13 +619,15 @@ object DedupQueries {
         |FROM g JOIN b USING (gram)
         |WHERE g.doc_id >= 20
         |GROUP BY 1""".stripMargin,
+    // Independent oracle algorithm: brute-force ALL same-lang pairs (no
+    // prefix filter) — if the engine's candidate pruning ever lost a true
+    // pair, the row counts would diverge here.
     "dd_ngram_jaccard" ->
-      s"""WITH t AS (SELECT doc_id, lang, $wsSql AS ws FROM documents),
-         |b AS (SELECT *, CAST(len(ws) // 8 AS INT) AS bkt FROM t)
+      s"""WITH t AS (SELECT doc_id, lang, $wsSql AS ws FROM documents)
          |SELECT a.doc_id AS a_id, c.doc_id AS b_id,
          |  round(len(list_intersect(a.ws, c.ws))::DOUBLE /
          |    (len(a.ws) + len(c.ws) - len(list_intersect(a.ws, c.ws))), 6) AS jac
-         |FROM b a JOIN b c ON a.lang = c.lang AND a.bkt = c.bkt AND a.doc_id < c.doc_id
+         |FROM t a JOIN t c ON a.lang = c.lang AND a.doc_id < c.doc_id
          |WHERE round(len(list_intersect(a.ws, c.ws))::DOUBLE /
          |    (len(a.ws) + len(c.ws) - len(list_intersect(a.ws, c.ws))), 6) >= 0.9""".stripMargin,
     "dd_jaccard_prefix" ->

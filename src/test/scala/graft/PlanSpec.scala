@@ -425,9 +425,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), "totals must come from the window pass")
   }
 
-  test("dd_ngram_jaccard: blocked pair join stays a keyed equi-join") {
+  test("dd_ngram_jaccard: prefix-filtered pair join stays a keyed equi-join") {
     val p = planOf(DedupQueries.queries("dd_ngram_jaccard")(spark, sf))
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"))
+    // the retired (lang, size-bucket) blocking shape must stay retired:
+    // no size-bucket column anywhere in the plan — candidates come from
+    // the (lang, prefix-token) equi-join whose population is bounded by
+    // similarity structure, not corpus size
+    assert(!p.contains("bkt"))
+    assert(p.contains("tok"))
   }
 }
