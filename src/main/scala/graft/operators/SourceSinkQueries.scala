@@ -134,6 +134,51 @@ object SourceSinkQueries {
             java.util.Map.of("rowTag", "orpml")).as("orpml"))
     }),
 
+    // K1 read side — ORPML ingest (finalise_orpml.py:47-70 parse_orpml +
+    // parse_beautifulsoup_element): an externally-produced ORPML document
+    // with the reference's nested header sections (dublinCore / dcat /
+    // orp) is parsed back to typed columns with from_xml, proving the
+    // engine can INGEST ORPML, not only render it. The round trip here
+    // renders the nested header from documents, parses it, and flattens —
+    // so the oracle can recompute every output column straight from the
+    // table and any parse defect (lost nesting, bad unescape, type
+    // coercion) diverges. Row-local projection both ways: zero exchanges
+    // at any corpus size.
+    "k1_orpml_parse" -> ((s, d) => {
+      val rendered = Tables.documents(s, d).select(
+        to_xml(struct(
+          // header text fields are trimmed: the XML parser's
+          // surrounding-whitespace handling makes un-trimmed leaf text
+          // ill-defined across parsers, so ORPML headers declare trimmed
+          // values (the reference's BeautifulSoup `.text` behaves alike)
+          struct(col("doc_id").as("identifier"),
+            trim(substring(col("text"), 1, 40)).as("title"),
+            col("lang").as("language")).as("dublinCore"),
+          struct(col("source").as("publisher")).as("dcat"),
+          // trim: XML surrounding-whitespace semantics would otherwise
+          // leak into the comparison when the span lands on a word gap
+          struct(trim(substring(col("text"), 41, 60)).as("summary"))
+            .as("orp")),
+          java.util.Map.of("rowTag", "orpml")).as("orpml"))
+      val header = StructType(Seq(
+        StructField("dublinCore", StructType(Seq(
+          StructField("identifier", LongType),
+          StructField("title", StringType),
+          StructField("language", StringType)))),
+        StructField("dcat", StructType(Seq(
+          StructField("publisher", StringType)))),
+        StructField("orp", StructType(Seq(
+          StructField("summary", StringType))))))
+      rendered
+        .select(from_xml(col("orpml"), header,
+          java.util.Map.of()).as("h"))
+        .select(col("h.dublinCore.identifier").as("doc_id"),
+          col("h.dublinCore.title").as("title"),
+          col("h.dublinCore.language").as("language"),
+          col("h.dcat.publisher").as("publisher"),
+          col("h.orp.summary").as("summary"))
+    }),
+
     // K4 dim-table upsert (legislation_table_update.py:100-112: the CSV
     // dim refresh put_item loop — last-writer-wins overwrite by key, new
     // keys inserted). Relationally: incoming wins on key-match (in-place
@@ -375,6 +420,12 @@ object SourceSinkQueries {
         |    replace(replace(substr(text, 1, 40), '&', '&amp;'), '<', '&lt;') ||
         |    '</head>' || chr(10) ||
         |  '</orpml>' AS orpml
+        |FROM documents""".stripMargin,
+    // the parse output is recomputed straight from the table — the XML
+    // round trip must be the identity on every header field
+    "k1_orpml_parse" ->
+      """SELECT doc_id, trim(substr(text, 1, 40)) AS title, lang AS language,
+        |  source AS publisher, trim(substr(text, 41, 60)) AS summary
         |FROM documents""".stripMargin,
     "k4_dim_upsert" ->
       """WITH cur AS (
