@@ -41,9 +41,14 @@ object SimilarityQueries {
       .select(col("vec_id"), col("mv.m").as("m"), col("mv.v_sub").as("v_sub"))
     val cb = subvecs.filter(col("vec_id") < 8)
       .select(col("vec_id").as("c_id"), col("m"), col("v_sub").as("c_sub"))
-    val d2 = round(aggregate(
+    // RAW double, no round(): the fold is a fixed-order (left-to-right)
+    // IEEE sum of elementwise squares, so both engines produce the
+    // bit-identical value — while a round(…,6) re-introduces divergence
+    // exactly at half-way decimals (the sim_quantize_int8 lesson). The
+    // oracle mirrors the order with list_reduce, not list_sum.
+    val d2 = aggregate(
       zip_with(col("v_sub"), col("c_sub"), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x), 6)
+      lit(0.0), (acc, x) => acc + x)
     val dists = subvecs.join(broadcast(cb), Seq("m")).withColumn("d2", d2)
     val byD = Window.partitionBy("vec_id", "m")
       .orderBy(col("d2").asc, col("c_id").asc)
@@ -53,7 +58,8 @@ object SimilarityQueries {
     val qd = dists.filter(col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("m"), col("c_id"), col("d2"))
     // fixed-order subspace sum (m0+m1+m2+m3) so the float addition
-    // order is deterministic and oracle-reproducible
+    // order is deterministic and oracle-reproducible; shipped RAW —
+    // every addend is itself bit-identical across engines (see d2)
     val adc = qd.join(codes, Seq("m", "c_id"))
       .filter(col("q_id") =!= col("n_id"))
       .groupBy("q_id", "n_id")
@@ -62,7 +68,7 @@ object SimilarityQueries {
         sum(when(col("m") === 2, col("d2"))).as("s2"),
         sum(when(col("m") === 3, col("d2"))).as("s3"))
       .select(col("q_id"), col("n_id"),
-        round(col("s0") + col("s1") + col("s2") + col("s3"), 6).as("ad2"))
+        (col("s0") + col("s1") + col("s2") + col("s3")).as("ad2"))
     val w = Window.partitionBy("q_id").orderBy(col("ad2").asc, col("n_id").asc)
     adc.withColumn("rk", row_number().over(w))
   }
@@ -398,6 +404,12 @@ object SimilarityQueries {
         |SELECT cluster_id, pos, count(*) AS n_members,
         |  round(avg(x), 6) AS mean
         |FROM u GROUP BY cluster_id, pos""".stripMargin,
+    // dists/adc mirror the engine's FIXED-ORDER raw-double arithmetic:
+    // list_reduce is a left fold in element order (≡ Spark's aggregate
+    // from 0.0 — squares are never -0.0, so the seedless fold is
+    // bit-identical), and the adc sum is the same left-assoc m0..m3
+    // chain. No round() anywhere: every value ships as the raw IEEE
+    // double both engines computed identically.
     "sim_ann_pq" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |sub AS (
@@ -407,9 +419,9 @@ object SimilarityQueries {
         |       FROM sub WHERE vec_id < 8),
         |dists AS (
         |  SELECT s.vec_id, s.m, c.c_id,
-        |    round(list_sum(list_transform(generate_series(1, 16),
-        |      i -> (s.v_sub[i] - c.c_sub[i]) * (s.v_sub[i] - c.c_sub[i]))), 6)
-        |      AS d2
+        |    list_reduce(list_transform(generate_series(1, 16),
+        |      i -> (s.v_sub[i] - c.c_sub[i]) * (s.v_sub[i] - c.c_sub[i])),
+        |      (x, y) -> x + y) AS d2
         |  FROM sub s JOIN cb c ON s.m = c.m),
         |codes AS (
         |  SELECT vec_id AS n_id, m, c_id FROM (
@@ -420,8 +432,8 @@ object SimilarityQueries {
         |       FROM dists WHERE vec_id < 20),
         |adc AS (
         |  SELECT q_id, n_id,
-        |    round(sum(d2) FILTER (m = 0) + sum(d2) FILTER (m = 1) +
-        |          sum(d2) FILTER (m = 2) + sum(d2) FILTER (m = 3), 6) AS ad2
+        |    sum(d2) FILTER (m = 0) + sum(d2) FILTER (m = 1) +
+        |    sum(d2) FILTER (m = 2) + sum(d2) FILTER (m = 3) AS ad2
         |  FROM qd JOIN codes USING (m, c_id)
         |  WHERE q_id <> n_id
         |  GROUP BY q_id, n_id),
@@ -437,9 +449,9 @@ object SimilarityQueries {
         |       FROM sub WHERE vec_id < 8),
         |dists AS (
         |  SELECT s.vec_id, s.m, c.c_id,
-        |    round(list_sum(list_transform(generate_series(1, 16),
-        |      i -> (s.v_sub[i] - c.c_sub[i]) * (s.v_sub[i] - c.c_sub[i]))), 6)
-        |      AS d2
+        |    list_reduce(list_transform(generate_series(1, 16),
+        |      i -> (s.v_sub[i] - c.c_sub[i]) * (s.v_sub[i] - c.c_sub[i])),
+        |      (x, y) -> x + y) AS d2
         |  FROM sub s JOIN cb c ON s.m = c.m),
         |codes AS (
         |  SELECT vec_id AS n_id, m, c_id FROM (
@@ -450,8 +462,8 @@ object SimilarityQueries {
         |       FROM dists WHERE vec_id < 20),
         |adc AS (
         |  SELECT q_id, n_id,
-        |    round(sum(d2) FILTER (m = 0) + sum(d2) FILTER (m = 1) +
-        |          sum(d2) FILTER (m = 2) + sum(d2) FILTER (m = 3), 6) AS ad2
+        |    sum(d2) FILTER (m = 0) + sum(d2) FILTER (m = 1) +
+        |    sum(d2) FILTER (m = 2) + sum(d2) FILTER (m = 3) AS ad2
         |  FROM qd JOIN codes USING (m, c_id)
         |  WHERE q_id <> n_id
         |  GROUP BY q_id, n_id),
