@@ -424,7 +424,13 @@ object RelationalQueries {
         .withColumn("n_30d", count(lit(1)).over(w))
         // Accumulate in DECIMAL (associative, order-independent), then
         // convert the FINAL value to DOUBLE once — the oracle does the
-        // same single conversion, so the doubles are bit-identical.
+        // same single conversion, so the doubles are bit-identical
+        // while the unscaled sum (cents) stays below 2^53 (~$9e13 per
+        // window): past that, double cannot represent every cent value
+        // and the engines' int64→double-then-divide vs
+        // BigDecimal.doubleValue paths may round differently by 1 ulp.
+        // At that scale ship the DECIMAL itself (or compare with an ulp
+        // tolerance) instead of casting to double.
         .withColumn("amt_30d",
           sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
             .cast("decimal(18,2)").cast("double"))
