@@ -42,6 +42,37 @@ class RobustnessSpec extends SparkSpec {
     } finally df.unpersist()
   }
 
+  test("malformed ORPML quarantines as null struct; good rows parse " +
+    "(the k1_orpml_parse ingest contract)") {
+    // from_xml is PERMISSIVE by default: a broken envelope yields a null
+    // header struct (→ null columns downstream), never a job failure —
+    // the quarantine-and-continue posture the 100 TB crawl drop needs.
+    val header = StructType(Seq(
+      StructField("dublinCore", StructType(Seq(
+        StructField("identifier", LongType),
+        StructField("language", StringType))))))
+    val docs = Seq(
+      "<orpml><dublinCore><identifier>7</identifier>" +
+        "<language>en</language></dublinCore></orpml>",
+      "<orpml><dublinCore><identifier>NOT A NUMBER</identifier>" +
+        "<language>de</language></dublinCore></orpml>",
+      "THIS IS NOT XML AT ALL").toDF("orpml")
+    val parsed = docs
+      .select(from_xml($"orpml", header, new java.util.HashMap[String, String]())
+        .as("h"))
+      .select($"h.dublinCore.identifier".as("id"),
+        $"h.dublinCore.language".as("lang"))
+      .collect()
+    assert(parsed.length == 3, "no row is dropped — quarantine, not loss")
+    assert(parsed(0).getLong(0) == 7L && parsed(0).getString(1) == "en")
+    // a field type mismatch voids the WHOLE record (PERMISSIVE nulls the
+    // header struct, it does not salvage sibling fields) — quarantine
+    // filters are `h IS NULL`, never per-field
+    assert(parsed(1).isNullAt(0) && parsed(1).isNullAt(1))
+    // structurally broken input likewise nulls the whole header
+    assert(parsed(2).isNullAt(0) && parsed(2).isNullAt(1))
+  }
+
   test("FAILFAST surfaces the malformed row as a job error") {
     val dir = writeMixedJson()
     val schema = StructType(Seq(

@@ -151,6 +151,23 @@ class SearchSpec extends SparkSpec {
     assert(capped == Set(("leg/1", 1, "d4"), ("leg/1", 2, "d3")))
   }
 
+  test("by-legislation plan honors ascending order") {
+    val legs = Seq("leg/1").toDF("leg_uri")
+    val edges = Seq(("leg/1", "d1"), ("leg/1", "d2"), ("leg/1", "d3"))
+      .toDF("pub_leg", "pub_doc")
+    val docs = Seq(
+      ("d1", "published", "2024-01-01"), ("d2", "published", "2024-02-01"),
+      ("d3", "published", "2024-03-01")).toDF("uid", "status", "dt_pub")
+    val lb = Search.LegBinding("leg_uri", "pub_leg", "pub_doc")
+    val bb = Search.Binding(uid = "uid", topic = "uid", text = "uid",
+      docType = "uid", status = "status", title = "uid", date = "dt_pub")
+    val r = Search.Request(legislationHrefIn = Seq("leg/1"),
+      orderAscending = true, pageSize = 2)
+    val got = Search.planByLegislation(legs, edges, docs, r, bb, lb)
+      .orderBy("rn").select("uid").as[String].collect().toSeq
+    assert(got == Seq("d1", "d2")) // oldest first under asc
+  }
+
   test("P6: event-built request plans identically to the typed request") {
     val ev = Search.fromEvent(Map("regulatory_topic" -> "t1",
       "keyword" -> "alpha beta")).toOption.get
