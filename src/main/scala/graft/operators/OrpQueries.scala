@@ -79,6 +79,33 @@ object OrpQueries {
           col("dt_pub"))
     }),
 
+    // §3.2 format_doc_results (search_functions.py:90-123): the search
+    // result page LATE-MATERIALIZES its enrichments — page keys first
+    // (10 rows), THEN the legislative-origins attach runs only for those
+    // keys (`get_docs_legs(uid_list)`), collected per doc as a sorted
+    // list. Scale shape: the ≤pageSize page side broadcasts into the
+    // edge join, so the corpus-sized edge table never shuffles for a
+    // page render — the reference's two-phase fetch, as a plan.
+    // orders≙docs, lineitem≙publication edge, 'leg/'||l_suppkey≙origin.
+    "orp_search_enriched" -> ((s, d) => {
+      val req = Search.Request(
+        excludeStatus = Some("F"), page = 1, pageSize = 10)
+      val docs = Tables.orders(s, d).select(
+        col("o_orderkey").as("uid"),
+        col("o_orderstatus").as("status"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("dt_pub"))
+      val b = Search.Binding(uid = "uid", topic = "uid", text = "uid",
+        docType = "uid", status = "status", title = "uid", date = "dt_pub")
+      val page = Search.plan(docs, req, b)
+      val edge = Tables.lineitem(s, d).select(
+        col("l_orderkey").as("uid"),
+        concat(lit("leg/"), col("l_suppkey")).as("leg"))
+      page.join(edge, Seq("uid"), "left")
+        .groupBy("rn", "uid", "dt_pub")
+        .agg(array_join(array_sort(collect_set(col("leg"))), ",")
+          .as("legislative_origins"))
+    }),
+
     // ST2 graph-element extraction, entity half (extract_graph_elems.py:
     // 20-110): event rows → typed entity nodes with hash-derived ids.
     "g_extract_entities" -> ((s, d) => {
@@ -266,6 +293,26 @@ object OrpQueries {
         |                               ORDER BY dt_pub DESC, uid DESC) AS rn
         |  FROM capped) t
         |WHERE rn <= 3""".stripMargin,
+    "orp_search_enriched" ->
+      """WITH docs AS (
+        |  SELECT o_orderkey AS uid, o_orderstatus AS status,
+        |         strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS dt_pub
+        |  FROM orders),
+        |page AS (
+        |  SELECT rn, uid, dt_pub FROM (
+        |    SELECT uid, dt_pub,
+        |           row_number() OVER (ORDER BY dt_pub DESC, uid DESC) AS rn
+        |    FROM docs WHERE status <> 'F') t
+        |  WHERE rn BETWEEN 11 AND 20),
+        |edge AS (
+        |  SELECT l_orderkey AS uid, 'leg/' || l_suppkey AS leg
+        |  FROM lineitem)
+        |SELECT p.rn, p.uid, p.dt_pub,
+        |  coalesce(array_to_string(list_sort(
+        |    list(DISTINCT e.leg) FILTER (e.leg IS NOT NULL)), ','), '')
+        |    AS legislative_origins
+        |FROM page p LEFT JOIN edge e USING (uid)
+        |GROUP BY p.rn, p.uid, p.dt_pub""".stripMargin,
     "g_extract_entities" ->
       """SELECT DISTINCT * FROM (
         |  SELECT ('0x' || substr(md5('user_' || user_id), 1, 15))::BIGINT AS node_id,

@@ -425,6 +425,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), "totals must come from the window pass")
   }
 
+  test("orp_search_enriched: page materializes before the edge attach " +
+    "(late materialization — the corpus edge table never sorts or " +
+    "funnels for a page render)") {
+    val p = planOf(
+      operators.OrpQueries.queries("orp_search_enriched")(spark, sf))
+    // the page is a TakeOrdered (bounded top-k merge), not a global sort
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("dd_ngram_jaccard: prefix-filtered pair join stays a keyed equi-join") {
     val p = planOf(DedupQueries.queries("dd_ngram_jaccard")(spark, sf))
     assert(!p.contains("CartesianProduct"))
