@@ -62,6 +62,8 @@ object Search {
   case class BadRequest(statusCode: Int, statusDescription: String)
   val Unsupported: BadRequest =
     BadRequest(400, "Bad Request - Unsupported search parameter(s).")
+  val MalformedPagination: BadRequest =
+    BadRequest(400, "Bad Request - Malformed pagination parameter(s).")
 
   /** P6 key-set validation (`handler.py:49-59`): a request qualifies iff
     * its key set intersects [[SearchKeys]]. Unknown keys are ignored —
@@ -71,20 +73,38 @@ object Search {
 
   /** Untyped event dict → typed [[Request]] (the lambda boundary).
     * Conventions for the flat string map: OR-lists (`document_type`,
-    * `status`) are comma-separated; `keyword` splits on spaces into an
-    * AND-list (`search_functions.py:40-42`); `date_published` is
-    * `start..end` with either side empty (`:49-56`). */
+    * `status`, `regulator_id`, `legislation_href`) are comma-separated;
+    * `keyword` splits on spaces into an AND-list
+    * (`search_functions.py:40-42`); `date_published` is `start..end`
+    * with either side empty (`:49-56`) — a bare date (no `..`) means
+    * that exact day (start = end), NEVER a silent no-filter.
+    *
+    * Malformed `page`/`page_size` (non-numeric, negative) is a 400, not
+    * an exception and not a silent default — the same no-silent-no-op
+    * contract the filter keys carry. */
   def fromEvent(event: Map[String, String]): Either[BadRequest, Request] =
-    validate(event).map { ev =>
+    validate(event).flatMap { ev =>
       val (from, to) = ev.get("date_published") match {
-        case Some(r) => r.split("\\.\\.", -1) match {
+        case Some(r) if r.contains("..") => r.split("\\.\\.", -1) match {
           case Array(a, b) => (Option(a).filter(_.nonEmpty),
             Option(b).filter(_.nonEmpty))
           case _ => (None, None)
         }
+        // bare date: exact-day filter, not a dropped filter
+        case Some(r) => (Some(r).filter(_.nonEmpty),
+          Some(r).filter(_.nonEmpty))
         case None => (None, None)
       }
-      Request(
+      def nonNegInt(key: String, default: Int): Either[BadRequest, Int] =
+        ev.get(key) match {
+          case None => Right(default)
+          case Some(v) => v.toIntOption.filter(_ >= 0)
+            .toRight(MalformedPagination)
+        }
+      for {
+        page <- nonNegInt("page", 0)
+        pageSize <- nonNegInt("page_size", 10)
+      } yield Request(
         idEquals = ev.get("id"),
         topicEquals = ev.get("regulatory_topic"),
         keywordAnd = ev.get("keyword").toSeq
@@ -101,8 +121,8 @@ object Search {
         legislationHrefIn = ev.get("legislation_href").toSeq
           .flatMap(_.split(",")).filter(_.nonEmpty),
         orderAscending = ev.get("order").contains("asc"),
-        page = ev.get("page").map(_.toInt).getOrElse(0),
-        pageSize = ev.get("page_size").map(_.toInt).getOrElse(10))
+        page = page,
+        pageSize = pageSize)
     }
 
   /** The reference routes `legislation_href` requests to a different plan

@@ -151,6 +151,26 @@ class SearchSpec extends SparkSpec {
     assert(capped == Set(("leg/1", 1, "d4"), ("leg/1", 2, "d3")))
   }
 
+  test("malformed pagination is a 400, not an exception or silent default") {
+    assert(Search.fromEvent(Map("keyword" -> "a", "page" -> "abc"))
+      == Left(Search.MalformedPagination))
+    assert(Search.fromEvent(Map("keyword" -> "a", "page_size" -> "-5"))
+      == Left(Search.MalformedPagination))
+    assert(Search.fromEvent(Map("keyword" -> "a", "page" -> "3"))
+      .toOption.get.page == 3)
+  }
+
+  test("bare date_published filters to that exact day, never a silent no-op") {
+    val ev = Search.fromEvent(Map("date_published" -> "2024-02-01")).toOption.get
+    assert(ev.dateFrom.contains("2024-02-01") && ev.dateTo.contains("2024-02-01"))
+    val got = Search.plan(docs, ev.copy(excludeStatus = None), b)
+      .select("uid").as[String].collect().toSet
+    assert(got == Set("b")) // only the doc published that day
+    // range forms still work
+    val r2 = Search.fromEvent(Map("date_published" -> "..2024-02-15")).toOption.get
+    assert(r2.dateFrom.isEmpty && r2.dateTo.contains("2024-02-15"))
+  }
+
   test("by-legislation plan honors ascending order") {
     val legs = Seq("leg/1").toDF("leg_uri")
     val edges = Seq(("leg/1", "d1"), ("leg/1", "d2"), ("leg/1", "d3"))
