@@ -289,13 +289,19 @@ object RelationalQueries {
 
     // §2.6 windows: running cumulative sum per key (order-dependent frame;
     // Spark computes it stream-wise inside each partition — one shuffle on
-    // the partition key, then sorted within).
+    // the partition key, then sorted within). The money sum accumulates
+    // in DECIMAL: a cumulative DOUBLE sum's association is engine-defined
+    // (DuckDB may tree-sum the frame, Spark streams it), so raw-double
+    // running totals can differ by an ulp and flip a half-cent round —
+    // decimal accumulation makes the window value exact in both engines.
     "w_running_sum" -> ((s, d) => {
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.orders(s, d)
-        .withColumn("cum_total", round(sum("o_totalprice").over(w), 2))
+        .withColumn("cum_total",
+          round(sum(col("o_totalprice").cast("decimal(18,2)")).over(w), 2)
+            .cast("double"))
         .select("o_custkey", "o_orderkey", "cum_total")
     }),
 
@@ -622,9 +628,11 @@ object RelationalQueries {
         |GROUP BY c_mktsegment, o_orderpriority""".stripMargin,
     "w_running_sum" ->
       """SELECT o_custkey, o_orderkey,
-        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
-        |    ORDER BY o_orderdate ASC, o_orderkey ASC
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_total
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY o_custkey
+        |          ORDER BY o_orderdate ASC, o_orderkey ASC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+        |    AS DOUBLE) AS cum_total
         |FROM orders""".stripMargin,
     "w_lag_sessionize" ->
       """SELECT user_id, sum(new_sess)::BIGINT AS n_sessions,

@@ -111,9 +111,11 @@ object SimilarityQueries {
       val e = emb(s, d)
       val cents = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("c_id"), col("v").as("c_v"))
-      def d2 = round(aggregate(
+      // raw fixed-order fold (see pqRanked): bit-identical across
+      // engines, so the assignment rank can't flip on a rounding boundary
+      def d2 = aggregate(
         zip_with(col("v"), col("c_v"), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x), 6)
+        lit(0.0), (acc, x) => acc + x)
       val byDist = Window.partitionBy("vec_id")
         .orderBy(col("d2").asc, col("c_id").asc)
       val assigned = e.crossJoin(broadcast(cents))
@@ -152,9 +154,10 @@ object SimilarityQueries {
       val e = emb(s, d)
       val cents = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("c_id"), col("v").as("c_v"))
-      def d2 = round(aggregate(
+      // raw fixed-order fold — same recipe as sim_ann_ivf/pqRanked
+      def d2 = aggregate(
         zip_with(col("v"), col("c_v"), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x), 6)
+        lit(0.0), (acc, x) => acc + x)
       val byDist = Window.partitionBy("vec_id")
         .orderBy(col("d2").asc, col("c_id").asc)
       val assigned = e.crossJoin(broadcast(cents))
@@ -333,8 +336,9 @@ object SimilarityQueries {
       |cents AS (SELECT vec_id AS c_id, v AS c_v FROM e WHERE vec_id < 8),
       |dist AS (
       |  SELECT e.vec_id, e.v, c.c_id,
-      |    round(list_sum(list_transform(generate_series(1, 64),
-      |      i -> (e.v[i] - c.c_v[i]) * (e.v[i] - c.c_v[i]))), 6) AS d2
+      |    list_reduce(list_transform(generate_series(1, 64),
+      |      i -> (e.v[i] - c.c_v[i]) * (e.v[i] - c.c_v[i])),
+      |      (x, y) -> x + y) AS d2
       |  FROM e, cents c),
       |assigned AS (
       |  SELECT vec_id AS n_id, v AS n_v, c_id AS cell FROM (
@@ -390,8 +394,9 @@ object SimilarityQueries {
         |cents AS (SELECT vec_id AS c_id, v AS c_v FROM e WHERE vec_id < 8),
         |dist AS (
         |  SELECT e.vec_id, e.v, c.c_id,
-        |    round(list_sum(list_transform(generate_series(1, 64),
-        |      i -> (e.v[i] - c.c_v[i]) * (e.v[i] - c.c_v[i]))), 6) AS d2
+        |    list_reduce(list_transform(generate_series(1, 64),
+        |      i -> (e.v[i] - c.c_v[i]) * (e.v[i] - c.c_v[i])),
+        |      (x, y) -> x + y) AS d2
         |  FROM e, cents c),
         |assigned AS (
         |  SELECT c_id AS cluster_id, v FROM (
