@@ -34,8 +34,9 @@ object Bench {
     // classloading, codegen, and scan setup — attribute that to startup,
     // not to whichever query sorts first alphabetically.
     // Canary #2: the warmup block is a fixed workload, so its wall time
-    // is a per-run contention probe — on an idle box it's ~4-6 s; a
-    // multiple of that means the sweep's numbers are inflated too.
+    // is a per-run contention probe — on an idle box it's ~10 s (JVM +
+    // codegen + first scans); a multiple of that means the sweep's
+    // numbers are inflated too.
     val warm0 = System.nanoTime()
     Tables.documents(spark, sfDir).limit(100).count()
     Tables.events(spark, sfDir).limit(100).count()

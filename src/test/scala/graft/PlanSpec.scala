@@ -425,6 +425,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), "totals must come from the window pass")
   }
 
+  test("orp_search_by_leg: href probe broadcasts, legCap is a bounded " +
+    "top-k merge (the corpus never sorts globally for a related-docs call)") {
+    val p = planOf(
+      operators.OrpQueries.queries("orp_search_by_leg")(spark, sf))
+    // the filtered legislation side is tiny by construction → broadcast
+    assert(p.contains("BroadcastHashJoin"))
+    // legCap truncation = TakeOrdered (per-partition top-k, one small
+    // merge), not a global Sort + Limit
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("orp_search_enriched: page materializes before the edge attach " +
     "(late materialization — the corpus edge table never sorts or " +
     "funnels for a page render)") {
