@@ -12,13 +12,16 @@ Scheme (all public knowledge -- datasketch library docs + kshingle docs):
 Perm table (a, b) is parsed out of DatasketchPerms.scala, whose first
 entries are independently pinned against numpy RandomState(1).
 
-PROVENANCE LIMITATION (acknowledged): this build environment has no
-network egress and no datasketch/kshingle/numpy wheels, so the pins
-cannot be generated with the real libraries here. This transcription
-shares no code with the Scala impl (pure-python, written from the
-reference source + library docs), but a shared MISREADING of the
-datasketch semantics would pass both. To upgrade the pins to
-library-ground-truth, run in any networked env:
+PROVENANCE (updated r6): numpy IS available driver-side (1.26.4), and
+the FULL 512-constant permutation table in DatasketchPerms.scala was
+verified bit-exact against a live numpy.random.RandomState(1)
+replaying datasketch's _init_permutations draw — the permutation
+layer is library-ground-truth. What remains transcription-pinned is
+only the shingle/sha1/fold semantics: datasketch/kshingle themselves
+still cannot be installed here (no network egress), so a shared
+MISREADING of those semantics between this pure-python transcription
+and the Scala impl would pass both. To close that last gap, run in
+any networked env:
 
     pip install datasketch==1.6.4 kshingle numpy
     python - <<'EOF'
