@@ -52,6 +52,28 @@ object MixQueries {
             .otherwise("test").as("split"))
     }),
 
+    // Weighted sampling WITHOUT replacement (k = 100, weight = n_chars)
+    // via the exponential race (Efraimidis–Spirakis 2006, public):
+    // arrival time t_i = -ln(u_i)/w_i with u_i a deterministic
+    // hash-uniform in (0,1]; the k earliest arrivals ARE a weighted
+    // k-sample without replacement. Scale shape: t is a row-local
+    // projection and the selection is orderBy().limit(k) ≙ TakeOrdered —
+    // per-partition top-k then one merge of ≤k rows; the corpus never
+    // shuffles and no executor holds more than k candidates. Output
+    // ships only integer columns (doc_id, n_chars): ln() ulp differences
+    // between engines could only matter if two arrival times collided
+    // within an ulp AT the k-boundary — with a deterministic hash this
+    // is fixed data, verified identical, and tie-broken by doc_id.
+    "samp_weighted" -> ((s, d) => {
+      val u = (Texts.md5Long(concat(lit("wsamp#"), col("doc_id")))
+        .cast("double") + 1.0) / HashRange // +1 → (0,1]: ln never -inf
+      Tables.documents(s, d)
+        .withColumn("t_arr", -log(u) / col("n_chars"))
+        .orderBy(col("t_arr").asc, col("doc_id").asc)
+        .limit(100)
+        .select(col("doc_id"), col("n_chars"))
+    }),
+
     // Temperature-rebalanced sampling (α = 0.5): keep-rate per language
     // ∝ 1/√share, the standard multilingual mix flattening — rare
     // languages keep more, dominant ones are down-sampled. Two phases:
@@ -222,6 +244,15 @@ object MixQueries {
         |  CASE WHEN bucket < 80 THEN 'train'
         |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
         |FROM b""".stripMargin,
+    "samp_weighted" ->
+      """SELECT doc_id, n_chars FROM (
+        |  SELECT doc_id, n_chars,
+        |    -ln(((('0x' || substr(md5('wsamp#' || doc_id), 1, 15))::BIGINT
+        |          ::DOUBLE) + 1.0) / 1152921504606846976.0) / n_chars
+        |      AS t_arr
+        |  FROM documents) t
+        |ORDER BY t_arr ASC, doc_id ASC
+        |LIMIT 100""".stripMargin,
     "samp_temperature" ->
       """WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1),
         |t AS (SELECT count(*) AS n_total FROM documents)
