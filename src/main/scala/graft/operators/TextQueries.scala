@@ -435,6 +435,45 @@ object TextQueries {
           (size(toks) - size(kept)).as("n_removed"))
     }),
 
+    // URL canonicalization + dedup census — the crawl-curation step that
+    // folds URL variants onto one canonical form before per-URL dedup:
+    // scheme/host lowercased, default port stripped (non-default kept),
+    // fragment dropped, utm_* tracking params removed, remaining query
+    // params sorted. Entirely row-local string projection (one keyed
+    // count at the end), so the canonicalization itself is shuffle-free
+    // at any corpus size. Messy variants are synthesized from table
+    // columns (the corpus has no URLs), same device as ta_url_domains —
+    // case/port/fragment/param-order variants of the same logical URL
+    // must collapse to one canonical row.
+    "ta_url_canonical" -> ((s, d) => {
+      val url = concat(
+        when(col("doc_id") % 2 === 0, lit("HTTPS://")).otherwise(lit("https://")),
+        when(col("doc_id") % 5 === 0, upper(col("source"))).otherwise(col("source")),
+        lit(".Example.ORG"),
+        when(col("doc_id") % 2 === 0, lit(":443")).otherwise(lit("")),
+        lit("/docs/"), col("doc_id") % 50,
+        lit("?b=2&utm_source=feed&a="), col("lang"),
+        when(col("doc_id") % 3 === 0, lit("#section-2")).otherwise(lit("")))
+      val scheme = lower(regexp_extract(url, "^([A-Za-z]+)://", 1))
+      val host = lower(regexp_extract(url, "://([^/:?#]+)", 1))
+      val port = regexp_extract(url, "^[A-Za-z]+://[^/:?#]+:(\\d+)", 1)
+      val path = regexp_extract(url, "://[^/?#]+([^?#]*)", 1)
+      val query = regexp_extract(url, "\\?([^#]*)", 1)
+      val params = array_sort(filter(split(query, "&"),
+        p => p =!= "" && !p.startsWith("utm_")))
+      val keepPort = port =!= "" &&
+        !(scheme === "https" && port === "443") &&
+        !(scheme === "http" && port === "80")
+      val canonical = concat(scheme, lit("://"), host,
+        when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+        path,
+        when(size(params) > 0, concat(lit("?"), array_join(params, "&")))
+          .otherwise(lit("")))
+      Tables.documents(s, d)
+        .select(canonical.as("url"))
+        .groupBy("url").agg(count(lit(1)).as("n_docs"))
+    }),
+
     // URL / domain census: extract link domains from text — the crawl-
     // curation stat behind per-domain quality decisions. Row-local
     // regexp_extract_all + explode, then one keyed count; the regex is
@@ -788,6 +827,39 @@ object TextQueries {
         |d AS (
         |  SELECT unnest(regexp_extract_all(t2,
         |    'https?://([A-Za-z0-9.-]+)', 1)) AS domain FROM t)
-        |SELECT domain, count(*) AS n FROM d GROUP BY domain""".stripMargin
+        |SELECT domain, count(*) AS n FROM d GROUP BY domain""".stripMargin,
+    "ta_url_canonical" ->
+      """WITH u AS (
+        |  SELECT
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END) ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN upper(source) ELSE source END) ||
+        |    '.Example.ORG' ||
+        |    (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END) ||
+        |    '/docs/' || (doc_id % 50) ||
+        |    '?b=2&utm_source=feed&a=' || lang ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN '#section-2' ELSE '' END) AS url
+        |  FROM documents),
+        |c AS (
+        |  SELECT
+        |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+        |    lower(regexp_extract(url, '://([^/:?#]+)', 1)) AS host,
+        |    regexp_extract(url, '^[A-Za-z]+://[^/:?#]+:(\d+)', 1) AS port,
+        |    regexp_extract(url, '://[^/?#]+([^?#]*)', 1) AS path,
+        |    regexp_extract(url, '\?([^#]*)', 1) AS query
+        |  FROM u),
+        |p AS (
+        |  SELECT scheme, host, port, path,
+        |    array_to_string(list_sort(list_filter(string_split(query, '&'),
+        |      x -> x <> '' AND NOT starts_with(x, 'utm_'))), '&') AS q
+        |  FROM c)
+        |SELECT scheme || '://' || host ||
+        |  (CASE WHEN port <> ''
+        |         AND NOT (scheme = 'https' AND port = '443')
+        |         AND NOT (scheme = 'http' AND port = '80')
+        |        THEN ':' || port ELSE '' END) ||
+        |  path ||
+        |  (CASE WHEN q <> '' THEN '?' || q ELSE '' END) AS url,
+        |  count(*) AS n_docs
+        |FROM p GROUP BY 1""".stripMargin
   )
 }
