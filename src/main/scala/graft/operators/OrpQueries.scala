@@ -165,6 +165,53 @@ object OrpQueries {
             .as("postings"))
     }),
 
+    // BM25 ranked retrieval over the posting stats (Robertson/Okapi,
+    // Lucene's ln(1 + (N-df+0.5)/(df+0.5)) idf form; k1=1.2, b=0.75) —
+    // the scoring layer the inverted index (ix_postings) exists to
+    // serve, and the lexical side of retrieval-based decontamination.
+    // Scale shape: term stats are restricted to the query's terms BEFORE
+    // any aggregation (the filter rides the explode), df and the corpus
+    // census are broadcast, the per-doc score is one keyed agg, and the
+    // final selection is TakeOrdered top-k. Float discipline: every
+    // constant is the same decimal literal in both engines, the per-term
+    // partial scores sum in a FIXED order (s_join + s_filter + s_hash),
+    // ranking uses the raw doubles (doc_id tiebreak), and only the
+    // 4dp-rounded score ships.
+    "ix_bm25" -> ((s, d) => {
+      import graft.functions.Texts
+      val qterms = Seq("join", "filter", "hash")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), Texts.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("toks"), size(col("toks")).as("dl"))
+      val census = docs.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+      val tf = docs.select(col("doc_id"), col("dl"),
+          explode(col("toks")).as("term"))
+        .filter(col("term").isin(qterms: _*))
+        .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(countDistinct("doc_id").as("df"))
+      val sc = tf.join(broadcast(dfreq), "term").crossJoin(broadcast(census))
+        .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+        .withColumn("idf",
+          log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5))))
+        .withColumn("sc", col("idf") * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      val perDoc = sc.groupBy("doc_id")
+        .agg(sum(when(col("term") === "join", col("sc"))).as("s0"),
+          sum(when(col("term") === "filter", col("sc"))).as("s1"),
+          sum(when(col("term") === "hash", col("sc"))).as("s2"))
+        .select(col("doc_id"),
+          (coalesce(col("s0"), lit(0.0)) + coalesce(col("s1"), lit(0.0)) +
+            coalesce(col("s2"), lit(0.0))).as("score"))
+      perDoc
+        .orderBy(col("score").desc, col("doc_id").asc).limit(10)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc)))
+        .select(col("rank"), col("doc_id"),
+          round(col("score"), 4).as("score"))
+    }),
+
     // ST3–ST6 SCD-2 merge: current store ⊕ incoming batch → versioned
     // rows with archive flips (record_handler.py:39-80). Incoming is a
     // deterministic mutation of documents: every 3rd doc re-ingested
@@ -313,6 +360,35 @@ object OrpQueries {
         |    AS legislative_origins
         |FROM page p LEFT JOIN edge e USING (uid)
         |GROUP BY p.rn, p.uid, p.dt_pub""".stripMargin,
+    "ix_bm25" ->
+      """WITH dd AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |dl AS (SELECT doc_id, len(toks) AS dl, toks FROM dd),
+        |cen AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, dl, term, count(*) AS tf FROM (
+        |    SELECT doc_id, dl, unnest(toks) AS term FROM dl) t
+        |  WHERE term IN ('join', 'filter', 'hash')
+        |  GROUP BY 1, 2, 3),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT t.doc_id, t.term,
+        |    ln(1.0 + (c.n_docs - f.df + 0.5) / (f.df + 0.5)) *
+        |    (t.tf * 2.2) /
+        |    (t.tf + 1.2 * (0.25 + 0.75 * t.dl /
+        |                   (c.sum_dl::DOUBLE / c.n_docs))) AS s
+        |  FROM tf t JOIN df f USING (term) CROSS JOIN cen c),
+        |agg AS (
+        |  SELECT doc_id,
+        |    coalesce(sum(s) FILTER (term = 'join'), 0.0) +
+        |    coalesce(sum(s) FILTER (term = 'filter'), 0.0) +
+        |    coalesce(sum(s) FILTER (term = 'hash'), 0.0) AS score
+        |  FROM sc GROUP BY doc_id)
+        |SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+        |  doc_id, round(score, 4) AS score
+        |FROM agg ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
     "g_extract_entities" ->
       """SELECT DISTINCT * FROM (
         |  SELECT ('0x' || substr(md5('user_' || user_id), 1, 15))::BIGINT AS node_id,
