@@ -71,6 +71,8 @@ class ContractSpec extends SparkSpec {
       "ta_oov_rate", "ta_tfidf", "dq_audit", "mix_datacard_incr",
       "dd_decontaminate", "dd_bloom_decontaminate", "sim_ann_bruteforce",
       "sim_ann_bucketed", "sim_knn_graph",
+      // 1-row (n_docs, sum_dl) census crossed onto the term stats
+      "ix_bm25",
       // substring-containment rules join: theta predicate by nature,
       // against a broadcast ≤dozen-phrase rule table
       "m5_doc_type")
