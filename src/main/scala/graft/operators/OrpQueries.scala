@@ -149,20 +149,35 @@ object OrpQueries {
     // Inverted-index construction — the posting-list build behind the
     // search surface (P1/orp_search query it; this materializes it):
     // term → document frequency, total term frequency, and a capped
-    // sorted postings sample. One explode + one keyed aggregation; at
-    // 100 TB this is the classic skewed wordcount, and the postings cap
-    // bounds the per-term payload so hot terms can't blow up a reducer.
+    // sorted postings sample. At 100 TB this is the classic skewed
+    // wordcount, so the postings branch pre-prunes to the per-term
+    // top-20 with a rank window BEFORE collect_list: the rn<=20 filter
+    // compiles to WindowGroupLimit, which truncates each term's run
+    // map-side, so a stop-word term never materializes more than 20
+    // postings in any aggregation buffer (a bare slice-after-collect
+    // would buffer the full hot-term list on one reducer first). df and
+    // tf_total stay full aggregates on a separate keyed branch — those
+    // are constant-size buffers and must see every row. The window
+    // orders by the formatted posting string itself so the survivor set
+    // is bit-identical to the oracle's list_sort(...)[1:20] string sort.
     "ix_postings" -> ((s, d) => {
       import graft.functions.Texts
-      Tables.documents(s, d)
+      val exploded = Tables.documents(s, d)
         .select(col("doc_id"),
           posexplode(Texts.tokens(col("text"))).as(Seq("pos", "term")))
+        .select(col("term"), col("doc_id"),
+          concat(col("doc_id"), lit(":"), col("pos") + 1).as("p"))
+      val stats = exploded.groupBy("term")
+        .agg(countDistinct("doc_id").as("df"), count(lit(1)).as("tf_total"))
+      val top = exploded
+        .withColumn("rn",
+          row_number().over(Window.partitionBy("term").orderBy("p")))
+        .filter(col("rn") <= 20)
         .groupBy("term")
-        .agg(countDistinct("doc_id").as("df"),
-          count(lit(1)).as("tf_total"),
-          array_join(slice(array_sort(collect_list(
-            concat(col("doc_id"), lit(":"), col("pos") + 1))), 1, 20), ",")
-            .as("postings"))
+        .agg(array_join(array_sort(collect_list(col("p"))), ",")
+          .as("postings"))
+      stats.join(top, "term")
+        .select(col("term"), col("df"), col("tf_total"), col("postings"))
     }),
 
     // BM25 ranked retrieval over the posting stats (Robertson/Okapi,

@@ -263,6 +263,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"))
   }
 
+  test("ix_postings: postings cap prunes map-side BEFORE collection; " +
+    "df/tf_total keep a map-side partial agg") {
+    val p = planOf(OrpQueries.queries("ix_postings")(spark, sf))
+    assert(p.contains("WindowGroupLimit"),
+      "the top-20 cap must truncate each term's run before the shuffle — " +
+        "slice-after-collect_list buffers the full hot-term list")
+    assert(p.contains("partial_count") || p.contains("partial_merge"),
+      "term stats must aggregate partially map-side")
+  }
+
   test("samp_fixed_k compiles to TakeOrderedAndProject (no global sort)") {
     val p = planOf(MixQueries.queries("samp_fixed_k")(spark, sf))
     assert(p.contains("TakeOrderedAndProject"))
