@@ -18,6 +18,14 @@ import org.apache.spark.sql.functions._
 object DedupQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Block key for the fuzzy-title join: (first two tokens, 16-char
+    * length bucket). Exposed so the skew guard in SkewSessionSpec pins
+    * THIS expression's hot-block share on a Zipfian fixture — the guard
+    * breaks if someone loosens the blocking back to first-token-only. */
+  def fuzzyTitleBlock(title: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(substring_index(title, " ", 2), lit("|"),
+      floor(length(title) / 16).cast("int"))
+
   /** documents with cleaned text + sorted distinct content-word sets
     * (shared prep for the dedup family). */
   private def prepared(s: SparkSession, d: String): DataFrame =
@@ -505,16 +513,22 @@ object DedupQueries {
     // Fuzzy (edit-distance) title near-dup: pairs whose 5-word title
     // prefix sits within Levenshtein 10 but is not identical (identical
     // titles are exact-dup territory — dd_exact/t2). Blocked on
-    // (lang, first-token): the quadratic Levenshtein only ever runs
-    // inside a block, i.e. a keyed equi-join — the standard fuzzy-match
-    // shape at scale (tighter blocks — first two tokens, length bucket —
-    // drop in as the corpus grows). Levenshtein has identical semantics
-    // in both engines, so the distance itself is oracle-checked.
+    // (lang, first-TWO-tokens, length-bucket): the quadratic Levenshtein
+    // only ever runs inside a block, i.e. a keyed equi-join — the
+    // standard fuzzy-match shape at scale. First-token-only blocking is
+    // Zipfian ("The …" swallows the corpus); adding the second token
+    // breaks the hot head into its bigram distribution, and the
+    // 16-char length bucket splits what survives (titles >16 chars
+    // apart can't be within edit distance 10 anyway, so the bucket
+    // costs recall only across one boundary). DedupSpec pins the
+    // hot-block share on a Zipfian fixture. Levenshtein has identical
+    // semantics in both engines, so the distance itself is
+    // oracle-checked.
     "dd_fuzzy_title" -> ((s, d) => {
       val base = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
           Texts.smartShorten(col("text"), 5).as("title"))
-        .withColumn("blk", substring_index(col("title"), " ", 1))
+        .withColumn("blk", fuzzyTitleBlock(col("title")))
       val a = base.select(col("lang"), col("blk"),
         col("doc_id").as("a_id"), col("title").as("a_t"))
       val b = base.select(col("lang"), col("blk"),
@@ -686,7 +700,9 @@ object DedupQueries {
         |  SELECT doc_id, lang,
         |    array_to_string((string_split(text, ' '))[1:5], ' ') AS title
         |  FROM documents),
-        |b AS (SELECT *, split_part(title, ' ', 1) AS blk FROM t)
+        |b AS (SELECT *,
+        |  array_to_string(string_split(title, ' ')[1:2], ' ') || '|' ||
+        |    (length(title) // 16)::VARCHAR AS blk FROM t)
         |SELECT a.doc_id AS a_id, c.doc_id AS b_id,
         |  levenshtein(a.title, c.title) AS dist
         |FROM b a JOIN b c

@@ -22,6 +22,33 @@ class SkewSessionSpec extends SparkSpec {
     }
   }
 
+  test("fuzzy-title blocking breaks a Zipfian first-token head into " +
+    "bounded blocks") {
+    // Zipfian fixture: 80% of titles share the first token ("the"), as a
+    // real English corpus would; second tokens and lengths vary. With
+    // first-token-only blocking the hot block holds 80% of the corpus and
+    // the within-block quadratic Levenshtein concentrates on one reducer.
+    val seconds = Seq("quick", "lazy", "small", "large", "old", "new",
+      "early", "late", "first", "last")
+    val fillers = Seq("fox jumps", "committee on standards reporting",
+      "dog", "regulation amendment order", "act")
+    val titles = (0 until 1000).map { i =>
+      val head = if (i % 5 == 4) s"a ${seconds(i % 10)}" // 20% non-hot
+                 else s"the ${seconds(i % 10)}"          // 80% hot token
+      s"$head ${fillers(i % 5)}"
+    }
+    val df = titles.toDF("title")
+      .withColumn("blk", graft.operators.DedupQueries.fuzzyTitleBlock($"title"))
+    val total = df.count().toDouble
+    val maxShare = df.groupBy("blk").count()
+      .agg(max($"count")).as[Long].head() / total
+    // (first-two-tokens, length-bucket) must cap the hottest block well
+    // below the 0.8 share that first-token blocking gives this fixture.
+    assert(maxShare <= 0.15,
+      f"hottest fuzzy-title block holds $maxShare%.2f of the corpus — " +
+        "blocking degraded toward first-token-only")
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions on gap") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
