@@ -42,11 +42,28 @@ object Vectors {
       dxy * dxy
     }), lit(0.0), (acc, x) => acc + x))
 
+  /** Sign-bucket width shared by every sign-LSH consumer
+    * (dd_embed_cosine, dd_semdedup, sim_knn_graph, sim_ann_bucketed)
+    * and interpolated into their DuckDB oracles, so engine and oracle
+    * cannot drift.
+    *
+    * Fan-out math — THE 100 TB tuning knob: the bucket key partitions
+    * the corpus into 2^bits cells, so the expected block is
+    * corpus/2^bits and the within-block pair join does
+    * ~corpus²/2^(bits+1) comparisons. 8 bits ⇒ 256 cells, right for the
+    * test corpora (~10⁴–10⁵ vectors ⇒ blocks of 10²–10³). Growing the
+    * corpus N× costs N²× comparisons at fixed width, so add ~2·log2(N)
+    * bits to keep per-block fan-out constant (e.g. 10⁹ vectors want
+    * ~20 bits). Config here — never at call sites — and recall trades
+    * off: each added bit halves the chance a true near-dup pair shares
+    * a bucket on a disagreeing component. */
+  val SignBucketBits: Int = 8
+
   /** Coarse LSH bucket for embedding vectors: sign bits of the first
     * `nBits` components (a random-hyperplane LSH specialization — the
     * planes are axis-aligned, which is deterministic and portable).
     * Vectors sharing a bucket are ANN candidates. */
-  def signBucket(a: Column, nBits: Int): Column =
+  def signBucket(a: Column, nBits: Int = SignBucketBits): Column =
     // unrolled (nBits is compile-time): a plain when-sum instead of an
     // `aggregate` HOF — Spark 4.1's predicate pushdown fails to rewrite
     // lambda-captured attributes when an inferred isnotnull(bucket) is

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import graft.functions.{Hashes, Texts}
+import graft.functions.{Hashes, Texts, Vectors}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -543,7 +543,7 @@ object DedupQueries {
     "dd_embed_cosine" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        .withColumn("bucket", graft.functions.Vectors.signBucket(col("v"), 8))
+        .withColumn("bucket", graft.functions.Vectors.signBucket(col("v")))
       val a = e.select(col("vec_id").as("a_id"), col("bucket"), col("v").as("a_v"))
       val b = e.select(col("vec_id").as("b_id"), col("bucket"), col("v").as("b_v"))
       a.join(b, Seq("bucket"))
@@ -709,9 +709,9 @@ object DedupQueries {
         |  ON a.lang = c.lang AND a.blk = c.blk AND a.doc_id < c.doc_id
         |WHERE levenshtein(a.title, c.title) BETWEEN 1 AND 10""".stripMargin,
     "dd_embed_cosine" ->
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v,
-        |    list_sum(list_transform(generate_series(0, 7), i ->
+        |    list_sum(list_transform(generate_series(0, ${Vectors.SignBucketBits - 1}), i ->
         |      CASE WHEN embedding[i+1] > 0 THEN (1::BIGINT << i)
         |           ELSE 0 END))::BIGINT AS bucket
         |  FROM embeddings)

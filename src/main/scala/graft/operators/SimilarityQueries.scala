@@ -209,7 +209,7 @@ object SimilarityQueries {
     // LSH-bucketed ANN: 8 sign bits of the leading components as the
     // coarse bucket; top-3 within bucket.
     "sim_ann_bucketed" -> ((s, d) => {
-      val e = emb(s, d).withColumn("bucket", Vectors.signBucket(col("v"), 8))
+      val e = emb(s, d).withColumn("bucket", Vectors.signBucket(col("v")))
       val q = e.filter(col("vec_id") < 50)
         .select(col("vec_id").as("q_id"), col("v").as("q_v"), col("bucket"))
       val cand = e.select(col("vec_id").as("n_id"), col("v").as("n_v"),
@@ -233,7 +233,7 @@ object SimilarityQueries {
     // key (bucket join, vec_id window) holds — widen the bucket to more
     // sign bits to keep per-block fan-out constant as the corpus grows.
     "sim_knn_graph" -> ((s, d) => {
-      val e = emb(s, d).withColumn("bucket", Vectors.signBucket(col("v"), 8))
+      val e = emb(s, d).withColumn("bucket", Vectors.signBucket(col("v")))
       val a = e.select(col("vec_id"), col("v").as("a_v"), col("bucket"))
       val b = e.select(col("vec_id").as("nbr_id"), col("v").as("b_v"),
         col("bucket"))
@@ -258,9 +258,9 @@ object SimilarityQueries {
     "dd_semdedup" -> ((s, d) => {
       val e = emb(s, d)
       val victim = e.select(col("vec_id"), col("v").as("a_v"),
-        Vectors.signBucket(col("v"), 8).as("bucket"))
+        Vectors.signBucket(col("v")).as("bucket"))
       val keeper = e.select(col("vec_id").as("kept_id"), col("v").as("b_v"),
-        Vectors.signBucket(col("v"), 8).as("bucket"))
+        Vectors.signBucket(col("v")).as("bucket"))
       victim.join(keeper, Seq("bucket"))
         .filter(col("kept_id") < col("vec_id"))
         .withColumn("sim", Vectors.cosineRounded(col("a_v"), col("b_v")))
@@ -487,9 +487,9 @@ object SimilarityQueries {
         |        ORDER BY sim DESC, n_id ASC) AS rr FROM scored)
         |SELECT q_id, n_id, sim, rr FROM r WHERE rr <= 3""".stripMargin,
     "sim_ann_bucketed" ->
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v,
-        |    list_sum(list_transform(generate_series(0, 7), i ->
+        |    list_sum(list_transform(generate_series(0, ${Vectors.SignBucketBits - 1}), i ->
         |      CASE WHEN v[i+1] > 0 THEN (1::BIGINT << i) ELSE 0 END))::BIGINT AS bucket
         |  FROM embeddings),
         |s AS (
@@ -501,9 +501,9 @@ object SimilarityQueries {
         |        ORDER BY sim DESC, n_id ASC) AS rk FROM s)
         |SELECT bucket, q_id, n_id, sim, rk FROM r WHERE rk <= 3""".stripMargin,
     "sim_knn_graph" ->
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v,
-        |    list_sum(list_transform(generate_series(0, 7), i ->
+        |    list_sum(list_transform(generate_series(0, ${Vectors.SignBucketBits - 1}), i ->
         |      CASE WHEN v[i+1] > 0 THEN (1::BIGINT << i) ELSE 0 END))::BIGINT AS bucket
         |  FROM embeddings),
         |s AS (
@@ -514,9 +514,9 @@ object SimilarityQueries {
         |        ORDER BY sim DESC, nbr_id ASC) AS rk FROM s)
         |SELECT vec_id, nbr_id, sim, rk FROM r WHERE rk <= 3""".stripMargin,
     "dd_semdedup" ->
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v,
-        |    list_sum(list_transform(generate_series(0, 7), i ->
+        |    list_sum(list_transform(generate_series(0, ${Vectors.SignBucketBits - 1}), i ->
         |      CASE WHEN v[i+1] > 0 THEN (1::BIGINT << i) ELSE 0 END))::BIGINT AS bucket
         |  FROM embeddings),
         |p AS (
