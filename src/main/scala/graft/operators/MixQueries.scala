@@ -68,6 +68,10 @@ object MixQueries {
       val u = (Texts.md5Long(concat(lit("wsamp#"), col("doc_id")))
         .cast("double") + 1.0) / HashRange // +1 → (0,1]: ln never -inf
       Tables.documents(s, d)
+        // Efraimidis–Spirakis is defined only for w > 0: a zero-length
+        // doc would divide to +Infinity here but engine-dependent
+        // NULL/inf in the oracle's double division — filter in BOTH
+        .filter(col("n_chars") > 0)
         .withColumn("t_arr", -log(u) / col("n_chars"))
         .orderBy(col("t_arr").asc, col("doc_id").asc)
         .limit(100)
@@ -250,7 +254,7 @@ object MixQueries {
         |    -ln(((('0x' || substr(md5('wsamp#' || doc_id), 1, 15))::BIGINT
         |          ::DOUBLE) + 1.0) / 1152921504606846976.0) / n_chars
         |      AS t_arr
-        |  FROM documents) t
+        |  FROM documents WHERE n_chars > 0) t
         |ORDER BY t_arr ASC, doc_id ASC
         |LIMIT 100""".stripMargin,
     "samp_temperature" ->

@@ -64,6 +64,8 @@ object Search {
     BadRequest(400, "Bad Request - Unsupported search parameter(s).")
   val MalformedPagination: BadRequest =
     BadRequest(400, "Bad Request - Malformed pagination parameter(s).")
+  val MalformedDate: BadRequest =
+    BadRequest(400, "Bad Request - Malformed date_published parameter.")
 
   /** P6 key-set validation (`handler.py:49-59`): a request qualifies iff
     * its key set intersects [[SearchKeys]]. Unknown keys are ignored —
@@ -84,17 +86,21 @@ object Search {
     * contract the filter keys carry. */
   def fromEvent(event: Map[String, String]): Either[BadRequest, Request] =
     validate(event).flatMap { ev =>
-      val (from, to) = ev.get("date_published") match {
-        case Some(r) if r.contains("..") => r.split("\\.\\.", -1) match {
-          case Array(a, b) => (Option(a).filter(_.nonEmpty),
-            Option(b).filter(_.nonEmpty))
-          case _ => (None, None)
+      val dates: Either[BadRequest, (Option[String], Option[String])] =
+        ev.get("date_published") match {
+          case Some(r) if r.contains("..") => r.split("\\.\\.", -1) match {
+            case Array(a, b) => Right((Option(a).filter(_.nonEmpty),
+              Option(b).filter(_.nonEmpty)))
+            // '2024..2025..2026' — dropping the filter here would be the
+            // silent no-op this boundary forbids; same contract as
+            // malformed pagination
+            case _ => Left(MalformedDate)
+          }
+          // bare date: exact-day filter, not a dropped filter
+          case Some(r) => Right((Some(r).filter(_.nonEmpty),
+            Some(r).filter(_.nonEmpty)))
+          case None => Right((None, None))
         }
-        // bare date: exact-day filter, not a dropped filter
-        case Some(r) => (Some(r).filter(_.nonEmpty),
-          Some(r).filter(_.nonEmpty))
-        case None => (None, None)
-      }
       def nonNegInt(key: String, default: Int): Either[BadRequest, Int] =
         ev.get(key) match {
           case None => Right(default)
@@ -102,6 +108,8 @@ object Search {
             .toRight(MalformedPagination)
         }
       for {
+        fromTo <- dates
+        (from, to) = fromTo
         page <- nonNegInt("page", 0)
         pageSize <- nonNegInt("page_size", 10)
       } yield Request(
@@ -146,7 +154,17 @@ object Search {
         col(b.regulator).isin(r.regulatorIn: _*)),
       r.excludeStatus.map(col(b.status) =!= _),
       r.dateFrom.map(col(b.date) >= _),
-      r.dateTo.map(col(b.date) <= _),
+      // A day-granular upper bound means END of that day: compile it as
+      // an exclusive next-day bound, which is correct under string
+      // comparison for both date-only ('2024-02-01') and timestamp
+      // ('2024-02-01 14:30:00') bindings — a plain <= would match only
+      // exact-midnight rows in the timestamp case (both the bare-date
+      // and '..end' range forms hit this).
+      r.dateTo.map { t =>
+        if (t.matches("""\d{4}-\d{2}-\d{2}"""))
+          col(b.date) < java.time.LocalDate.parse(t).plusDays(1).toString
+        else col(b.date) <= t
+      },
       r.titleContains.map(t => lower(col(b.title)).contains(t.toLowerCase))
     ).flatten.foldLeft(always)(_ && _)
   }

@@ -173,10 +173,14 @@ object SourceSinkQueries {
         .select(from_xml(col("orpml"), header,
           java.util.Map.of()).as("h"))
         .select(col("h.dublinCore.identifier").as("doc_id"),
-          col("h.dublinCore.title").as("title"),
-          col("h.dublinCore.language").as("language"),
-          col("h.dcat.publisher").as("publisher"),
-          col("h.orp.summary").as("summary"))
+          // empty header fields round-trip as null through to_xml/from_xml
+          // (an empty element parses as missing) while the oracle
+          // recomputes '' — coalesce so a text shorter than the 40/100
+          // spans can't flip the comparison null-vs-empty
+          coalesce(col("h.dublinCore.title"), lit("")).as("title"),
+          coalesce(col("h.dublinCore.language"), lit("")).as("language"),
+          coalesce(col("h.dcat.publisher"), lit("")).as("publisher"),
+          coalesce(col("h.orp.summary"), lit("")).as("summary"))
     }),
 
     // K4 dim-table upsert (legislation_table_update.py:100-112: the CSV

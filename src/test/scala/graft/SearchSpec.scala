@@ -171,6 +171,40 @@ class SearchSpec extends SparkSpec {
     assert(r2.dateFrom.isEmpty && r2.dateTo.contains("2024-02-15"))
   }
 
+  test("day-granular date bounds cover the WHOLE day under a timestamp " +
+    "binding (exclusive next-day upper bound)") {
+    // same shape orp_search_by_leg binds: 'yyyy-MM-dd HH:mm:ss' strings
+    val tsDocs = Seq(
+      ("a", "t", "x", "GD", "published", "A", "2024-01-31 23:59:59"),
+      ("b", "t", "x", "GD", "published", "B", "2024-02-01 00:00:00"),
+      ("c", "t", "x", "GD", "published", "C", "2024-02-01 14:30:00"),
+      ("d", "t", "x", "GD", "published", "D", "2024-02-02 00:00:00"))
+      .toDF("uid", "topic", "text", "dt", "status", "title", "dt_pub")
+    // bare date: every row ON Feb 1, not just exact-midnight ones
+    val bare = Search.fromEvent(Map("date_published" -> "2024-02-01"))
+      .toOption.get.copy(excludeStatus = None)
+    assert(Search.plan(tsDocs, bare, b)
+      .select("uid").as[String].collect().toSet == Set("b", "c"))
+    // '..end' range: the end day is inclusive through its last second
+    val upTo = Search.fromEvent(Map("date_published" -> "..2024-02-01"))
+      .toOption.get.copy(excludeStatus = None)
+    assert(Search.plan(tsDocs, upTo, b)
+      .select("uid").as[String].collect().toSet == Set("a", "b", "c"))
+    // a timestamp-granular upper bound keeps plain inclusive <=
+    val tsTo = Search.Request(excludeStatus = None,
+      dateTo = Some("2024-02-01 00:00:00"), pageSize = 10)
+    assert(Search.plan(tsDocs, tsTo, b)
+      .select("uid").as[String].collect().toSet == Set("a", "b"))
+  }
+
+  test("multi-separator date_published is a 400, not a dropped filter") {
+    assert(Search.fromEvent(Map("date_published" -> "2024..2025..2026"))
+      == Left(Search.MalformedDate))
+    // the open-both-sides range '..' stays a legal everything-range
+    val open = Search.fromEvent(Map("date_published" -> "..")).toOption.get
+    assert(open.dateFrom.isEmpty && open.dateTo.isEmpty)
+  }
+
   test("by-legislation plan honors ascending order") {
     val legs = Seq("leg/1").toDF("leg_uri")
     val edges = Seq(("leg/1", "d1"), ("leg/1", "d2"), ("leg/1", "d3"))
