@@ -407,9 +407,16 @@ object DedupQueries {
       // The rule is an optimization, never a correctness dependency.
       s.conf.set("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromConstraints")
+      // Eagerly materialize the edge list ONCE: the symmetric union below
+      // references `edges` on both sides, and only the signature table is
+      // persisted inside the LSH pipeline — without this checkpoint the
+      // band join + verify stages would execute twice (once per union
+      // side) in the first job that touches `sym`. Checkpointing also
+      // truncates the deep LSH lineage out of every loop-round plan.
       val edges = queries("dd_minhash_lsh")(s, d)
         .filter(col("est_jac") >= 0.75) // high-confidence cluster edges
         .select(col("a_id"), col("b_id"))
+        .localCheckpoint(true)
       // Symmetric edge list, pre-shuffled on the probe key and CACHED in
       // that layout: every round's hop join reads the cached hash-
       // partitioned blocks and only exchanges the (vertex-sized) label
@@ -439,6 +446,12 @@ object DedupQueries {
       // already materialized — and gives the optimizer distinct ids.
       def reid(df: org.apache.spark.sql.DataFrame) =
         s.createDataFrame(df.rdd, df.schema)
+      // LAZY checkpoints from here down: every materialization below is
+      // fused with the checksum aggregate that immediately follows it —
+      // one Spark job per round (materialize + sum in the same action)
+      // instead of the former two (eager checkpoint, then a separate
+      // agg). The loop is all fixed per-round job overhead at test scale,
+      // so halving the job count halves the loop's wall time.
       val cEdges = sym
         .join(labels0.select(col("id").as("src"), col("comp").as("csrc")), "src")
         .join(reid(labels0).select(col("id").as("dst"), col("comp").as("cdst")),
@@ -446,19 +459,25 @@ object DedupQueries {
         .select(col("csrc").as("src"), col("cdst").as("dst"))
         .filter(col("src") =!= col("dst"))
         .distinct()
-        .localCheckpoint(true)
+        .localCheckpoint(false)
 
       var labels = cEdges.groupBy("src")
         .agg(min("dst").as("mn"))
         .select(col("src").as("id"), least(col("src"), col("mn")).as("comp"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       var converged = false
       var rounds = 0
       // Convergence via a monotone checksum: every per-vertex comp is
       // non-increasing under min-propagation, so sum(comp) is unchanged
       // iff NO vertex changed — one cached-scan aggregate per round in
-      // place of a vertex-sized prev-labels join.
+      // place of a vertex-sized prev-labels join. (This action also
+      // materializes cEdges and labels — the lazy-checkpoint fusion.)
       var checksum = labels.agg(coalesce(sum("comp"), lit(0L))).head.getLong(0)
+      // Early exit on an empty contracted residue: doc ids are positive,
+      // so checksum 0 ⇔ no labels ⇔ every cluster was a dense clique
+      // that vanished in the contraction — the common LSH-dup corpus
+      // shape, and the loop would only burn rounds proving it.
+      converged = checksum == 0L
       while (!converged && rounds < 20) {
         def hop(ls: org.apache.spark.sql.DataFrame) =
           ls.unionByName(cEdges
@@ -473,7 +492,7 @@ object DedupQueries {
               col("comp").as("comp2")).alias("y"), Seq("comp"), "left")
             .select(col("id"),
               least(col("comp"), coalesce(col("comp2"), col("comp"))).as("comp"))
-        val next = jump(hop(labels)).localCheckpoint(true)
+        val next = jump(hop(labels)).localCheckpoint(false)
         val nextSum = next.agg(coalesce(sum("comp"), lit(0L))).head.getLong(0)
         labels = next
         converged = nextSum == checksum
@@ -551,6 +570,61 @@ object DedupQueries {
         .withColumn("sim", graft.functions.Vectors.cosineRounded(col("a_v"), col("b_v")))
         .filter(col("sim") >= 0.3)
         .select("bucket", "a_id", "b_id", "sim")
+    }),
+
+    // Incremental signature-store maintenance — the warehouse half of the
+    // dedup gate's "only mutated rows are re-signed" posture (SCALE.md;
+    // the dg_dedup_gate comment) as a materialized catalog entry. A prior
+    // snapshot's signature STORE (doc_id, content fingerprint, signature)
+    // meets the current corpus; the refresh emits
+    //   - kept:     fingerprint unchanged → the STORED signature passes
+    //               through as a projection — the expensive shingle/hash/
+    //               min pipeline never touches these rows
+    //   - resigned: content changed since the snapshot → fresh signature
+    //   - new:      absent from the store → fresh signature
+    //   - deleted:  store rows with no current doc drop out (left join)
+    // The store's signatures are SYNTHETIC sentinels (doc_id*1000+i), so
+    // the oracle compare itself proves the pass-through: a refresh that
+    // recomputed kept rows would emit real MinHash values and hash-
+    // mismatch. Scale shape: one keyed left join store⋈corpus, then the
+    // signature subtree (the only Generate in the plan — PlanSpec pins
+    // it) runs over the mutated subset only, which is ingest-delta-sized,
+    // not corpus-sized. Snapshot mutation simulated as in g_scd2_merge:
+    // every 3rd doc's content changed since the snapshot, every 13th doc
+    // is new, ghost store rows (+2,000,000) stand in for deletions.
+    "sig_store_refresh" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), md5(col("text")).as("fp"))
+      val base = Tables.documents(s, d)
+      val sentinel = transform(sequence(lit(1), lit(16)),
+        i => col("doc_id") * 1000L + i)
+      val store = base.filter(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0,
+            md5(concat(col("text"), lit(" (draft)"))))
+            .otherwise(md5(col("text"))).as("fp"),
+          sentinel.as("sig"))
+        .unionByName(base.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            lit("ghost").as("fp"), sentinel.as("sig")))
+      val joined = docs.alias("d")
+        .join(store.alias("st"), Seq("doc_id"), "left")
+      val kept = joined
+        .filter(col("st.fp") === col("d.fp"))
+        .select(col("doc_id"), lit("kept").as("op"),
+          array_join(transform(col("st.sig"), x => x.cast("string")), ",")
+            .as("signature"))
+      val mutated = joined
+        .filter(col("st.fp").isNull || col("st.fp") =!= col("d.fp"))
+        .select(col("doc_id"), col("text"),
+          when(col("st.fp").isNull, "new").otherwise("resigned").as("op"))
+      val resigned = mutated.select("doc_id", "op")
+        .join(MinHashPipeline.signatures(mutated, "doc_id", col("text")),
+          "doc_id")
+        .select(col("doc_id"), col("op"),
+          array_join(transform(col("sig"), x => x.cast("string")), ",")
+            .as("signature"))
+      kept.unionByName(resigned)
     })
   )
 
@@ -718,6 +792,33 @@ object DedupQueries {
         |SELECT a.bucket, a.vec_id AS a_id, b.vec_id AS b_id,
         |  round(list_cosine_similarity(a.v, b.v), 4) AS sim
         |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-        |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.3""".stripMargin
+        |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.3""".stripMargin,
+    // ghost (deleted) store rows are omitted: they cannot join a current
+    // doc, so the output is identical with or without them
+    "sig_store_refresh" ->
+      s"""WITH d AS (SELECT doc_id, text, md5(text) AS fp FROM documents),
+         |st AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 3 = 0 THEN md5(text || ' (draft)')
+         |         ELSE md5(text) END AS fp
+         |  FROM documents WHERE doc_id % 13 <> 0),
+         |kept AS (
+         |  SELECT d.doc_id, 'kept' AS op,
+         |    array_to_string(list_transform(generate_series(1, 16),
+         |      i -> (d.doc_id * 1000 + i)::VARCHAR), ',') AS signature
+         |  FROM d JOIN st USING (doc_id) WHERE st.fp = d.fp),
+         |mut AS (
+         |  SELECT d.doc_id, d.text,
+         |    CASE WHEN st.doc_id IS NULL THEN 'new' ELSE 'resigned' END AS op
+         |  FROM d LEFT JOIN st USING (doc_id)
+         |  WHERE st.fp IS NULL OR st.fp <> d.fp),
+         |s AS (
+         |${MinHashPipeline.signaturesSql("mut", "doc_id", "text")}),
+         |resigned AS (
+         |  SELECT m.doc_id, m.op,
+         |    array_to_string(list_transform(s.sig, x -> x::VARCHAR), ',')
+         |      AS signature
+         |  FROM mut m JOIN s USING (doc_id))
+         |SELECT * FROM kept UNION ALL SELECT * FROM resigned""".stripMargin
   )
 }

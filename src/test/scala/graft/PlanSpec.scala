@@ -263,6 +263,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"))
   }
 
+  test("sig_store_refresh: the signature pipeline runs ONLY over the " +
+    "mutated delta — one Generate in the whole plan, store rows pass " +
+    "through as a projection") {
+    val p = planOf(DedupQueries.queries("sig_store_refresh")(spark, sf))
+    val generates = p.linesIterator.count(_.contains("Generate"))
+    assert(generates == 1,
+      s"expected exactly 1 Generate (the delta-side shingle explode), " +
+        s"got $generates — kept rows must reuse the stored signature, " +
+        "never recompute")
+    assert(p.contains("partial_min"),
+      "signature min-agg must combine map-side")
+  }
+
   test("ix_postings: postings cap prunes map-side BEFORE collection; " +
     "df/tf_total keep a map-side partial agg") {
     val p = planOf(OrpQueries.queries("ix_postings")(spark, sf))
