@@ -52,6 +52,41 @@ object MixQueries {
             .otherwise("test").as("split"))
     }),
 
+    // Leakage-guarded split — the eval-contamination audit as a split
+    // assignment: the hash split above decides membership, then any
+    // train/val doc sharing a MinHash LSH band with ANY eval doc is
+    // QUARANTINED (near-duplicates of eval data must not be trained on —
+    // the decontamination direction the n-gram scrub doesn't cover).
+    // Composition of samp_hash_split + the portable 16-perm/4-band LSH
+    // (same banding as dd_minhash_lsh, so band collision ≈ Jaccard
+    // near-dup). Scale shape: the eval side is 10% of the corpus but its
+    // DISTINCT band-key set is eval-sized, i.e. small → broadcast; the
+    // train side probes it map-side and never shuffles on band_key, and
+    // only the (tiny) leaked id set rides a keyed join back onto the
+    // corpus. PlanSpec pins the broadcast and no-cartesian shape.
+    "samp_leakage_guard" -> ((s, d) => {
+      import graft.functions.Hashes
+      val bucket = Texts.md5Long(concat(lit("split#"), col("doc_id"))) % 100
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), bucket.as("bucket"))
+      val sigs = MinHashPipeline.signatures(docs, "doc_id", col("text"))
+      val banded = docs.join(sigs, "doc_id")
+        .select(col("doc_id"), col("bucket"),
+          explode(Hashes.bands(col("sig"), 4, 4)).as("band"))
+        .select(col("doc_id"), col("bucket"),
+          col("band.band_id"), col("band.band_key"))
+      val evalKeys = banded.filter(col("bucket") >= 90)
+        .select("band_id", "band_key").distinct()
+      val leaked = banded.filter(col("bucket") < 90)
+        .join(broadcast(evalKeys), Seq("band_id", "band_key"))
+        .select("doc_id").distinct()
+      docs.join(leaked.withColumn("leak", lit(1)), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("bucket") >= 90, "eval")
+            .when(col("leak").isNotNull, "quarantined")
+            .when(col("bucket") < 80, "train").otherwise("val").as("split"))
+    }),
+
     // Weighted sampling WITHOUT replacement (k = 100, weight = n_chars)
     // via the exponential race (Efraimidis–Spirakis 2006, public):
     // arrival time t_i = -ln(u_i)/w_i with u_i a deterministic
@@ -248,6 +283,30 @@ object MixQueries {
         |  CASE WHEN bucket < 80 THEN 'train'
         |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
         |FROM b""".stripMargin,
+    "samp_leakage_guard" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text,
+         |    ('0x' || substr(md5('split#' || doc_id), 1, 15))::BIGINT % 100
+         |      AS bucket
+         |  FROM documents),
+         |s AS (
+         |${MinHashPipeline.signaturesSql("d", "doc_id", "text")}),
+         |banded AS (
+         |  SELECT d.doc_id, d.bucket, b AS band_id,
+         |    array_to_string(s.sig[b*4+1 : b*4+4], '_') AS band_key
+         |  FROM d JOIN s USING (doc_id),
+         |       unnest(generate_series(0, 3)) AS u(b)),
+         |ek AS (SELECT DISTINCT band_id, band_key FROM banded
+         |       WHERE bucket >= 90),
+         |leaked AS (
+         |  SELECT DISTINCT t.doc_id
+         |  FROM banded t JOIN ek USING (band_id, band_key)
+         |  WHERE t.bucket < 90)
+         |SELECT d.doc_id,
+         |  CASE WHEN d.bucket >= 90 THEN 'eval'
+         |       WHEN l.doc_id IS NOT NULL THEN 'quarantined'
+         |       WHEN d.bucket < 80 THEN 'train' ELSE 'val' END AS split
+         |FROM d LEFT JOIN leaked l USING (doc_id)""".stripMargin,
     "samp_weighted" ->
       """SELECT doc_id, n_chars FROM (
         |  SELECT doc_id, n_chars,

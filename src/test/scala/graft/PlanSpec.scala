@@ -263,6 +263,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"))
   }
 
+  test("samp_leakage_guard: eval band keys broadcast — the train side " +
+    "never shuffles on band_key, and nothing goes cartesian") {
+    val p = planOf(MixQueries.queries("samp_leakage_guard")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      "the eval-side distinct band-key set must broadcast into the probe")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("sig_store_refresh: the signature pipeline runs ONLY over the " +
     "mutated delta — one Generate in the whole plan, store rows pass " +
     "through as a projection") {
