@@ -318,6 +318,36 @@ object SimilarityQueries {
           array_max(zip_with(col("v"), col("codes"),
             (x, c) => abs(x - c * col("scale") / 127.0)))
             .as("max_abs_err"))
+    }),
+
+    // One power-iteration step for the corpus' top principal direction
+    // (uncentered PCA / top singular vector — the embedding-analytics
+    // primitive under whitening, drift detection, and spectral dedup;
+    // centering composes by subtracting a broadcast mean first). THE
+    // distributed matvec shape: w = Aᵀ(A·v₀) with v₀ = 1/√64 per dim —
+    // each row contributes s·eᵢ where s = e·v₀ is a row-local
+    // fixed-order fold, and the elementwise accumulation ships only
+    // 64 partial sums per partition map-side (the sim_kmeans_step
+    // round-6dp recipe for corpus-order float sums; no vector ever
+    // rides a shuffle). The norm over the 64 ROUNDED coordinates is a
+    // single-row position-sorted fold, so every shipped value is
+    // deterministic. ZERO joins at any corpus size.
+    "emb_pca_step" -> ((s, d) => {
+      val sDot = aggregate(col("v"), lit(0.0),
+        (a, x) => a + x * lit(0.125))
+      emb(s, d)
+        .select(col("vec_id"), sDot.as("sc"), col("v"))
+        .select(col("sc"), posexplode(col("v")).as(Seq("p", "x")))
+        .groupBy((col("p") + 1).as("pos"))
+        .agg(round(sum(col("x") * col("sc")), 6).as("w"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("w"))))
+          .as("ws"))
+        .select(col("ws"),
+          sqrt(aggregate(col("ws"), lit(0.0),
+            (a, x) => a + x("w") * x("w"))).as("norm"))
+        .select(explode(col("ws")).as("e"), col("norm"))
+        .select(col("e.pos").as("pos"), col("e.w").as("w"),
+          round(col("e.w") / col("norm"), 6).as("component"))
     })
   )
 
@@ -361,6 +391,28 @@ object SimilarityQueries {
       |SELECT q_id, n_id, sim, rk FROM r WHERE rk <= 3""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // sc mirrors the engine's in-order fold over v (seedless list_reduce
+    // ≡ seeded-from-0.0 because x*0.125 addends are finite and the first
+    // is never a sign-flipping -0.0 for real embedding data); per-dim
+    // sums are rounded at 6dp (corpus-order accumulation, the
+    // sim_kmeans_step recipe) BEFORE the deterministic norm fold.
+    "emb_pca_step" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, v,
+        |    list_reduce(list_transform(v, x -> x * 0.125),
+        |      (x, y) -> x + y) AS sc
+        |  FROM e),
+        |u AS (
+        |  SELECT CAST(i AS INT) AS pos, v[CAST(i AS INT)] * sc AS xs
+        |  FROM s, generate_series(1, 64) g(i)),
+        |w AS (SELECT pos, round(sum(xs), 6) AS w FROM u GROUP BY pos),
+        |n AS (
+        |  SELECT sqrt(list_reduce(list_transform(list(w ORDER BY pos),
+        |    x -> x * x), (x, y) -> x + y)) AS norm
+        |  FROM w)
+        |SELECT w.pos, w.w, round(w.w / n.norm, 6) AS component
+        |FROM w, n""".stripMargin,
     "sim_ann_bruteforce" -> bruteforceSql,
     "sim_ann_ivf" -> ivfSql,
     // Both component pipelines are independently oracle-green; the recall

@@ -403,6 +403,50 @@ object TextQueries {
             ",").as("chunk_hashes"))
     }),
 
+    // Text analysis: char-trigram LM quality scoring (the CCNet-style
+    // LM filter direction, Wenzek et al. 2020 — public method — with the
+    // LM reduced to a deterministic char-trigram model trained on the
+    // corpus itself). Per doc: mean log P(c|prev2) under the corpus
+    // model with add-one smoothing over the corpus alphabet — low
+    // scores flag atypical text (boilerplate, mojibake, wrong-language
+    // residue). Scale shape: the model is alphabet³-BOUNDED (counts, not
+    // text), so it broadcasts and the corpus never shuffles for the
+    // model join; the only corpus-keyed exchange is the per-doc
+    // reassembly on doc_id carrying (pos, logp) pairs. The per-doc sum
+    // is a fixed-order (position-sorted) IEEE fold — the accumulated-
+    // double recipe every float-shipping query here follows — and only
+    // the final mean is rounded (4 dp, the ix_bm25 precedent for
+    // ln-derived scores). At 100 TB the model pass would persist its
+    // tiny output instead of recomputing the scan; semantics unchanged.
+    "ta_lm_score" -> ((s, d) => {
+      val occ = Tables.documents(s, d)
+        .select(col("doc_id"), lower(col("text")).as("t"))
+        .filter(length(col("t")) >= 3)
+        .select(col("doc_id"), col("t"),
+          explode(sequence(lit(1), length(col("t")) - 2)).as("i"))
+        .select(col("doc_id"), col("i"),
+          col("t").substr(col("i"), lit(3)).as("tri"))
+      val model = occ.groupBy("tri").agg(count(lit(1)).as("c3"))
+      val c2 = model.groupBy(substring(col("tri"), 1, 2).as("pre"))
+        .agg(sum("c3").as("c2"))
+      val alpha = model
+        .agg(countDistinct(substring(col("tri"), 3, 1)).as("alpha"))
+      val scored = model.withColumn("pre", substring(col("tri"), 1, 2))
+        .join(c2, "pre")
+        .crossJoin(alpha) // 1-row alphabet census (ContractSpec allowlist)
+        .select(col("tri"),
+          log((col("c3") + lit(1.0)) / (col("c2") + col("alpha")))
+            .as("logp"))
+      occ.join(broadcast(scored), "tri")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tri"),
+          array_sort(collect_list(struct(col("i"), col("logp"))))
+            .as("lps"))
+        .select(col("doc_id"), col("n_tri"),
+          round(aggregate(col("lps"), lit(0.0),
+            (a, x) => a + x("logp")) / col("n_tri"), 4).as("avg_ll"))
+    }),
+
     // F26 Unicode NFC normalization (native expression, codegen'd): fold
     // combining sequences into precomposed forms so downstream hashing /
     // dedup / tokenization see one representation per grapheme. The test
@@ -795,6 +839,31 @@ object TextQueries {
         |           (acc, x) -> (acc * 131 + x) % 2147483647)::VARCHAR), ',')
         |    AS chunk_hashes
         |FROM c""".stripMargin,
+    // Static series bound (docs are < 4096 chars); this DuckDB build
+    // has no lateral generate_series. list(… ORDER BY i) + list_reduce
+    // mirrors the engine's position-sorted fixed-order fold; the seeded
+    // vs seedless fold difference is immaterial because 0.0 + x ≡ x for
+    // every finite logp (logp < 0, never -0.0).
+    "ta_lm_score" ->
+      """WITH lt AS (SELECT doc_id, lower(text) AS t FROM documents
+        |           WHERE length(text) >= 3),
+        |occ AS (
+        |  SELECT doc_id, CAST(i AS INT) AS i, substr(t, CAST(i AS INT), 3) AS tri
+        |  FROM lt, generate_series(1, 4095) g(i)
+        |  WHERE i <= length(t) - 2),
+        |model AS (SELECT tri, count(*) AS c3 FROM occ GROUP BY tri),
+        |c2 AS (SELECT substr(tri, 1, 2) AS pre, sum(c3) AS c2
+        |       FROM model GROUP BY 1),
+        |a AS (SELECT count(DISTINCT substr(tri, 3, 1)) AS alpha FROM model),
+        |lp AS (
+        |  SELECT o.doc_id, o.i,
+        |    ln((m.c3 + 1.0) / (c.c2 + a.alpha)) AS logp
+        |  FROM occ o JOIN model m USING (tri)
+        |  JOIN c2 c ON c.pre = substr(o.tri, 1, 2) CROSS JOIN a)
+        |SELECT doc_id, count(*) AS n_tri,
+        |  round(list_reduce(list(logp ORDER BY i), (x, y) -> x + y)
+        |        / count(*), 4) AS avg_ll
+        |FROM lp GROUP BY doc_id""".stripMargin,
     "f26_nfc_normalize" ->
       s"""SELECT doc_id,
          |  nfc_normalize(substr(text, 1, 20) || '$DecomposedSuffix') AS norm,

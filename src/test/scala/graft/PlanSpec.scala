@@ -272,6 +272,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("ta_lm_score: the trigram model broadcasts — the corpus-side " +
+    "occurrence stream never shuffles for the model join") {
+    val p = planOf(TextQueries.queries("ta_lm_score")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      "the alphabet³-bounded model must broadcast onto the occurrences")
+    assert(!p.contains("SortMergeJoin"),
+      "no corpus-sized shuffle may feed the model join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("emb_pca_step: the matvec is join-free — per-dim partial sums " +
+    "are the only thing that ever rides an exchange") {
+    val p = planOf(SimilarityQueries.queries("emb_pca_step")(spark, sf))
+    assert(!p.contains("Join"), "the power-iteration step needs no join")
+    assert(p.contains("partial"),
+      "per-dim accumulation must partial-aggregate map-side")
+  }
+
   test("sig_store_refresh: the signature pipeline runs ONLY over the " +
     "mutated delta — one Generate in the whole plan, store rows pass " +
     "through as a projection") {
