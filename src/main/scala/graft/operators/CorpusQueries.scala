@@ -382,6 +382,45 @@ object CorpusQueries {
         .filter(col("n_docs") >= 3)
         .orderBy(col("n_docs").desc, col("gram"))
         .limit(50)
+    }),
+
+    // Repeated-span REMOVAL — the action the ta_repeated_ngrams census
+    // audits for (exact substring dedup in the Lee et al. 2022
+    // "Deduplicating Training Data" direction, public method): every
+    // token covered by any cross-doc-repeated 8-gram occurrence
+    // (df ≥ 3, the census' definition) is cut, and the doc reassembles
+    // from the surviving tokens in order. Scale shape: the repeated-gram
+    // model is corpus-DERIVED (unbounded), so it stays a keyed equi-join
+    // on gram — never broadcast; what flows out of that join is only the
+    // (doc_id, start) hit rows (output-sized), which reassemble per doc
+    // in one keyed exchange. The coverage mask and text rebuild are
+    // row-local folds over per-doc-bounded arrays — no positional
+    // explode ever rides a shuffle. Pure string/int output: nothing
+    // float-ordering-sensitive anywhere.
+    "dd_span_scrub" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), Texts.tokens(col("text")).as("tk"))
+      val occ = toks.filter(size(col("tk")) >= 8)
+        .select(col("doc_id"),
+          posexplode(Texts.wordNgrams(col("tk"), 8)).as(Seq("p0", "gram")))
+        .select(col("doc_id"), (col("p0") + 1).as("i"), col("gram"))
+      val rep = occ.select("doc_id", "gram").distinct()
+        .groupBy("gram").agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") >= 3).select("gram")
+      val starts = occ.join(rep, "gram")
+        .select("doc_id", "i").distinct()
+        .groupBy("doc_id").agg(collect_list(col("i")).as("ss"))
+      val kept = filter(
+        sequence(lit(1), greatest(size(col("tk")), lit(1))),
+        p => p <= size(col("tk")) &&
+          !exists(col("ss"), s0 => s0 <= p && p <= s0 + 7))
+      toks.join(starts, Seq("doc_id"), "left")
+        .withColumn("ss",
+          coalesce(col("ss"), array().cast("array<int>")))
+        .select(col("doc_id"),
+          array_join(transform(kept, p => element_at(col("tk"), p)), " ")
+            .as("text_clean"),
+          (size(col("tk")) - size(kept)).as("n_removed"))
     })
   )
 
@@ -613,6 +652,37 @@ object CorpusQueries {
          |      FROM t)
          |SELECT gram, count(*)::BIGINT AS n_docs, min(doc_id) AS first_doc
          |FROM g GROUP BY 1 HAVING count(*) >= 3
-         |ORDER BY n_docs DESC, gram LIMIT 50""".stripMargin
+         |ORDER BY n_docs DESC, gram LIMIT 50""".stripMargin,
+    "dd_span_scrub" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |occ AS (
+         |  SELECT doc_id, CAST(i AS INT) AS i,
+         |    array_to_string(tk[i:i+7], ' ') AS gram
+         |  FROM toks, unnest(generate_series(1, len(tk) - 7)) AS g(i)),
+         |rep AS (
+         |  SELECT gram FROM (
+         |    SELECT gram, count(DISTINCT doc_id) AS n_docs
+         |    FROM occ GROUP BY 1) r
+         |  WHERE n_docs >= 3),
+         |st AS (
+         |  SELECT doc_id, list(i) AS ss FROM (
+         |    SELECT DISTINCT o.doc_id, o.i
+         |    FROM occ o JOIN rep USING (gram)) c
+         |  GROUP BY doc_id),
+         |k AS (
+         |  SELECT t.doc_id, t.tk, coalesce(s.ss, []) AS ss
+         |  FROM toks t LEFT JOIN st s USING (doc_id)),
+         |kp AS (
+         |  SELECT doc_id, tk,
+         |    list_filter(generate_series(1, len(tk)),
+         |      p -> len(list_filter(ss, s -> s <= p AND p <= s + 7)) = 0)
+         |      AS kept
+         |  FROM k)
+         |SELECT doc_id,
+         |  coalesce(array_to_string(
+         |    list_transform(kept, p -> tk[CAST(p AS INT)]), ' '), '')
+         |    AS text_clean,
+         |  len(tk) - len(kept) AS n_removed
+         |FROM kp""".stripMargin
   )
 }

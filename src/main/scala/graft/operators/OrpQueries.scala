@@ -180,6 +180,33 @@ object OrpQueries {
         .select(col("term"), col("df"), col("tf_total"), col("postings"))
     }),
 
+    // Positional phrase retrieval over the inverted-index shape — the
+    // "exact phrase" half of the search surface (and of retrieval-based
+    // decontamination probes): docs where "table" is immediately
+    // followed by "hash". Scale shape: the term whitelist filter rides
+    // the explode PROJECTION, so the corpus scan emits only
+    // matching-term postings (query-terms-sized, not corpus-sized); the
+    // adjacency test is a keyed EQUI-join on (doc_id, pos) — pos-1 is
+    // computed on the build side so Catalyst hashes both sides on the
+    // same key, never a theta join — and the per-doc rollup is one
+    // keyed agg. The classic positional-index intersection, with every
+    // stage bounded by postings of the two query terms.
+    "ix_phrase_query" -> ((s, d) => {
+      import graft.functions.Texts
+      val (t1, t2) = ("table", "hash")
+      val u = Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(Texts.tokens(col("text"))).as(Seq("p0", "term")))
+        .filter(col("term").isin(t1, t2))
+        .select(col("doc_id"), (col("p0") + 1).as("pos"), col("term"))
+      val a = u.filter(col("term") === t1).select(col("doc_id"), col("pos"))
+      val b = u.filter(col("term") === t2)
+        .select(col("doc_id"), (col("pos") - 1).as("pos"))
+      a.join(b, Seq("doc_id", "pos"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_matches"), min("pos").as("first_pos"))
+    }),
+
     // BM25 ranked retrieval over the posting stats (Robertson/Okapi,
     // Lucene's ln(1 + (N-df+0.5)/(df+0.5)) idf form; k1=1.2, b=0.75) —
     // the scoring layer the inverted index (ix_postings) exists to
@@ -450,6 +477,20 @@ object OrpQueries {
         |    list_sort(list(doc_id::VARCHAR || ':' || pos::VARCHAR))[1:20], ',')
         |    AS postings
         |FROM p GROUP BY term""".stripMargin,
+    "ix_phrase_query" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id, CAST(i AS INT) AS pos, tk[i] AS term
+        |  FROM t, unnest(generate_series(1, len(tk))) AS g(i)
+        |  WHERE tk[i] IN ('table', 'hash')),
+        |a AS (SELECT doc_id, pos FROM u WHERE term = 'table'),
+        |b AS (SELECT doc_id, pos - 1 AS pos FROM u WHERE term = 'hash')
+        |SELECT a.doc_id, count(*) AS n_matches, min(a.pos) AS first_pos
+        |FROM a JOIN b USING (doc_id, pos)
+        |GROUP BY a.doc_id""".stripMargin,
     "g_scd2_merge" ->
       """WITH cur AS (
         |  SELECT doc_id::VARCHAR AS uid, text, lang, 1::BIGINT AS version,

@@ -290,6 +290,20 @@ class PlanSpec extends SparkSpec {
       "per-dim accumulation must partial-aggregate map-side")
   }
 
+  test("ix_phrase_query: the adjacency test is a keyed equi-join — " +
+    "Catalyst extracts pos-1 as a hash key, never a theta join") {
+    val p = planOf(OrpQueries.queries("ix_phrase_query")(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "pos-adjacency must hash-join on (doc_id, pos), not nested-loop")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("dd_span_scrub: gram model and reassembly stay keyed equi-joins") {
+    val p = planOf(CorpusQueries.queries("dd_span_scrub")(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("sig_store_refresh: the signature pipeline runs ONLY over the " +
     "mutated delta — one Generate in the whole plan, store rows pass " +
     "through as a projection") {
