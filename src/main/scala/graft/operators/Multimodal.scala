@@ -191,6 +191,68 @@ object Multimodal {
         .select(col("doc_id"), col("bucket"),
           round(col("f") * col("len")).cast("int").as("cnt"))
         .filter(col("cnt") > 0)
+    }),
+
+    // Perceptual-hash near-dup — the IMAGE dedup path (dHash, public
+    // method: resize to 9×8 grayscale, each bit = "left pixel < right
+    // pixel", 64 bits total). The stub resize stands in for the decoder
+    // exactly as in mm_resize; the hash build is pure codegen'd column
+    // arithmetic over the 72-byte payload (no float anywhere — every
+    // bit and band value is exact integer math, so the oracle matches
+    // bit-for-bit). Candidate generation is the SimHash trick: 4×16-bit
+    // bands, equal band ⇒ candidate (Hamming ≤ 6 guarantees ≥1 band
+    // equal by pigeonhole), then the full Hamming distance verifies via
+    // bit_count(xor) over the 4 band values. Scale shape: band_val is a
+    // derived equi-join key (expected block ≈ corpus/2^16 per band), so
+    // the self-join is keyed, never all-pairs; only (a_id, b_id)
+    // survivors ride the verify join. The corpus has no byte-identical
+    // payloads, so every 25th doc also enters as a DETERMINISTIC
+    // LENGTH-PRESERVING mutation (two bytes spliced in place — the
+    // pixel-noise stand-in for a re-encoded image; an append would
+    // shift every sampled position and rightly NOT match): those
+    // planted pairs are what the operator must find, and random band
+    // collisions are what the Hamming gate must reject.
+    "mm_phash_dedup" -> ((s, d) => {
+      val doc = Tables.documents(s, d)
+      val src = doc.select(col("doc_id"), col("text"))
+        .unionAll(doc
+          .filter(col("doc_id") % 25 === 0 && length(col("text")) > 101)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            concat(substring(col("text"), 1, 9), lit("X"),
+              substring(col("text"), 11, 89), lit("X"),
+              col("text").substr(lit(101), length(col("text"))))
+              .as("text")))
+      val rs = resize(
+          src.select(col("doc_id"), col("text").cast("binary").as("content")),
+          9, 8)
+        .select(col("doc_id"), upper(hex(col("resized"))).as("h"))
+      def px(i: Int) = conv(substring(col("h"), 2 * i + 1, 2), 16, 10)
+        .cast("long")
+      def band(b: Int) = (0 until 16).map { j =>
+        val k = b * 16 + j
+        val (r, c) = (k / 8, k % 8)
+        when(px(r * 9 + c) < px(r * 9 + c + 1), lit(1L << j))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+      val hashed = rs.select(col("doc_id"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band_id"), band(b).as("band_val"))): _*))
+          .as("e"))
+        .select(col("doc_id"), col("e.band_id"), col("e.band_val"))
+      val cand = hashed.select(col("doc_id").as("a_id"),
+          col("band_id"), col("band_val"))
+        .join(hashed.select(col("doc_id").as("b_id"),
+          col("band_id"), col("band_val")), Seq("band_id", "band_val"))
+        .filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id").distinct()
+      cand
+        .join(hashed.select(col("doc_id").as("a_id"), col("band_id"),
+          col("band_val").as("va")), Seq("a_id"))
+        .join(hashed.select(col("doc_id").as("b_id"), col("band_id"),
+          col("band_val").as("vb")), Seq("b_id", "band_id"))
+        .groupBy("a_id", "b_id")
+        .agg(sum(bit_count(col("va").bitwiseXOR(col("vb")))).as("hamming"))
+        .filter(col("hamming") <= 6)
     }))
 
   val oracles: Map[String, String] = Map(
@@ -229,5 +291,42 @@ object Multimodal {
         |          AS bucket
         |      FROM b, generate_series(0, 16383) t(i) WHERE i < len)
         |SELECT doc_id, CAST(bucket AS INT) AS bucket, CAST(count(*) AS INT) cnt
-        |FROM v GROUP BY doc_id, bucket""".stripMargin)
+        |FROM v GROUP BY doc_id, bucket""".stripMargin,
+    // px reconstructs the stub-resized 9×8 payload byte-by-byte from the
+    // hex rendering (the mm_resize recipe at n=72), bits are the dHash
+    // adjacent-pixel comparisons, band values are exact integer sums.
+    "mm_phash_dedup" ->
+      """WITH src AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    substr(text, 1, 9) || 'X' || substr(text, 11, 89) || 'X'
+        |      || substr(text, 101, length(text))
+        |  FROM documents WHERE doc_id % 25 = 0 AND length(text) > 101),
+        |b AS (SELECT doc_id, upper(hex(text::BLOB)) h,
+        |             octet_length(text::BLOB) len FROM src),
+        |g AS (SELECT doc_id, i,
+        |        (strpos('0123456789ABCDEF',
+        |           substr(h, 2 * CAST((i * len) // 72 AS INT) + 1, 1)) - 1) * 16
+        |        + strpos('0123456789ABCDEF',
+        |           substr(h, 2 * CAST((i * len) // 72 AS INT) + 2, 1)) - 1 AS px
+        |      FROM b, generate_series(0, 71) t(i)),
+        |bt AS (SELECT a.doc_id, (a.i // 9) * 8 + (a.i % 9) AS k,
+        |         CASE WHEN a.px < p2.px THEN 1 ELSE 0 END AS bit
+        |       FROM g a JOIN g p2 ON a.doc_id = p2.doc_id AND p2.i = a.i + 1
+        |       WHERE a.i % 9 < 8),
+        |bands AS (SELECT doc_id, CAST(k // 16 AS INT) AS band_id,
+        |            sum(bit * (1 << (k % 16)))::BIGINT AS band_val
+        |          FROM bt GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+        |         FROM bands x JOIN bands y
+        |           ON x.band_id = y.band_id AND x.band_val = y.band_val
+        |         WHERE x.doc_id < y.doc_id)
+        |SELECT c.a_id, c.b_id,
+        |  sum(bit_count(xor(xa.band_val, xb.band_val)))::BIGINT AS hamming
+        |FROM cand c
+        |JOIN bands xa ON xa.doc_id = c.a_id
+        |JOIN bands xb ON xb.doc_id = c.b_id AND xb.band_id = xa.band_id
+        |GROUP BY c.a_id, c.b_id
+        |HAVING sum(bit_count(xor(xa.band_val, xb.band_val))) <= 6""".stripMargin)
 }

@@ -304,6 +304,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("mm_phash_dedup: band self-join and Hamming verify stay keyed — " +
+    "never all-pairs over the payload table") {
+    val p = planOf(Multimodal.queries("mm_phash_dedup")(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("sig_store_refresh: the signature pipeline runs ONLY over the " +
     "mutated delta — one Generate in the whole plan, store rows pass " +
     "through as a projection") {
