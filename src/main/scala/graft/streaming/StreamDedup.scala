@@ -42,6 +42,45 @@ class FingerprintDedup
   }
 }
 
+/** Streaming NEAR-dup via LSH band keys — the streaming-native form of
+  * the dedup gate's near tier (ST7, `check_duplicate.py:183-289` second
+  * check, the dg_dedup_gate band probe as arriving state instead of a
+  * batch join): each doc fans out to its band keys, state holds the
+  * FIRST owner per band, and any later doc sharing a band emits
+  * `collision:<owner>` (a re-arrival of the owner itself collides with
+  * its own id — the consumer's exact-tier distinguishes re-arrival from
+  * true near-dup). At 100 TB the band-key state is hash-partitioned
+  * across executors and RocksDB-backed, so a probe is a local point
+  * lookup — the same corpus-never-shuffles-on-band property as the
+  * batch gate, with TTL available to window the signature store.
+  * Doc-level rollup (near-dup iff ANY band collides with a foreign
+  * owner) belongs to the consuming foreachBatch, where the per-doc
+  * outcomes of one micro-batch are co-present.
+  */
+class BandDedup
+    extends StatefulProcessor[String, (String, Long), (Long, String, String)] {
+
+  @transient private var owner: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    owner = getHandle.getValueState[Long]("owner", Encoders.scalaLong,
+      TTLConfig.NONE)
+
+  override def handleInputRows(key: String, rows: Iterator[(String, Long)],
+      timerValues: TimerValues): Iterator[(Long, String, String)] = {
+    // eager for the same reason as FingerprintDedup: the band must be
+    // claimed even if downstream stops consuming early
+    val out = rows.map { case (_, docId) =>
+      if (owner.exists()) (docId, key, s"collision:${owner.get()}")
+      else {
+        owner.update(docId)
+        (docId, key, "new")
+      }
+    }.toVector
+    out.iterator
+  }
+}
+
 object StreamDedup {
   /** (fingerprint, uid) stream → (uid, outcome) stream. */
   def dedupByFingerprint(
@@ -50,5 +89,19 @@ object StreamDedup {
     in.groupByKey(_._1)(Encoders.STRING)
       .transformWithState(new FingerprintDedup, TimeMode.None(),
         OutputMode.Update(), enc)
+  }
+
+  /** (doc_id, band keys) stream → (doc_id, band_key, outcome) stream,
+    * outcome ∈ {new, collision:<first-owner-id>}. */
+  def dedupByBands(
+      in: Dataset[(Long, Seq[String])]): Dataset[(Long, String, String)] = {
+    implicit val pairEnc =
+      Encoders.tuple(Encoders.STRING, Encoders.scalaLong)
+    implicit val outEnc = Encoders.tuple(Encoders.scalaLong,
+      Encoders.STRING, Encoders.STRING)
+    in.flatMap { case (id, bands) => bands.map(b => (b, id)) }
+      .groupByKey(_._1)(Encoders.STRING)
+      .transformWithState(new BandDedup, TimeMode.None(),
+        OutputMode.Update(), outEnc)
   }
 }

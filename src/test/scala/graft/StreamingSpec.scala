@@ -151,6 +151,51 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState band dedup: a doc sharing ANY LSH band with " +
+    "an earlier doc collides with that band's first owner (RocksDB)") {
+    import graft.streaming.StreamDedup
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(Long, Seq[String])]
+      val out = StreamDedup.dedupByBands(input.toDS())
+      val q = out.toDF("doc_id", "band_key", "outcome").writeStream
+        .outputMode("update").format("memory").queryName("bdedup").start()
+      input.addData((1L, Seq("b0", "b1", "b2", "b3")))
+      q.processAllAvailable()
+      // doc 2 shares band b2 with doc 1 (near-dup); doc 3 is disjoint;
+      // doc 1 re-arrives (all four bands collide with its own id)
+      input.addData((2L, Seq("x0", "x1", "b2", "x3")),
+        (3L, Seq("y0", "y1", "y2", "y3")), (1L, Seq("b0", "b1", "b2", "b3")))
+      q.processAllAvailable()
+      q.stop()
+      import spark.implicits._
+      val res = spark.table("bdedup").as[(Long, String, String)].collect()
+      // doc 1 emits 8 rows total: 4 "new" on first arrival, then 4
+      // self-collisions on re-arrival — keep them separate (a band→
+      // outcome map would collapse the two deliveries)
+      assert(res.count(r => r._1 == 1L && r._3 == "new") == 4)
+      val d2 = res.filter(_._1 == 2L).map(r => r._2 -> r._3).toMap
+      assert(d2("b2") == "collision:1" &&
+        d2.values.count(_ == "new") == 3)
+      assert(res.filter(_._1 == 3L).forall(_._3 == "new"))
+      // re-arrival: every band collides with doc 1's own id — the
+      // consumer's exact tier tells self-re-arrival from true near-dup
+      val rearrival = res.filter(r => r._1 == 1L && r._3 != "new")
+      assert(rearrival.length == 4 &&
+        rearrival.forall(_._3 == "collision:1"))
+    } finally {
+      prev match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("dropDuplicatesWithinWatermark: dedup state is TTL'd by the " +
     "watermark — unbounded-corpus streaming dedup with bounded state") {
     // the time-windowed dedup policy FingerprintDedup's TTLConfig points
