@@ -426,14 +426,20 @@ object TextQueries {
           explode(sequence(lit(1), length(col("t")) - 2)).as("i"))
         .select(col("doc_id"), col("i"),
           col("t").substr(col("i"), lit(3)).as("tri"))
+      // c2 (bigram-prefix totals) and alpha (alphabet size) derive from
+      // the ALREADY-AGGREGATED model via windows, so the model subtree —
+      // and with it the corpus scan — is referenced exactly once (a
+      // groupBy per derived stat would recompute the corpus explode per
+      // reference: 4 scans instead of 2). The unpartitioned window is
+      // safe here and only here: its input is the alphabet³-bounded
+      // model, never corpus-sized.
+      import org.apache.spark.sql.expressions.Window
       val model = occ.groupBy("tri").agg(count(lit(1)).as("c3"))
-      val c2 = model.groupBy(substring(col("tri"), 1, 2).as("pre"))
-        .agg(sum("c3").as("c2"))
-      val alpha = model
-        .agg(countDistinct(substring(col("tri"), 3, 1)).as("alpha"))
-      val scored = model.withColumn("pre", substring(col("tri"), 1, 2))
-        .join(c2, "pre")
-        .crossJoin(alpha) // 1-row alphabet census (ContractSpec allowlist)
+      val scored = model
+        .withColumn("c2", sum("c3")
+          .over(Window.partitionBy(substring(col("tri"), 1, 2))))
+        .withColumn("alpha", size(collect_set(substring(col("tri"), 3, 1))
+          .over(Window.partitionBy())))
         .select(col("tri"),
           log((col("c3") + lit(1.0)) / (col("c2") + col("alpha")))
             .as("logp"))

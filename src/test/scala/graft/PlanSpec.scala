@@ -280,6 +280,10 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       "no corpus-sized shuffle may feed the model join")
     assert(!p.contains("CartesianProduct"))
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans <= 2,
+      s"model stats must derive from ONE model reference (windows over " +
+        s"the tiny aggregate), not per-stat corpus re-scans; saw $scans")
   }
 
   test("emb_pca_step: the matvec is join-free — per-dim partial sums " +
