@@ -154,6 +154,24 @@ object Multimodal {
     Tables.documents(s, d)
       .select(col("doc_id"), col("text").cast("binary").as("content"))
 
+  /** The near-dup test corpus: every payload, plus a deterministic
+    * LENGTH-PRESERVING 2-byte splice of every 25th (the pixel-noise /
+    * re-encode stand-in — an append would shift every sampled position
+    * and rightly not match). Shared by mm_phash_dedup and
+    * pipe_mm_refinery, mirrored verbatim in their oracles. */
+  private def phashSrc(s: SparkSession, d: String): DataFrame = {
+    val doc = Tables.documents(s, d)
+    doc.select(col("doc_id"), col("text"))
+      .unionAll(doc
+        .filter(col("doc_id") % 25 === 0 && length(col("text")) > 101)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(substring(col("text"), 1, 9), lit("X"),
+            substring(col("text"), 11, 89), lit("X"),
+            col("text").substr(lit(101), length(col("text"))))
+            .as("text")))
+      .select(col("doc_id"), col("text").cast("binary").as("content"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_media_meta" -> ((s, d) => {
       withMediaMeta(binDocs(s, d))
@@ -213,18 +231,7 @@ object Multimodal {
     // planted pairs are what the operator must find, and random band
     // collisions are what the Hamming gate must reject.
     "mm_phash_dedup" -> ((s, d) => {
-      val doc = Tables.documents(s, d)
-      val src = doc.select(col("doc_id"), col("text"))
-        .unionAll(doc
-          .filter(col("doc_id") % 25 === 0 && length(col("text")) > 101)
-          .select((col("doc_id") + 1000000).as("doc_id"),
-            concat(substring(col("text"), 1, 9), lit("X"),
-              substring(col("text"), 11, 89), lit("X"),
-              col("text").substr(lit(101), length(col("text"))))
-              .as("text")))
-      val rs = resize(
-          src.select(col("doc_id"), col("text").cast("binary").as("content")),
-          9, 8)
+      val rs = resize(phashSrc(s, d), 9, 8)
         .select(col("doc_id"), upper(hex(col("resized"))).as("h"))
       def px(i: Int) = conv(substring(col("h"), 2 * i + 1, 2), 16, 10)
         .cast("long")
@@ -253,6 +260,33 @@ object Multimodal {
         .groupBy("a_id", "b_id")
         .agg(sum(bit_count(col("va").bitwiseXOR(col("vb")))).as("hamming"))
         .filter(col("hamming") <= 6)
+    }),
+
+    // The multimodal INGEST composition as one plan — what a media
+    // corpus runs end-to-end: metadata sniff → perceptual near-dup drop
+    // (keep-first: the higher id of every detected pair leaves) →
+    // codec feature extraction → per-survivor feature summary (nonzero
+    // buckets, dominant bucket — exact integer counts, the
+    // mm_feature_hist equivalence). One declarative composition, so
+    // Catalyst sees the whole lineage: the near-dup drop is a keyed
+    // LEFT ANTI against the (tiny) pair survivors, and everything
+    // downstream is the partition-batched codec plus row-local
+    // arithmetic.
+    "pipe_mm_refinery" -> ((s, d) => {
+      val drop = queries("mm_phash_dedup")(s, d)
+        .select(col("b_id").as("doc_id"))
+      val survivors = withMediaMeta(phashSrc(s, d))
+        .join(drop, Seq("doc_id"), "left_anti")
+      val counts = transform(col("features"),
+        f => round(f * col("meta.byte_len")).cast("int"))
+      extractFeatures(survivors, 64)
+        .select(col("doc_id"), col("meta.media_type").as("media_type"),
+          col("meta.byte_len").as("byte_len"), counts.as("cnts"))
+        .select(col("doc_id"), col("media_type"), col("byte_len"),
+          size(filter(col("cnts"), c => c > 0)).as("nnz"),
+          (array_position(col("cnts"), array_max(col("cnts"))) - 1)
+            .cast("int").as("top_bucket"),
+          array_max(col("cnts")).as("top_cnt"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -328,5 +362,65 @@ object Multimodal {
         |JOIN bands xa ON xa.doc_id = c.a_id
         |JOIN bands xb ON xb.doc_id = c.b_id AND xb.band_id = xa.band_id
         |GROUP BY c.a_id, c.b_id
-        |HAVING sum(bit_count(xor(xa.band_val, xb.band_val))) <= 6""".stripMargin)
+        |HAVING sum(bit_count(xor(xa.band_val, xb.band_val))) <= 6""".stripMargin,
+    // src/pairs replicate the mm_phash_dedup pipeline; survivors drop
+    // each pair's b_id (keep-first), then the mm_feature_hist recipe
+    // summarizes per survivor (nonzero buckets, dominant bucket with
+    // min-bucket tiebreak ≡ the engine's first-max array_position).
+    "pipe_mm_refinery" ->
+      """WITH src AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    substr(text, 1, 9) || 'X' || substr(text, 11, 89) || 'X'
+        |      || substr(text, 101, length(text))
+        |  FROM documents WHERE doc_id % 25 = 0 AND length(text) > 101),
+        |b AS (SELECT doc_id, upper(hex(text::BLOB)) h,
+        |             octet_length(text::BLOB) len FROM src),
+        |g AS (SELECT doc_id, i,
+        |        (strpos('0123456789ABCDEF',
+        |           substr(h, 2 * CAST((i * len) // 72 AS INT) + 1, 1)) - 1) * 16
+        |        + strpos('0123456789ABCDEF',
+        |           substr(h, 2 * CAST((i * len) // 72 AS INT) + 2, 1)) - 1 AS px
+        |      FROM b, generate_series(0, 71) t(i)),
+        |bt AS (SELECT a.doc_id, (a.i // 9) * 8 + (a.i % 9) AS k,
+        |         CASE WHEN a.px < p2.px THEN 1 ELSE 0 END AS bit
+        |       FROM g a JOIN g p2 ON a.doc_id = p2.doc_id AND p2.i = a.i + 1
+        |       WHERE a.i % 9 < 8),
+        |bands AS (SELECT doc_id, CAST(k // 16 AS INT) AS band_id,
+        |            sum(bit * (1 << (k % 16)))::BIGINT AS band_val
+        |          FROM bt GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+        |         FROM bands x JOIN bands y
+        |           ON x.band_id = y.band_id AND x.band_val = y.band_val
+        |         WHERE x.doc_id < y.doc_id),
+        |pairs AS (
+        |  SELECT c.a_id, c.b_id
+        |  FROM cand c
+        |  JOIN bands xa ON xa.doc_id = c.a_id
+        |  JOIN bands xb ON xb.doc_id = c.b_id AND xb.band_id = xa.band_id
+        |  GROUP BY c.a_id, c.b_id
+        |  HAVING sum(bit_count(xor(xa.band_val, xb.band_val))) <= 6),
+        |surv AS (
+        |  SELECT doc_id, h, len FROM b
+        |  WHERE doc_id NOT IN (SELECT b_id FROM pairs)),
+        |v AS (SELECT doc_id, len,
+        |        ((strpos('0123456789ABCDEF', substr(h, 2*i+1, 1)) - 1) * 16
+        |         + strpos('0123456789ABCDEF', substr(h, 2*i+2, 1)) - 1) % 64
+        |          AS bucket
+        |      FROM surv, generate_series(0, 16383) t(i) WHERE i < len),
+        |hist AS (SELECT doc_id, len, CAST(bucket AS INT) AS bucket,
+        |           count(*) AS c
+        |         FROM v GROUP BY 1, 2, 3),
+        |top AS (SELECT doc_id, bucket, c,
+        |          row_number() OVER (PARTITION BY doc_id
+        |            ORDER BY c DESC, bucket ASC) AS rk
+        |        FROM hist)
+        |SELECT h.doc_id, 'unknown' AS media_type, h.len::BIGINT AS byte_len,
+        |  CAST(count(*) AS INT) AS nnz,
+        |  CAST(max(CASE WHEN t.rk = 1 THEN t.bucket END) AS INT)
+        |    AS top_bucket,
+        |  CAST(max(CASE WHEN t.rk = 1 THEN t.c END) AS INT) AS top_cnt
+        |FROM hist h JOIN top t USING (doc_id, bucket)
+        |GROUP BY h.doc_id, h.len""".stripMargin)
 }
