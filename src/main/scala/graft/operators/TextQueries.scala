@@ -453,6 +453,30 @@ object TextQueries {
             (a, x) => a + x("logp")) / col("n_tri"), 4).as("avg_ll"))
     }),
 
+    // Text analysis: per-doc character entropy (Shannon, nats) — the
+    // garbage/binary/mojibake detector quality stacks run beside LM
+    // scoring: natural text sits in a narrow entropy band, byte noise
+    // and repeated-char filler fall outside it. ENTIRELY row-local:
+    // distinct chars and their counts come from in-row array ops over
+    // the char explode of one document (no corpus model, no shuffle —
+    // at 100 TB this runs at the scan like ta_gopher_rules), and the
+    // entropy fold runs over the BINARY-SORTED distinct chars so the
+    // float addition order is deterministic and oracle-reproducible
+    // (H = ln n − Σ c·ln c / n; ln-derived mean ships at 4dp, the
+    // ix_bm25 precedent).
+    "ta_char_entropy" -> ((s, d) => {
+      val chars = regexp_extract_all(col("text"), lit("[\\s\\S]"), lit(0))
+      val u = array_sort(array_distinct(chars))
+      val counts = transform(u,
+        ch => size(filter(chars, x => x === ch)).cast("double"))
+      Tables.documents(s, d)
+        .filter(length(col("text")) >= 1)
+        .select(col("doc_id"), size(chars).as("n_chars_counted"),
+          round(log(size(chars)) -
+            aggregate(counts, lit(0.0), (a, c) => a + c * log(c)) /
+              size(chars), 4).as("entropy"))
+    }),
+
     // F26 Unicode NFC normalization (native expression, codegen'd): fold
     // combining sequences into precomposed forms so downstream hashing /
     // dedup / tokenization see one representation per grapheme. The test
@@ -870,6 +894,21 @@ object TextQueries {
         |  round(list_reduce(list(logp ORDER BY i), (x, y) -> x + y)
         |        / count(*), 4) AS avg_ll
         |FROM lp GROUP BY doc_id""".stripMargin,
+    // list_sort(list_distinct(...)) fixes the fold order (binary sort,
+    // matching Spark's UTF8 array_sort); c·ln(c) addends are exact-count
+    // derived, never -0.0, so the seedless list_reduce ≡ the seeded fold.
+    "ta_char_entropy" ->
+      """WITH c AS (
+        |  SELECT doc_id, regexp_extract_all(text, '[\s\S]') AS cs
+        |  FROM documents WHERE length(text) >= 1),
+        |d AS (SELECT doc_id, cs, len(cs) AS n,
+        |        list_transform(list_sort(list_distinct(cs)),
+        |          ch -> len(list_filter(cs, x -> x = ch))::DOUBLE) AS cnt
+        |      FROM c)
+        |SELECT doc_id, CAST(n AS INT) AS n_chars_counted,
+        |  round(ln(n) - list_reduce(list_transform(cnt, x -> x * ln(x)),
+        |    (a, b) -> a + b) / n, 4) AS entropy
+        |FROM d""".stripMargin,
     "f26_nfc_normalize" ->
       s"""SELECT doc_id,
          |  nfc_normalize(substr(text, 1, 20) || '$DecomposedSuffix') AS norm,

@@ -358,6 +358,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"))
   }
 
+  test("ta_char_entropy is scan-narrow: zero exchanges, no join — the " +
+    "whole entropy computation is row-local array arithmetic") {
+    val p = planOf(TextQueries.queries("ta_char_entropy")(spark, sf))
+    assert(!p.contains("Exchange"))
+    assert(!p.contains("Join"))
+  }
+
   test("SigMin UDAF: callable from SQL, merges element-wise, and the " +
     "chunk→doc merge partial-aggregates map-side") {
     val r = spark.sql(
