@@ -320,6 +320,30 @@ object SimilarityQueries {
             .as("max_abs_err"))
     }),
 
+    // Per-node triangle participation over the mutual-kNN graph — the
+    // clustering-coefficient precursor (how clique-like is a vector's
+    // neighborhood?) that grades dedup-cluster quality: near-dup groups
+    // show as dense triangles, chains of borderline matches don't. The
+    // standard edge-iterator enumeration (public method): canonical
+    // undirected edges a<b, then e(a,b)⋈e(b,c)⋈e(a,c) — every join a
+    // KEYED equi-join on node ids, so at 100 TB this is the classic
+    // O(m^1.5) distributed triangle count; the per-node rollup is one
+    // keyed agg over 3 rows per triangle. Integer-only output.
+    "g_triangle_count" -> ((s, d) => {
+      val und = queries("sim_knn_graph")(s, d)
+        .select(least(col("vec_id"), col("nbr_id")).as("a"),
+          greatest(col("vec_id"), col("nbr_id")).as("b"))
+        .distinct()
+      val tris = und
+        .join(und.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+        .join(und.select(col("a"), col("b").as("c")), Seq("a", "c"))
+      tris.select(col("a").as("node_id"))
+        .unionAll(tris.select(col("b").as("node_id")))
+        .unionAll(tris.select(col("c").as("node_id")))
+        .groupBy("node_id")
+        .agg(count(lit(1)).as("n_triangles"))
+    }),
+
     // One power-iteration step for the corpus' top principal direction
     // (uncentered PCA / top singular vector — the embedding-analytics
     // primitive under whitening, drift detection, and spectral dedup;
@@ -389,6 +413,22 @@ object SimilarityQueries {
       |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
       |        ORDER BY sim DESC, n_id ASC) AS rk FROM scored)
       |SELECT q_id, n_id, sim, rk FROM r WHERE rk <= 3""".stripMargin
+
+  /** sim_knn_graph oracle body — also the edge source for
+    * g_triangle_count's oracle. */
+  private val knnGraphSql =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    list_sum(list_transform(generate_series(0, ${Vectors.SignBucketBits - 1}), i ->
+       |      CASE WHEN v[i+1] > 0 THEN (1::BIGINT << i) ELSE 0 END))::BIGINT AS bucket
+       |  FROM embeddings),
+       |s AS (
+       |  SELECT a.vec_id, b.vec_id AS nbr_id,
+       |    round(list_cosine_similarity(a.v, b.v), 4) AS sim
+       |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY sim DESC, nbr_id ASC) AS rk FROM s)
+       |SELECT vec_id, nbr_id, sim, rk FROM r WHERE rk <= 3""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // sc mirrors the engine's in-order fold over v (seedless list_reduce
@@ -552,19 +592,24 @@ object SimilarityQueries {
         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
         |        ORDER BY sim DESC, n_id ASC) AS rk FROM s)
         |SELECT bucket, q_id, n_id, sim, rk FROM r WHERE rk <= 3""".stripMargin,
-    "sim_knn_graph" ->
-      s"""WITH e AS (
-        |  SELECT vec_id, embedding::DOUBLE[] AS v,
-        |    list_sum(list_transform(generate_series(0, ${Vectors.SignBucketBits - 1}), i ->
-        |      CASE WHEN v[i+1] > 0 THEN (1::BIGINT << i) ELSE 0 END))::BIGINT AS bucket
-        |  FROM embeddings),
-        |s AS (
-        |  SELECT a.vec_id, b.vec_id AS nbr_id,
-        |    round(list_cosine_similarity(a.v, b.v), 4) AS sim
-        |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
-        |        ORDER BY sim DESC, nbr_id ASC) AS rk FROM s)
-        |SELECT vec_id, nbr_id, sim, rk FROM r WHERE rk <= 3""".stripMargin,
+    "sim_knn_graph" -> knnGraphSql,
+    // triangles over the knn oracle's edge set; a<b<c holds by
+    // construction of the canonical edges, so each triangle enumerates
+    // exactly once
+    "g_triangle_count" ->
+      s"""WITH knn AS ($knnGraphSql),
+        |und AS (SELECT DISTINCT least(vec_id, nbr_id) AS a,
+        |                        greatest(vec_id, nbr_id) AS b FROM knn),
+        |tri AS (
+        |  SELECT e1.a, e1.b, e2.b AS c
+        |  FROM und e1
+        |  JOIN und e2 ON e2.a = e1.b
+        |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |un AS (SELECT a AS node_id FROM tri
+        |       UNION ALL SELECT b FROM tri
+        |       UNION ALL SELECT c FROM tri)
+        |SELECT node_id, count(*) AS n_triangles
+        |FROM un GROUP BY node_id""".stripMargin,
     "dd_semdedup" ->
       s"""WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v,

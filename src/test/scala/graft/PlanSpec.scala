@@ -308,6 +308,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("g_triangle_count: every enumeration join is keyed on node ids") {
+    val p = planOf(SimilarityQueries.queries("g_triangle_count")(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("mm_phash_dedup: band self-join and Hamming verify stay keyed — " +
     "never all-pairs over the payload table") {
     val p = planOf(Multimodal.queries("mm_phash_dedup")(spark, sf))
