@@ -554,7 +554,12 @@ object DedupQueries {
         col("doc_id").as("b_id"), col("title").as("b_t"))
       a.join(b, Seq("lang", "blk"))
         .filter(col("a_id") < col("b_id"))
-        .withColumn("dist", levenshtein(col("a_t"), col("b_t")))
+        // thresholded form: the DP early-exits once distance exceeds 10
+        // (returns -1, which the between-filter drops) — per-pair cost
+        // O(threshold·len) instead of O(len²), the within-block
+        // mitigation that matters exactly on the hot blocks the blocking
+        // guard watches. Kept rows carry the identical distance.
+        .withColumn("dist", levenshtein(col("a_t"), col("b_t"), 10))
         .filter(col("dist").between(1, 10))
         .select("a_id", "b_id", "dist")
     }),
