@@ -60,6 +60,22 @@ object Layout {
     files
   }
 
+  /** Bucketed store write — the 1000×-scale posture SCALE.md promises:
+    * a maintained table (signature store, ANN codes, postings) written
+    * `bucketBy` its join key means every later join against another
+    * table bucketed the same way is EXCHANGE-FREE — the shuffle that
+    * dominates repeated band joins is paid once at write time, never
+    * again per query. `option("path", …)` keeps the table external so
+    * tests (and warehouses) control placement; `sortBy` tightens
+    * row-group stats within each bucket. LayoutSpec asserts the
+    * bucket-join plan carries zero Exchange with broadcast disabled. */
+  def bucketedStoreWrite(df: DataFrame, table: String, path: String,
+      buckets: Int, keys: Seq[String]): Unit =
+    df.write.mode("overwrite").option("path", path)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // The key computation itself, oracle-checked bit-for-bit: Morton key
     // over the (partkey, suppkey) plane of lineitem.

@@ -28,6 +28,48 @@ class LayoutSpec extends SparkSpec {
     assert(got.map(_.getLong(2)).distinct.length == cases.length)
   }
 
+  test("bucketed signature store: a join between two tables bucketed by " +
+    "the band key plans ZERO exchanges — the band shuffle is paid once " +
+    "at write time") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bkt").toString
+    val store = (0 until 200)
+      .map(i => (i.toLong, i % 4, s"band_${i % 37}"))
+      .toDF("doc_id", "band_id", "band_key")
+    val batch = (0 until 50)
+      .map(i => (10000L + i, i % 4, s"band_${i % 37}"))
+      .toDF("doc_id", "band_id", "band_key")
+    Layout.bucketedStoreWrite(store, "sig_store", s"$tmp/sig_store", 8,
+      Seq("band_key"))
+    Layout.bucketedStoreWrite(batch, "sig_batch", s"$tmp/sig_batch", 8,
+      Seq("band_key"))
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqeBc =
+      spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("sig_store")
+        .join(spark.table("sig_batch"), Seq("band_key"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        "broadcast must be off so the assertion is about bucketing")
+      assert(!p.contains("Exchange"),
+        s"bucket-aligned join must not shuffle either side:\n$p")
+      // and it actually runs: 50 batch rows each hit their band block
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      prevAqeBc match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None =>
+          spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+      spark.sql("DROP TABLE IF EXISTS sig_store")
+      spark.sql("DROP TABLE IF EXISTS sig_batch")
+    }
+  }
+
   test("z-ordered files bound min/max spread on BOTH dimensions; a 1-D " +
     "sort leaves the second dimension unprunable") {
     val n = 64
