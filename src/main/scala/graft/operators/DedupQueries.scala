@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.functions.{Hashes, Texts, Vectors}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operator family — SURVEY.md §2.4 J8 / §2.10 ST7 plus the
@@ -90,6 +91,27 @@ object DedupQueries {
         .groupBy("fingerprint")
         .agg(min("doc_id").as("canonical_id"), count("*").as("n_dups"))
         .filter(col("n_dups") > 1)
+    }),
+
+    // URL dedup — the FIRST dedup stage of a web-corpus pipeline
+    // (CCNet/RefinedWeb order: collapse recrawls and URL variants
+    // BEFORE any content hashing buys anything): canonicalize, then
+    // keep the best capture per canonical URL (longest content, id
+    // tiebreak — the "most complete crawl wins" heuristic). One keyed
+    // window on the canonical URL; per-URL payload is the recrawl
+    // count, bounded by crawl frequency, not corpus size. Shares
+    // TextQueries.canonicalUrl verbatim with ta_url_canonical.
+    "dd_url_dedup" -> ((s, d) => {
+      val w = Window.partitionBy("url")
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          TextQueries.canonicalUrl.as("url"))
+        .withColumn("rk", row_number().over(w))
+        .withColumn("n_docs",
+          count(lit(1)).over(Window.partitionBy("url")))
+        .filter(col("rk") === 1)
+        .select(col("url"), col("doc_id").as("kept_doc"), col("n_docs"))
     }),
 
     // Benchmark decontamination — the eval-set n-gram overlap scrub every
@@ -659,6 +681,16 @@ object DedupQueries {
        |   AND a.doc_id < c.doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "dd_url_dedup" ->
+      s"""WITH ${TextQueries.urlCanonSql},
+         |r AS (
+         |  SELECT url, doc_id, n_chars,
+         |    row_number() OVER (PARTITION BY url
+         |      ORDER BY n_chars DESC, doc_id ASC) AS rk,
+         |    count(*) OVER (PARTITION BY url) AS n_docs
+         |  FROM canon)
+         |SELECT url, doc_id AS kept_doc, n_docs
+         |FROM r WHERE rk = 1""".stripMargin,
     "dd_exact" ->
       s"""SELECT md5(array_to_string($wsSql, ' ')) AS fingerprint,
          |  min(doc_id) AS canonical_id, count(*) AS n_dups

@@ -25,6 +25,74 @@ object TextQueries {
     "es" -> Seq("el", "la", "los", "que"),
     "fr" -> Seq("le", "les", "et", "dans"))
 
+  /** Synthetic messy URL (case/port/fragment/param-order variants of one
+    * logical URL per doc-group, built from table columns — the corpus
+    * has no URLs) canonicalized: lowercase scheme+host, default ports
+    * stripped, fragment dropped, tracking params removed, params
+    * sorted. Shared by ta_url_canonical and dd_url_dedup; mirrored by
+    * [[urlCanonSql]]. Row-local, shuffle-free at any corpus size. */
+  private[operators] def canonicalUrl: org.apache.spark.sql.Column = {
+    val url = concat(
+      when(col("doc_id") % 2 === 0, lit("HTTPS://")).otherwise(lit("https://")),
+      when(col("doc_id") % 5 === 0, upper(col("source"))).otherwise(col("source")),
+      lit(".Example.ORG"),
+      when(col("doc_id") % 2 === 0, lit(":443")).otherwise(lit("")),
+      lit("/docs/"), col("doc_id") % 50,
+      lit("?b=2&utm_source=feed&a="), col("lang"),
+      when(col("doc_id") % 3 === 0, lit("#section-2")).otherwise(lit("")))
+    val scheme = lower(regexp_extract(url, "^([A-Za-z]+)://", 1))
+    val host = lower(regexp_extract(url, "://([^/:?#]+)", 1))
+    val port = regexp_extract(url, "^[A-Za-z]+://[^/:?#]+:(\\d+)", 1)
+    val path = regexp_extract(url, "://[^/?#]+([^?#]*)", 1)
+    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    val params = array_sort(filter(split(query, "&"),
+      p => p =!= "" && !p.startsWith("utm_")))
+    val keepPort = port =!= "" &&
+      !(scheme === "https" && port === "443") &&
+      !(scheme === "http" && port === "80")
+    concat(scheme, lit("://"), host,
+      when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+      path,
+      when(size(params) > 0, concat(lit("?"), array_join(params, "&")))
+        .otherwise(lit("")))
+  }
+
+  /** DuckDB mirror of [[canonicalUrl]] as a CTE chain ending in
+    * `canon(doc_id, n_chars, url)`. */
+  private[operators] val urlCanonSql: String =
+    """u AS (
+      |  SELECT doc_id, n_chars,
+      |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END) ||
+      |    (CASE WHEN doc_id % 5 = 0 THEN upper(source) ELSE source END) ||
+      |    '.Example.ORG' ||
+      |    (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END) ||
+      |    '/docs/' || (doc_id % 50) ||
+      |    '?b=2&utm_source=feed&a=' || lang ||
+      |    (CASE WHEN doc_id % 3 = 0 THEN '#section-2' ELSE '' END) AS url
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n_chars,
+      |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+      |    lower(regexp_extract(url, '://([^/:?#]+)', 1)) AS host,
+      |    regexp_extract(url, '^[A-Za-z]+://[^/:?#]+:(\d+)', 1) AS port,
+      |    regexp_extract(url, '://[^/?#]+([^?#]*)', 1) AS path,
+      |    regexp_extract(url, '\?([^#]*)', 1) AS query
+      |  FROM u),
+      |p AS (
+      |  SELECT doc_id, n_chars, scheme, host, port, path,
+      |    array_to_string(list_sort(list_filter(string_split(query, '&'),
+      |      x -> x <> '' AND NOT starts_with(x, 'utm_'))), '&') AS q
+      |  FROM c),
+      |canon AS (
+      |  SELECT doc_id, n_chars, scheme || '://' || host ||
+      |    (CASE WHEN port <> ''
+      |           AND NOT (scheme = 'https' AND port = '443')
+      |           AND NOT (scheme = 'http' AND port = '80')
+      |          THEN ':' || port ELSE '' END) ||
+      |    path ||
+      |    (CASE WHEN q <> '' THEN '?' || q ELSE '' END) AS url
+      |  FROM p)""".stripMargin
+
   /** Decomposed (NFD-style) suffix for the F26 normalization probe:
     * "cafe" + COMBINING ACUTE, "nai" + COMBINING DIAERESIS + "ve" —
     * built from escapes so the source literal itself can't be silently
@@ -520,31 +588,8 @@ object TextQueries {
     // case/port/fragment/param-order variants of the same logical URL
     // must collapse to one canonical row.
     "ta_url_canonical" -> ((s, d) => {
-      val url = concat(
-        when(col("doc_id") % 2 === 0, lit("HTTPS://")).otherwise(lit("https://")),
-        when(col("doc_id") % 5 === 0, upper(col("source"))).otherwise(col("source")),
-        lit(".Example.ORG"),
-        when(col("doc_id") % 2 === 0, lit(":443")).otherwise(lit("")),
-        lit("/docs/"), col("doc_id") % 50,
-        lit("?b=2&utm_source=feed&a="), col("lang"),
-        when(col("doc_id") % 3 === 0, lit("#section-2")).otherwise(lit("")))
-      val scheme = lower(regexp_extract(url, "^([A-Za-z]+)://", 1))
-      val host = lower(regexp_extract(url, "://([^/:?#]+)", 1))
-      val port = regexp_extract(url, "^[A-Za-z]+://[^/:?#]+:(\\d+)", 1)
-      val path = regexp_extract(url, "://[^/?#]+([^?#]*)", 1)
-      val query = regexp_extract(url, "\\?([^#]*)", 1)
-      val params = array_sort(filter(split(query, "&"),
-        p => p =!= "" && !p.startsWith("utm_")))
-      val keepPort = port =!= "" &&
-        !(scheme === "https" && port === "443") &&
-        !(scheme === "http" && port === "80")
-      val canonical = concat(scheme, lit("://"), host,
-        when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
-        path,
-        when(size(params) > 0, concat(lit("?"), array_join(params, "&")))
-          .otherwise(lit("")))
       Tables.documents(s, d)
-        .select(canonical.as("url"))
+        .select(canonicalUrl.as("url"))
         .groupBy("url").agg(count(lit(1)).as("n_docs"))
     }),
 
@@ -943,37 +988,8 @@ object TextQueries {
         |    'https?://([A-Za-z0-9.-]+)', 1)) AS domain FROM t)
         |SELECT domain, count(*) AS n FROM d GROUP BY domain""".stripMargin,
     "ta_url_canonical" ->
-      """WITH u AS (
-        |  SELECT
-        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END) ||
-        |    (CASE WHEN doc_id % 5 = 0 THEN upper(source) ELSE source END) ||
-        |    '.Example.ORG' ||
-        |    (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END) ||
-        |    '/docs/' || (doc_id % 50) ||
-        |    '?b=2&utm_source=feed&a=' || lang ||
-        |    (CASE WHEN doc_id % 3 = 0 THEN '#section-2' ELSE '' END) AS url
-        |  FROM documents),
-        |c AS (
-        |  SELECT
-        |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
-        |    lower(regexp_extract(url, '://([^/:?#]+)', 1)) AS host,
-        |    regexp_extract(url, '^[A-Za-z]+://[^/:?#]+:(\d+)', 1) AS port,
-        |    regexp_extract(url, '://[^/?#]+([^?#]*)', 1) AS path,
-        |    regexp_extract(url, '\?([^#]*)', 1) AS query
-        |  FROM u),
-        |p AS (
-        |  SELECT scheme, host, port, path,
-        |    array_to_string(list_sort(list_filter(string_split(query, '&'),
-        |      x -> x <> '' AND NOT starts_with(x, 'utm_'))), '&') AS q
-        |  FROM c)
-        |SELECT scheme || '://' || host ||
-        |  (CASE WHEN port <> ''
-        |         AND NOT (scheme = 'https' AND port = '443')
-        |         AND NOT (scheme = 'http' AND port = '80')
-        |        THEN ':' || port ELSE '' END) ||
-        |  path ||
-        |  (CASE WHEN q <> '' THEN '?' || q ELSE '' END) AS url,
-        |  count(*) AS n_docs
-        |FROM p GROUP BY 1""".stripMargin
+      s"""WITH $urlCanonSql
+         |SELECT url, count(*) AS n_docs
+         |FROM canon GROUP BY 1""".stripMargin
   )
 }
