@@ -64,6 +64,39 @@ object MixQueries {
     // train side probes it map-side and never shuffles on band_key, and
     // only the (tiny) leaked id set rides a keyed join back onto the
     // corpus. PlanSpec pins the broadcast and no-cartesian shape.
+    // Length-curriculum phase assignment — the short→long sequencing a
+    // curriculum-ordered training run consumes. NOT ntile: an exact
+    // global ntile funnels the corpus through one ordered exchange;
+    // instead the ta_quality_trim census recipe derives the four exact
+    // 20/40/60/80% cut-points from the VALUE domain (bounded
+    // cardinality, integer comparisons only) and broadcasts them back
+    // as scan-side arithmetic — the corpus never shuffles, at any size.
+    // Phase boundaries are deterministic: ck = smallest value whose
+    // cumulative count reaches k/5 of the corpus; phase = 1 + #cuts
+    // strictly below n_chars.
+    "mix_curriculum" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val census = docs.groupBy("n_chars").agg(count(lit(1)).as("cnt"))
+      val cumW = Window.orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val totW = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val cuts = census
+        .withColumn("cum", sum("cnt").over(cumW))
+        .withColumn("total", sum("cnt").over(totW))
+        .agg(
+          min(when(col("cum") * 5 >= col("total"), col("n_chars"))).as("c1"),
+          min(when(col("cum") * 5 >= col("total") * 2, col("n_chars"))).as("c2"),
+          min(when(col("cum") * 5 >= col("total") * 3, col("n_chars"))).as("c3"),
+          min(when(col("cum") * 5 >= col("total") * 4, col("n_chars"))).as("c4"))
+      docs.crossJoin(broadcast(cuts))
+        .select(col("doc_id"), col("n_chars"),
+          (lit(1) + (col("n_chars") > col("c1")).cast("int")
+            + (col("n_chars") > col("c2")).cast("int")
+            + (col("n_chars") > col("c3")).cast("int")
+            + (col("n_chars") > col("c4")).cast("int")).as("phase"))
+    }),
+
     "samp_leakage_guard" -> ((s, d) => {
       import graft.functions.Hashes
       val bucket = Texts.md5Long(concat(lit("split#"), col("doc_id"))) % 100
@@ -283,6 +316,27 @@ object MixQueries {
         |  CASE WHEN bucket < 80 THEN 'train'
         |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
         |FROM b""".stripMargin,
+    "mix_curriculum" ->
+      """WITH c AS (
+        |  SELECT n_chars, count(*) AS cnt FROM documents GROUP BY 1),
+        |w AS (
+        |  SELECT n_chars, cnt,
+        |    sum(cnt) OVER (ORDER BY n_chars
+        |                   ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(cnt) OVER () AS total
+        |  FROM c),
+        |b AS (
+        |  SELECT
+        |    min(CASE WHEN cum * 5 >= total THEN n_chars END) AS c1,
+        |    min(CASE WHEN cum * 5 >= total * 2 THEN n_chars END) AS c2,
+        |    min(CASE WHEN cum * 5 >= total * 3 THEN n_chars END) AS c3,
+        |    min(CASE WHEN cum * 5 >= total * 4 THEN n_chars END) AS c4
+        |  FROM w)
+        |SELECT d.doc_id, d.n_chars,
+        |  CAST(1 + (d.n_chars > b.c1)::INT + (d.n_chars > b.c2)::INT
+        |         + (d.n_chars > b.c3)::INT + (d.n_chars > b.c4)::INT
+        |    AS INT) AS phase
+        |FROM documents d CROSS JOIN b""".stripMargin,
     "samp_leakage_guard" ->
       s"""WITH d AS (
          |  SELECT doc_id, text,

@@ -377,6 +377,34 @@ object RelationalQueries {
         GROUP BY c_mktsegment, o_orderpriority""")
     }),
 
+    // TPC-H Q3 (shipping priority, public benchmark spec) adapted to
+    // this schema — the joins-heavy SQL-surface companion to
+    // sql_revenue: 3-table join with selective predicates on BOTH fact
+    // sides, grouped revenue, top-10. Scale notes: the customer filter
+    // prunes before the join (pushdown-asserted family), revenue sums
+    // as DECIMAL so the parallel reduction is exact and associative
+    // (partition order can never reach the result), and the top-10
+    // fuses into TakeOrderedAndProject — no global sort materializes.
+    "sql_q3" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("v_orders")
+      Tables.customer(s, d).createOrReplaceTempView("v_customer")
+      Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+      s.sql("""
+        SELECT l_orderkey,
+               CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                 AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+               o_orderdate, o_orderpriority
+        FROM v_customer
+        JOIN v_orders ON c_custkey = o_custkey
+        JOIN v_lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+        LIMIT 10""")
+    }),
+
     // T4 explode (legislation_table_update.py:80) + word-frequency agg:
     // documents text → words → counts. The classic shuffle-heavy op; at
     // scale the map-side partial agg collapses per-partition duplicates
@@ -626,6 +654,20 @@ object RelationalQueries {
         |JOIN customer ON o_custkey = c_custkey
         |WHERE o_orderstatus <> 'F'
         |GROUP BY c_mktsegment, o_orderpriority""".stripMargin,
+    "sql_q3" ->
+      """SELECT l_orderkey,
+        |  CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+        |  o_orderdate, o_orderpriority
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+        |LIMIT 10""".stripMargin,
     "w_running_sum" ->
       """SELECT o_custkey, o_orderkey,
         |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2)))

@@ -67,7 +67,8 @@ class ContractSpec extends SparkSpec {
     val bnljAllowed = Set(
       "sim_ann_ivf", "sim_ann_pq", "sim_ann_pq_rerank", "sim_ann_recall",
       "sim_kmeans_step", "dd_semdedup", "sk_kmv_overlap",
-      "ta_quality_trim", "pipe_corpus_refinery", "samp_temperature",
+      "ta_quality_trim", "mix_curriculum", "pipe_corpus_refinery",
+      "samp_temperature",
       "ta_oov_rate", "ta_tfidf", "dq_audit", "mix_datacard_incr",
       "dd_decontaminate", "dd_bloom_decontaminate", "sim_ann_bruteforce",
       "sim_ann_bucketed", "sim_knn_graph",

@@ -308,6 +308,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("mix_curriculum: cut-points broadcast back as scan-side " +
+    "arithmetic — the corpus branch never sorts or shuffles globally") {
+    val p = planOf(MixQueries.queries("mix_curriculum")(spark, sf))
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("CartesianProduct"))
+    // the only window runs over the value-domain census, whose input is
+    // the (tiny) n_chars census aggregate, never the corpus
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"))
+  }
+
   test("g_triangle_count: every enumeration join is keyed on node ids") {
     val p = planOf(SimilarityQueries.queries("g_triangle_count")(spark, sf))
     assert(!p.contains("BroadcastNestedLoopJoin"))
