@@ -344,6 +344,58 @@ object SimilarityQueries {
         .agg(count(lit(1)).as("n_triangles"))
     }),
 
+    // Hard-negative mining for contrastive embedding training (public
+    // recipe: the most similar neighbor that is NOT a near-duplicate —
+    // close enough to be informative, far enough to be a true
+    // negative). Composes the knn graph with the semantic-dup exclusion
+    // set: bucket-mates at or above the dedup gate (0.4) are excluded
+    // by a keyed LEFT ANTI, then each anchor keeps its top surviving
+    // neighbor. Same sign-bucket equi-joins as the knn graph — nothing
+    // all-pairs — and the per-anchor top-1 is a rank window over ≤k
+    // rows each.
+    "samp_hard_negatives" -> ((s, d) => {
+      val knn = queries("sim_knn_graph")(s, d)
+      val e = emb(s, d).withColumn("bucket", Vectors.signBucket(col("v")))
+      val a = e.select(col("vec_id"), col("v").as("a_v"), col("bucket"))
+      val b = e.select(col("vec_id").as("nbr_id"), col("v").as("b_v"),
+        col("bucket"))
+      val dup = a.join(b, Seq("bucket"))
+        .filter(col("vec_id") =!= col("nbr_id"))
+        .filter(Vectors.cosineRounded(col("a_v"), col("b_v")) >= 0.4)
+        .select("vec_id", "nbr_id")
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("sim").desc, col("nbr_id").asc)
+      knn.join(dup, Seq("vec_id", "nbr_id"), "left_anti")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("nbr_id").as("hard_neg_id"), col("sim"))
+    }),
+
+    // Embedding-space drift monitor — the vector companion of dq_drift's
+    // token-distribution snapshot compare: per label, the cosine between
+    // the two snapshot halves' centroid vectors (≈1 stable, departures
+    // flag embedding-space shift from recrawls/model swaps). Per-dim
+    // means partial-aggregate map-side with the sim_kmeans_step
+    // round-6dp recipe (the shuffle carries labels×64 partial sums, no
+    // vector rides it); the final cosine runs over the label's two
+    // 64-value mean vectors assembled in position order.
+    "emb_centroid_drift" -> ((s, d) => {
+      val means = emb(s, d)
+        .select(col("label"), (col("vec_id") % 2 === 0).as("is_a"),
+          posexplode(col("v")).as(Seq("p", "x")))
+        .groupBy(col("label"), (col("p") + 1).as("pos"))
+        .agg(round(avg(when(col("is_a"), col("x"))), 6).as("ma"),
+          round(avg(when(!col("is_a"), col("x"))), 6).as("mb"))
+      means.groupBy("label")
+        .agg(array_sort(collect_list(
+          struct(col("pos"), col("ma"), col("mb")))).as("ms"))
+        .select(col("label"),
+          transform(col("ms"), m => m("ma")).as("va"),
+          transform(col("ms"), m => m("mb")).as("vb"))
+        .select(col("label"),
+          Vectors.cosineRounded(col("va"), col("vb")).as("drift_cos"))
+    }),
+
     // One power-iteration step for the corpus' top principal direction
     // (uncentered PCA / top singular vector — the embedding-analytics
     // primitive under whitening, drift detection, and spectral dedup;
@@ -593,6 +645,38 @@ object SimilarityQueries {
         |        ORDER BY sim DESC, n_id ASC) AS rk FROM s)
         |SELECT bucket, q_id, n_id, sim, rk FROM r WHERE rk <= 3""".stripMargin,
     "sim_knn_graph" -> knnGraphSql,
+    "samp_hard_negatives" ->
+      s"""WITH knn AS ($knnGraphSql),
+        |e2 AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    list_sum(list_transform(generate_series(0, ${Vectors.SignBucketBits - 1}), i ->
+        |      CASE WHEN v[i+1] > 0 THEN (1::BIGINT << i) ELSE 0 END))::BIGINT AS bucket
+        |  FROM embeddings),
+        |dp AS (
+        |  SELECT a.vec_id, b.vec_id AS nbr_id
+        |  FROM e2 a JOIN e2 b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+        |  WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.4),
+        |f AS (
+        |  SELECT k.* FROM knn k
+        |  LEFT JOIN dp ON dp.vec_id = k.vec_id AND dp.nbr_id = k.nbr_id
+        |  WHERE dp.vec_id IS NULL),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY sim DESC, nbr_id ASC) AS rn FROM f)
+        |SELECT vec_id, nbr_id AS hard_neg_id, sim FROM r WHERE rn = 1""".stripMargin,
+    "emb_centroid_drift" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+        |           FROM embeddings),
+        |u AS (SELECT label, vec_id % 2 = 0 AS is_a, CAST(i AS INT) AS pos,
+        |        v[CAST(i AS INT)] AS x
+        |      FROM e, generate_series(1, 64) g(i)),
+        |m AS (SELECT label, pos,
+        |        round(avg(CASE WHEN is_a THEN x END), 6) AS ma,
+        |        round(avg(CASE WHEN NOT is_a THEN x END), 6) AS mb
+        |      FROM u GROUP BY 1, 2)
+        |SELECT label,
+        |  round(list_cosine_similarity(list(ma ORDER BY pos),
+        |    list(mb ORDER BY pos)), 4) AS drift_cos
+        |FROM m GROUP BY label""".stripMargin,
     // triangles over the knn oracle's edge set; a<b<c holds by
     // construction of the canonical edges, so each triangle enumerates
     // exactly once

@@ -319,6 +319,14 @@ class PlanSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"))
   }
 
+  test("samp_hard_negatives: dup exclusion and knn both stay keyed " +
+    "bucket equi-joins — nothing all-pairs") {
+    val p = planOf(
+      SimilarityQueries.queries("samp_hard_negatives")(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("g_triangle_count: every enumeration join is keyed on node ids") {
     val p = planOf(SimilarityQueries.queries("g_triangle_count")(spark, sf))
     assert(!p.contains("BroadcastNestedLoopJoin"))
