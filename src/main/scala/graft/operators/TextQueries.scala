@@ -521,6 +521,28 @@ object TextQueries {
             (a, x) => a + x("logp")) / col("n_tri"), 4).as("avg_ll"))
     }),
 
+    // Text analysis: one BPE TRAINING step (Sennrich et al. 2016,
+    // public method) — the top candidate merges by corpus frequency,
+    // which is the argmax decision a tokenizer trainer loops on. The
+    // scale trick is the same one real trainers use: reduce the corpus
+    // to its word VOCABULARY first (one keyed agg, map-side partials),
+    // then count adjacent char pairs over the vocab WEIGHTED by word
+    // frequency — the pair pass runs over vocab-sized input however
+    // big the corpus is, and the top-10 fuses into TakeOrdered. Exact
+    // integers end to end.
+    "ta_bpe_merge_step" -> ((s, d) => {
+      val vocab = Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+      vocab.filter(length(col("w")) >= 2)
+        .select(col("freq"),
+          explode(transform(sequence(lit(1), length(col("w")) - 1),
+            i => col("w").substr(i, lit(2)))).as("pair"))
+        .groupBy("pair").agg(sum("freq").as("n"))
+        .orderBy(col("n").desc, col("pair").asc)
+        .limit(10)
+    }),
+
     // Text analysis: per-doc character entropy (Shannon, nats) — the
     // garbage/binary/mojibake detector quality stacks run beside LM
     // scoring: natural text sits in a narrow entropy band, byte noise
@@ -939,6 +961,20 @@ object TextQueries {
         |  round(list_reduce(list(logp ORDER BY i), (x, y) -> x + y)
         |        / count(*), 4) AS avg_ll
         |FROM lp GROUP BY doc_id""".stripMargin,
+    "ta_bpe_merge_step" ->
+      """WITH v AS (
+        |  SELECT w, count(*) AS freq FROM (
+        |    SELECT unnest(list_filter(string_split(text, ' '),
+        |      x -> x <> '')) AS w
+        |    FROM documents) t
+        |  GROUP BY w),
+        |p AS (
+        |  SELECT substr(w, CAST(i AS INT), 2) AS pair, freq
+        |  FROM v, unnest(generate_series(1, length(w) - 1)) AS g(i)
+        |  WHERE length(w) >= 2)
+        |SELECT pair, sum(freq)::BIGINT AS n
+        |FROM p GROUP BY pair
+        |ORDER BY n DESC, pair ASC LIMIT 10""".stripMargin,
     // list_sort(list_distinct(...)) fixes the fold order (binary sort,
     // matching Spark's UTF8 array_sort); c·ln(c) addends are exact-count
     // derived, never -0.0, so the seedless list_reduce ≡ the seeded fold.
