@@ -478,47 +478,47 @@ object TextQueries {
     // model with add-one smoothing over the corpus alphabet — low
     // scores flag atypical text (boilerplate, mojibake, wrong-language
     // residue). Scale shape: the model is alphabet³-BOUNDED (counts, not
-    // text), so it broadcasts and the corpus never shuffles for the
-    // model join; the only corpus-keyed exchange is the per-doc
-    // reassembly on doc_id carrying (pos, logp) pairs. The per-doc sum
-    // is a fixed-order (position-sorted) IEEE fold — the accumulated-
-    // double recipe every float-shipping query here follows — and only
-    // the final mean is rounded (4 dp, the ix_bm25 precedent for
-    // ln-derived scores). At 100 TB the model pass would persist its
-    // tiny output instead of recomputing the scan; semantics unchanged.
+    // text), so it collapses to a 1-ROW BROADCAST MAP and each doc
+    // folds its own positions against it in order AT THE SCAN — the
+    // scoring pass has no corpus-keyed exchange at all. (An earlier
+    // shape joined per-occurrence and regrouped on doc_id: that
+    // shuffled corpus-sized (pos, logp) structs for no reason — the
+    // model is the only cross-doc state, and it is tiny. 4.6s → see
+    // bench.) The per-doc sum stays a fixed-order (position-ascending)
+    // IEEE fold — the accumulated-double recipe every float-shipping
+    // query here follows — and only the final mean is rounded (4 dp,
+    // the ix_bm25 precedent for ln-derived scores). At 100 TB the
+    // model pass would persist its tiny output instead of recomputing
+    // the scan; semantics unchanged.
     "ta_lm_score" -> ((s, d) => {
-      val occ = Tables.documents(s, d)
+      val lt = Tables.documents(s, d)
         .select(col("doc_id"), lower(col("text")).as("t"))
         .filter(length(col("t")) >= 3)
-        .select(col("doc_id"), col("t"),
+      val occ = lt
+        .select(col("t"),
           explode(sequence(lit(1), length(col("t")) - 2)).as("i"))
-        .select(col("doc_id"), col("i"),
-          col("t").substr(col("i"), lit(3)).as("tri"))
+        .select(col("t").substr(col("i"), lit(3)).as("tri"))
       // c2 (bigram-prefix totals) and alpha (alphabet size) derive from
       // the ALREADY-AGGREGATED model via windows, so the model subtree —
-      // and with it the corpus scan — is referenced exactly once (a
-      // groupBy per derived stat would recompute the corpus explode per
-      // reference: 4 scans instead of 2). The unpartitioned window is
-      // safe here and only here: its input is the alphabet³-bounded
-      // model, never corpus-sized.
+      // and with it the corpus scan — is referenced exactly once. The
+      // unpartitioned window is safe here and only here: its input is
+      // the alphabet³-bounded model, never corpus-sized.
       import org.apache.spark.sql.expressions.Window
       val model = occ.groupBy("tri").agg(count(lit(1)).as("c3"))
-      val scored = model
+      val modelMap = model
         .withColumn("c2", sum("c3")
           .over(Window.partitionBy(substring(col("tri"), 1, 2))))
         .withColumn("alpha", size(collect_set(substring(col("tri"), 3, 1))
           .over(Window.partitionBy())))
-        .select(col("tri"),
-          log((col("c3") + lit(1.0)) / (col("c2") + col("alpha")))
-            .as("logp"))
-      occ.join(broadcast(scored), "tri")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tri"),
-          array_sort(collect_list(struct(col("i"), col("logp"))))
-            .as("lps"))
-        .select(col("doc_id"), col("n_tri"),
-          round(aggregate(col("lps"), lit(0.0),
-            (a, x) => a + x("logp")) / col("n_tri"), 4).as("avg_ll"))
+        .agg(map_from_arrays(collect_list(col("tri")),
+          collect_list(log((col("c3") + lit(1.0)) /
+            (col("c2") + col("alpha"))))).as("m"))
+      val nTri = length(col("t")) - 2
+      lt.crossJoin(broadcast(modelMap)) // 1-row model map (allowlisted)
+        .select(col("doc_id"), nTri.cast("long").as("n_tri"),
+          round(aggregate(sequence(lit(1), nTri), lit(0.0),
+            (a, i) => a + element_at(col("m"),
+              col("t").substr(i, lit(3)))) / nTri, 4).as("avg_ll"))
     }),
 
     // Text analysis: one BPE TRAINING step (Sennrich et al. 2016,

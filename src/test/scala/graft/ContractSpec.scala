@@ -74,6 +74,8 @@ class ContractSpec extends SparkSpec {
       "sim_ann_bucketed", "sim_knn_graph",
       // 1-row (n_docs, sum_dl) census crossed onto the term stats
       "ix_bm25",
+      // 1-row broadcast trigram-model MAP crossed onto the corpus scan
+      "ta_lm_score",
       // substring-containment rules join: theta predicate by nature,
       // against a broadcast ≤dozen-phrase rule table
       "m5_doc_type")

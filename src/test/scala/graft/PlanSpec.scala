@@ -272,13 +272,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
-  test("ta_lm_score: the trigram model broadcasts — the corpus-side " +
-    "occurrence stream never shuffles for the model join") {
+  test("ta_lm_score: the model collapses to a 1-row broadcast map — " +
+    "the scoring pass folds in-row, no corpus-keyed shuffle anywhere") {
     val p = planOf(TextQueries.queries("ta_lm_score")(spark, sf))
-    assert(p.contains("BroadcastHashJoin"),
-      "the alphabet³-bounded model must broadcast onto the occurrences")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the 1-row model map must broadcast onto the corpus scan")
     assert(!p.contains("SortMergeJoin"),
-      "no corpus-sized shuffle may feed the model join")
+      "no corpus-sized shuffle may appear anywhere in the plan")
     assert(!p.contains("CartesianProduct"))
     val scans = p.linesIterator.count(_.contains("Scan parquet"))
     assert(scans <= 2,
