@@ -405,6 +405,37 @@ object RelationalQueries {
         LIMIT 10""")
     }),
 
+    // TPC-H Q5 (local supplier volume, public benchmark spec) — the
+    // 6-way join showcase: two big facts and four dims. The plan shape
+    // that matters at 100 TB: region/nation/supplier/customer are
+    // DIM-sized, so Catalyst broadcasts the whole reduced dim chain and
+    // the only exchanges are the fact-fact join and the final tiny
+    // group-by; the date filter prunes orders at the scan. DECIMAL
+    // revenue as in sql_revenue/sql_q3.
+    "sql_q5" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("v_orders")
+      Tables.customer(s, d).createOrReplaceTempView("v_customer")
+      Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+      Tables.supplier(s, d).createOrReplaceTempView("v_supplier")
+      Tables.nation(s, d).createOrReplaceTempView("v_nation")
+      Tables.region(s, d).createOrReplaceTempView("v_region")
+      s.sql("""
+        SELECT n_name,
+               CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                 AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+        FROM v_customer
+        JOIN v_orders ON c_custkey = o_custkey
+        JOIN v_lineitem ON l_orderkey = o_orderkey
+        JOIN v_supplier ON l_suppkey = s_suppkey
+                        AND c_nationkey = s_nationkey
+        JOIN v_nation ON s_nationkey = n_nationkey
+        JOIN v_region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n_name""")
+    }),
+
     // T4 explode (legislation_table_update.py:80) + word-frequency agg:
     // documents text → words → counts. The classic shuffle-heavy op; at
     // scale the map-side partial agg collapses per-partition duplicates
@@ -654,6 +685,20 @@ object RelationalQueries {
         |JOIN customer ON o_custkey = c_custkey
         |WHERE o_orderstatus <> 'F'
         |GROUP BY c_mktsegment, o_orderpriority""".stripMargin,
+    "sql_q5" ->
+      """SELECT n_name,
+        |  CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name""".stripMargin,
     "sql_q3" ->
       """SELECT l_orderkey,
         |  CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount)

@@ -308,6 +308,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("sql_q5: the reduced dim chain broadcasts — no cartesian, no " +
+    "nested loop in the 6-way join") {
+    val p = planOf(RelationalQueries.queries("sql_q5")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("mix_curriculum: cut-points broadcast back as scan-side " +
     "arithmetic — the corpus branch never sorts or shuffles globally") {
     val p = planOf(MixQueries.queries("mix_curriculum")(spark, sf))
