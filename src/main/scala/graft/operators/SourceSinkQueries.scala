@@ -54,6 +54,25 @@ object SourceSinkQueries {
         .select("event_id", "user_id", "event_type", "value")
     }),
 
+    // S15: plain text-lines sink + source round-trip — the lowest common
+    // denominator every scraper/annotation hand-off still speaks (one
+    // record per line, id TAB payload). Write and read are both narrow
+    // single-pass; the parse back out of the line is row-local string
+    // arithmetic. Rounds out the format matrix: csv (s11), jsonl (s12),
+    // orc (s13), parquet+mergeSchema (s14), text (here).
+    "s15_text_lines" -> ((s, d) => {
+      val out = tmpDir(s"text-${d.replace('/', '_')}")
+      Tables.documents(s, d)
+        .select(concat(col("doc_id").cast("string"), lit("\t"), col("text"))
+          .as("value"))
+        .write.mode("overwrite").text(out)
+      val tab = instr(col("value"), "\t")
+      s.read.text(out)
+        .select(substring_index(col("value"), "\t", 1).cast("long")
+          .as("doc_id"),
+          col("value").substr(tab + 1, length(col("value"))).as("text"))
+    }),
+
     // S13/K-ORC: columnar ORC write partitioned by lang, read back with a
     // partition-pruning filter — the read must touch only the lang=en
     // directory (PartitionFilters in the scan), the same layout contract
@@ -406,6 +425,8 @@ object SourceSinkQueries {
         |FROM events""".stripMargin,
     "s13_orc_partitioned" ->
       "SELECT doc_id, n_chars FROM documents WHERE lang = 'en'",
+    "s15_text_lines" ->
+      "SELECT doc_id, text FROM documents",
     "k2_partitioned_write" ->
       """SELECT lang, count(*) AS n, sum(n_chars)::BIGINT AS chars
         |FROM documents
