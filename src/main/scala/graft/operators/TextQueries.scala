@@ -521,6 +521,30 @@ object TextQueries {
               col("t").substr(i, lit(3)))) / nTri, 4).as("avg_ll"))
     }),
 
+    // Text analysis: sliding-window document segmentation — the
+    // context-window chunking step a pretraining/SFT pipeline runs on
+    // long documents (window 64 tokens, stride 48 ⇒ 16-token overlap so
+    // no boundary context is lost; the trailing short chunk is emitted,
+    // drop-last is the consumer's call). One row-local explode: chunk
+    // count and content derive from the doc's own token array, so the
+    // stage is scan-linear with zero shuffle at any corpus size.
+    "ta_chunk_stride" -> ((s, d) => {
+      val toks = tokens(col("text"))
+      val n = size(toks)
+      Tables.documents(s, d)
+        .filter(n >= 1)
+        .select(col("doc_id"), toks.as("tk"), n.as("n"))
+        .select(col("doc_id"), col("tk"),
+          explode(filter(
+            sequence(lit(0), ((col("n") - 1) / 48).cast("int")),
+            i => i * 48 < col("n"))).as("i"))
+        .select(col("doc_id"), col("i").as("chunk_idx"),
+          size(slice(col("tk"), col("i") * 48 + 1, lit(64)))
+            .as("n_tokens"),
+          array_join(slice(col("tk"), col("i") * 48 + 1, lit(64)), " ")
+            .as("chunk_text"))
+    }),
+
     // Text analysis: one BPE TRAINING step (Sennrich et al. 2016,
     // public method) — the top candidate merges by corpus frequency,
     // which is the argmax decision a tokenizer trainer loops on. The
@@ -961,6 +985,17 @@ object TextQueries {
         |  round(list_reduce(list(logp ORDER BY i), (x, y) -> x + y)
         |        / count(*), 4) AS avg_ll
         |FROM lp GROUP BY doc_id""".stripMargin,
+    "ta_chunk_stride" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |  FROM documents),
+        |s AS (SELECT doc_id, tk, len(tk) AS n FROM t WHERE len(tk) >= 1)
+        |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+        |  CAST(len(tk[(i*48+1):(i*48+64)]) AS INT) AS n_tokens,
+        |  array_to_string(tk[(i*48+1):(i*48+64)], ' ') AS chunk_text
+        |FROM s, unnest(generate_series(0, (n - 1) // 48)) AS g(i)
+        |WHERE i * 48 < n""".stripMargin,
     "ta_bpe_merge_step" ->
       """WITH v AS (
         |  SELECT w, count(*) AS freq FROM (
