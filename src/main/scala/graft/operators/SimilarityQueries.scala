@@ -396,6 +396,32 @@ object SimilarityQueries {
           Vectors.cosineRounded(col("va"), col("vb")).as("drift_cos"))
     }),
 
+    // Embedding outlier scoring — distance to the own-label centroid,
+    // the filter that drops mislabeled/garbage vectors before they
+    // poison contrastive training or ANN indexes. Two passes: the
+    // label-centroid table (labels×64 rows of 6dp-rounded means — the
+    // sim_kmeans_step recipe — reassembled into per-label vectors) is
+    // LABEL-COUNT-sized → broadcast; each vector then computes its
+    // squared distance as a row-local fixed-order fold, shipped RAW
+    // (every addend is (x − m)² of a raw datum and a rounded mean —
+    // bit-identical across engines, the pqRanked recipe). One keyed
+    // exchange for the centroid agg, zero for the scoring scan.
+    "emb_outlier_score" -> ((s, d) => {
+      val cents = emb(s, d)
+        .select(col("label"), posexplode(col("v")).as(Seq("p", "x")))
+        .groupBy(col("label"), (col("p") + 1).as("pos"))
+        .agg(round(avg("x"), 6).as("m"))
+        .groupBy("label")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+          .as("ms"))
+        .select(col("label"), transform(col("ms"), e => e("m")).as("mv"))
+      val d2 = aggregate(
+        zip_with(col("v"), col("mv"), (x, m) => (x - m) * (x - m)),
+        lit(0.0), (acc, t) => acc + t)
+      emb(s, d).join(broadcast(cents), Seq("label"))
+        .select(col("vec_id"), col("label"), d2.as("d2"))
+    }),
+
     // One power-iteration step for the corpus' top principal direction
     // (uncentered PCA / top singular vector — the embedding-analytics
     // primitive under whitening, drift detection, and spectral dedup;
@@ -663,6 +689,22 @@ object SimilarityQueries {
         |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
         |        ORDER BY sim DESC, nbr_id ASC) AS rn FROM f)
         |SELECT vec_id, nbr_id AS hard_neg_id, sim FROM r WHERE rn = 1""".stripMargin,
+    // centroid means rounded 6dp (corpus-order accumulation), the
+    // per-vector fold raw fixed-order — same split as the engine.
+    "emb_outlier_score" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+        |           FROM embeddings),
+        |u AS (SELECT label, CAST(i AS INT) AS pos, v[CAST(i AS INT)] AS x
+        |      FROM e, generate_series(1, 64) g(i)),
+        |m AS (SELECT label, pos, round(avg(x), 6) AS m
+        |      FROM u GROUP BY 1, 2),
+        |c AS (SELECT label, list(m ORDER BY pos) AS mv FROM m
+        |      GROUP BY label)
+        |SELECT e.vec_id, e.label,
+        |  list_reduce(list_transform(generate_series(1, 64),
+        |    i -> (e.v[i] - c.mv[i]) * (e.v[i] - c.mv[i])),
+        |    (a, b) -> a + b) AS d2
+        |FROM e JOIN c USING (label)""".stripMargin,
     "emb_centroid_drift" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
         |           FROM embeddings),
