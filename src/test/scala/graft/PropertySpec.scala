@@ -101,4 +101,54 @@ class PropertySpec extends SparkSpec {
     assert(checked.filter(abs($"self" - 1.0) > 1e-12).count() == 0,
       "self-similarity")
   }
+
+  test("dd_span_scrub self-consistency: n_removed equals the token-count " +
+    "delta between original and scrubbed text, for every doc") {
+    val scrubbed = operators.CorpusQueries.queries("dd_span_scrub")(spark, sf)
+    val orig = Tables.documents(spark, sf)
+      .select($"doc_id", size(Texts.tokens($"text")).as("n_orig"))
+    val bad = scrubbed.join(orig, "doc_id")
+      .filter($"n_removed" =!=
+        $"n_orig" - size(Texts.tokens($"text_clean")))
+    assert(bad.count() == 0, bad.limit(3).collect().mkString(" | "))
+  }
+
+  test("ix_phrase_query soundness: every reported doc really has the " +
+    "phrase adjacent at first_pos, and n_matches >= 1") {
+    val hits = operators.OrpQueries.queries("ix_phrase_query")(spark, sf)
+    val toks = Tables.documents(spark, sf)
+      .select($"doc_id", Texts.tokens($"text").as("tk"))
+    val bad = hits.join(toks, "doc_id")
+      .filter($"n_matches" < 1 ||
+        element_at($"tk", $"first_pos") =!= "table" ||
+        element_at($"tk", $"first_pos" + 1) =!= "hash")
+    assert(bad.count() == 0, bad.limit(3).collect().mkString(" | "))
+  }
+
+  test("samp_leakage_guard partition sanity: one split per doc, split " +
+    "domain is exactly {train, val, eval, quarantined}") {
+    val splits = operators.MixQueries.queries("samp_leakage_guard")(spark, sf)
+    val n = Tables.documents(spark, sf).count()
+    assert(splits.count() == n)
+    assert(splits.select("doc_id").distinct().count() == n)
+    val domain = splits.select("split").distinct()
+      .as[String].collect().toSet
+    assert(domain.subsetOf(Set("train", "val", "eval", "quarantined")))
+  }
+
+  test("mix_curriculum monotonicity: phase boundaries partition the " +
+    "n_chars axis — max of each phase <= min of the next") {
+    val ph = operators.MixQueries.queries("mix_curriculum")(spark, sf)
+      .groupBy("phase")
+      .agg(min("n_chars").as("lo"), max("n_chars").as("hi"))
+      .orderBy("phase").collect()
+    assert(ph.forall(r => r.getInt(0) >= 1 && r.getInt(0) <= 5))
+    ph.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("hi") <= b.getAs[Long]("lo"),
+          s"phase ${a.getInt(0)} max ${a.getAs[Long]("hi")} > " +
+            s"phase ${b.getInt(0)} min ${b.getAs[Long]("lo")}")
+      case _ =>
+    }
+  }
 }
