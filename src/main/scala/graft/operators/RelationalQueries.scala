@@ -405,6 +405,27 @@ object RelationalQueries {
         LIMIT 10""")
     }),
 
+    // TPC-H Q6 (forecasting revenue change, public benchmark spec) —
+    // the scan-dominated query: no join at all, three selective
+    // predicates and one DECIMAL-exact sum. What must be true of the
+    // plan at 100 TB: every predicate reaches the parquet scan
+    // (PushedFilters — PlanSpec asserts the shipdate bound is pushed),
+    // the aggregation is a map-side partial into a 1-row result, and
+    // nothing else exists. The pure-pushdown benchmark companion to
+    // s10_pushdown_scan.
+    "sql_q6" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+      s.sql("""
+        SELECT CAST(round(sum(CAST(l_extendedprice * l_discount
+                 AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+               count(*) AS n_rows
+        FROM v_lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24""")
+    }),
+
     // TPC-H Q5 (local supplier volume, public benchmark spec) — the
     // 6-way join showcase: two big facts and four dims. The plan shape
     // that matters at 100 TB: region/nation/supplier/customer are
@@ -685,6 +706,16 @@ object RelationalQueries {
         |JOIN customer ON o_custkey = c_custkey
         |WHERE o_orderstatus <> 'F'
         |GROUP BY c_mktsegment, o_orderpriority""".stripMargin,
+    "sql_q6" ->
+      """SELECT
+        |  CAST(round(sum(CAST(l_extendedprice * l_discount
+        |    AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
     "sql_q5" ->
       """SELECT n_name,
         |  CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount)

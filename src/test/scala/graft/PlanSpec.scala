@@ -308,6 +308,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("sql_q6: every predicate reaches the parquet scan and the sum " +
+    "partial-aggregates map-side — the plan is scan + agg, nothing else") {
+    val p = planOf(RelationalQueries.queries("sql_q6")(spark, sf))
+    assert(p.contains("PushedFilters"), "predicates must push to parquet")
+    assert(p.contains("partial"), "the 1-row sum must map-side combine")
+    assert(!p.contains("Join"))
+  }
+
   test("sql_q5: the reduced dim chain broadcasts — no cartesian, no " +
     "nested loop in the 6-way join") {
     val p = planOf(RelationalQueries.queries("sql_q5")(spark, sf))
