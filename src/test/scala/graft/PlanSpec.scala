@@ -308,6 +308,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("runtime bloom-filter join pruning: a selective build side " +
+    "injects a might_contain prefilter into the probe-side scan") {
+    // the InjectRuntimeFilter rewrite — on a real cluster this is what
+    // keeps a selective fact-fact join from scanning the full probe
+    // side; thresholds are sized for TB-scale inputs, so the test
+    // lowers them to demonstrate the rewrite fires on our plan shape
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val orders = graft.Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val li = graft.Tables.lineitem(spark, sf)
+      val p = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain"),
+        s"expected a runtime bloom filter on the probe side:\n$p")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("sql_q6: every predicate reaches the parquet scan and the sum " +
     "partial-aggregates map-side — the plan is scan + agg, nothing else") {
     val p = planOf(RelationalQueries.queries("sql_q6")(spark, sf))
