@@ -241,11 +241,17 @@ object Multimodal {
         when(px(r * 9 + c) < px(r * 9 + c + 1), lit(1L << j))
           .otherwise(lit(0L))
       }.reduce(_ + _)
+      // persisted: the frame feeds THREE join branches (candidates +
+      // both sides of the Hamming verify) — without this the codec
+      // resize pass recomputes per reference, exactly the cost the
+      // signature-table posture exists to avoid (slim rows: doc_id +
+      // two ints per band)
       val hashed = rs.select(col("doc_id"),
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band_id"), band(b).as("band_val"))): _*))
           .as("e"))
         .select(col("doc_id"), col("e.band_id"), col("e.band_val"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cand = hashed.select(col("doc_id").as("a_id"),
           col("band_id"), col("band_val"))
         .join(hashed.select(col("doc_id").as("b_id"),
