@@ -103,11 +103,16 @@ object MixQueries {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("text"), bucket.as("bucket"))
       val sigs = MinHashPipeline.signatures(docs, "doc_id", col("text"))
+      // persisted: both the eval-key build and the train-side probe read
+      // this frame — without it the MinHash signature pipeline (the
+      // expensive pass) runs twice. Slim rows: id + bucket + two band
+      // ints, the signature itself never persists.
       val banded = docs.join(sigs, "doc_id")
         .select(col("doc_id"), col("bucket"),
           explode(Hashes.bands(col("sig"), 4, 4)).as("band"))
         .select(col("doc_id"), col("bucket"),
           col("band.band_id"), col("band.band_key"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val evalKeys = banded.filter(col("bucket") >= 90)
         .select("band_id", "band_key").distinct()
       val leaked = banded.filter(col("bucket") < 90)

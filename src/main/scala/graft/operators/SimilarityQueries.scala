@@ -330,10 +330,14 @@ object SimilarityQueries {
     // O(m^1.5) distributed triangle count; the per-node rollup is one
     // keyed agg over 3 rows per triangle. Integer-only output.
     "g_triangle_count" -> ((s, d) => {
+      // persisted: the edge set feeds all three enumeration branches —
+      // without it the knn bucket-join + cosine pass recomputes per
+      // reference. Slim (a, b) pairs only.
       val und = queries("sim_knn_graph")(s, d)
         .select(least(col("vec_id"), col("nbr_id")).as("a"),
           greatest(col("vec_id"), col("nbr_id")).as("b"))
         .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val tris = und
         .join(und.select(col("a").as("b"), col("b").as("c")), Seq("b"))
         .join(und.select(col("a"), col("b").as("c")), Seq("a", "c"))
