@@ -179,9 +179,11 @@ object DedupQueries {
     // and the exact verify join — now over ~0.1% of the stream — makes
     // Bloom false positives semantically invisible, which is what keeps
     // this oracle-checkable (output ≡ exact decontamination).
-    // The probe is a Scala UDF by necessity: a sketch membership test has
-    // no Column-expression form; it is a read-only bit probe, cheap and
-    // branch-predictable, and it FOLLOWS the codegen'd explode/distinct.
+    // The probe is the NATIVE bloom_might_contain expression (codegen'd
+    // bit test on the UTF8 bytes, bit-identical to the builder's
+    // putString hashing) — it stays inside the whole-stage-codegen span
+    // with the explode/distinct it follows, where the former Scala UDF
+    // forced a codegen boundary and boxed every gram.
     "dd_bloom_decontaminate" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       def grams(df: DataFrame) = df
@@ -192,10 +194,13 @@ object DedupQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // 1e6 expected items ≫ any eval set; 1% fpp → ~1.2 MB of bits
       val bf = benchGrams.stat.bloomFilter("gram", 1000000L, 0.01)
-      val bfB = s.sparkContext.broadcast(bf)
-      val mightContain = udf((g: String) => bfB.value.mightContainString(g))
+      val bits = {
+        val baos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(baos)
+        baos.toByteArray
+      }
       grams(docs.filter(col("doc_id") >= 20))
-        .filter(mightContain(col("gram")))
+        .filter(graft.plans.Native.bloom_might_contain(col("gram"), bits))
         .join(benchGrams, Seq("gram")) // exact verify; AQE broadcasts it
         .groupBy("doc_id")
         .agg(count("*").as("n_shared"))

@@ -315,6 +315,35 @@ case class SigMin(child: Expression,
 }
 
 /** Column-level entry points + SQL registration. */
+/** bloom_might_contain(text) → boolean — the sketch membership probe as
+  * a NATIVE expression instead of a Scala UDF, so the Bloom prefilter
+  * stays inside the whole-stage-codegen span with the explode/distinct
+  * it follows (a UDF forces a codegen boundary and boxes every row).
+  * The filter's serialized bits travel with the expression (plans ship
+  * to executors once), and deserialization is once per task via the
+  * transient lazy. Probing `mightContainBinary` on the UTF8 bytes is
+  * bit-identical to the builder's `putString` (both hash the UTF-8
+  * encoding), so no String materializes per row. */
+case class BloomMightContain(child: Expression, bits: Array[Byte])
+    extends UnaryExpression {
+  import org.apache.spark.util.sketch.BloomFilter
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain"
+  @transient private lazy val filter: BloomFilter =
+    BloomFilter.readFrom(new java.io.ByteArrayInputStream(bits))
+  override def nullSafeEval(t: Any): Any =
+    filter.mightContainBinary(t.asInstanceOf[UTF8String].getBytes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomProbe", this,
+      classOf[BloomMightContain].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.probe($c)")
+  }
+  /** codegen entry point — keeps the generated code a single call. */
+  def probe(t: UTF8String): Boolean = filter.mightContainBinary(t.getBytes)
+  override protected def withNewChildInternal(
+      newChild: Expression): BloomMightContain = copy(child = newChild)
+}
+
 object Native {
   import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
   def cosine_sim(a: Column, b: Column): Column =
@@ -329,6 +358,8 @@ object Native {
   def sig_min_agg(c: Column): Column =
     column(SigMin(expression(c)).toAggregateExpression())
   def nfc_normalize(c: Column): Column = column(NfcNormalize(expression(c)))
+  def bloom_might_contain(c: Column, bits: Array[Byte]): Column =
+    column(BloomMightContain(expression(c), bits))
 
   /** Register for SQL use in an existing session
     * (`SELECT cosine_sim(a, b) …`); [[GraftExtensions]] is the

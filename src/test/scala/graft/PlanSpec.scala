@@ -480,9 +480,14 @@ class PlanSpec extends SparkSpec {
     "(row-identical to exact decontamination)") {
     val exact = DedupQueries.queries("dd_decontaminate")(spark, sf)
       .orderBy("doc_id").collect().toSeq
-    val bloom = DedupQueries.queries("dd_bloom_decontaminate")(spark, sf)
-      .orderBy("doc_id").collect().toSeq
+    val bloomDf = DedupQueries.queries("dd_bloom_decontaminate")(spark, sf)
+    val bloom = bloomDf.orderBy("doc_id").collect().toSeq
     assert(bloom == exact)
+    // the probe is the NATIVE bloom_might_contain expression — no Scala
+    // UDF boundary interrupts the scan-side codegen span
+    val p = planOf(bloomDf)
+    assert(p.contains("bloom_might_contain"))
+    assert(!p.toLowerCase.contains("scalaudf") && !p.contains("UDF("))
   }
 
   test("w7_rolling_range: the RANGE window is keyed on o_custkey — one " +
