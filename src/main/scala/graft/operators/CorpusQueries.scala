@@ -294,6 +294,28 @@ object CorpusQueries {
     // metrics come from ONE conditional-aggregation pass over each fact
     // table (no per-check rescans); duplicate detection is a keyed count;
     // FK verification a broadcast anti-join against the dim keys.
+    // Column profiling — the dataset-card statistics pass (null and
+    // distinct cardinality per column, the Deequ/profiler shape): ONE
+    // aggregation over the corpus computing every column's stats
+    // together, then an in-row explode to the (column, stats) report.
+    // The multi-column distinct counts plan through Catalyst's Expand
+    // (k× row multiplication BEFORE map-side partial aggregation — the
+    // standard one-pass profile trade; for very wide tables you shard
+    // the column list across jobs, the shape per shard is unchanged).
+    "dq_profile" -> ((s, d) => {
+      val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+      val aggs = cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_distinct")))
+      Tables.documents(s, d)
+        .agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(cols.map(c =>
+          struct(lit(c).as("column"), col(s"${c}_nulls").as("n_null"),
+            col(s"${c}_distinct").as("n_distinct"))): _*)).as("e"))
+        .select(col("e.column").as("column"), col("e.n_null").as("n_null"),
+          col("e.n_distinct").as("n_distinct"))
+    }),
+
     "dq_audit" -> ((s, d) => {
       val o = Tables.orders(s, d)
       val docs = Tables.documents(s, d)
@@ -605,6 +627,22 @@ object CorpusQueries {
         |SELECT d.doc_id, d.lang, d.n_chars
         |FROM documents d CROSS JOIN b
         |WHERE d.n_chars BETWEEN b.lo AND b.hi""".stripMargin,
+    "dq_profile" ->
+      """SELECT 'doc_id' AS "column",
+        |  sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+        |  count(DISTINCT doc_id)::BIGINT AS n_distinct FROM documents
+        |UNION ALL SELECT 'text',
+        |  sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |  count(DISTINCT text)::BIGINT FROM documents
+        |UNION ALL SELECT 'lang',
+        |  sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |  count(DISTINCT lang)::BIGINT FROM documents
+        |UNION ALL SELECT 'source',
+        |  sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |  count(DISTINCT source)::BIGINT FROM documents
+        |UNION ALL SELECT 'n_chars',
+        |  sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |  count(DISTINCT n_chars)::BIGINT FROM documents""".stripMargin,
     "dq_audit" ->
       """SELECT 'orders.row_count' AS "check", count(*)::BIGINT AS metric
         |  FROM orders
