@@ -93,6 +93,36 @@ object DedupQueries {
         .filter(col("n_dups") > 1)
     }),
 
+    // Corpus-wide duplicate-LINE removal (the C4 preprocessing step,
+    // Raffel et al. 2020, public method: any sentence/line occurring
+    // more than once in the corpus keeps only its FIRST occurrence —
+    // order-dependent semantics, unlike dd_span_scrub's df-threshold
+    // cut). Sentences split on '. '; first occurrence = lowest
+    // (doc_id, idx), decided by a rank window PARTITIONED BY the
+    // sentence's md5 — the 128-bit key is what rides the shuffle, the
+    // sentence text stays on its own row (slim-key posture). Docs
+    // reassemble from kept sentences in original order; docs whose
+    // every sentence was seen earlier drop out entirely (both engines
+    // agree: an empty group emits no row).
+    "dd_line_dedup" -> ((s, d) => {
+      val sents = Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), "\\. ")).as(Seq("idx0", "sent")))
+        .filter(col("sent") =!= "")
+        .select(col("doc_id"), (col("idx0") + 1).as("idx"), col("sent"),
+          md5(col("sent")).as("sh"))
+      val w = Window.partitionBy("sh").orderBy("doc_id", "idx")
+      sents.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          array_sort(collect_list(struct(col("idx"), col("sent"))))
+            .as("ks"))
+        .select(col("doc_id"), col("n_kept"),
+          array_join(transform(col("ks"), k => k("sent")), ". ")
+            .as("text_clean"))
+    }),
+
     // URL dedup — the FIRST dedup stage of a web-corpus pipeline
     // (CCNet/RefinedWeb order: collapse recrawls and URL variants
     // BEFORE any content hashing buys anything): canonicalize, then
@@ -686,6 +716,19 @@ object DedupQueries {
        |   AND a.doc_id < c.doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "dd_line_dedup" ->
+      """WITH p AS (
+        |  SELECT doc_id, string_split(text, '. ') AS parts FROM documents),
+        |s AS (
+        |  SELECT doc_id, CAST(i AS INT) AS idx,
+        |    parts[CAST(i AS INT)] AS sent, md5(parts[CAST(i AS INT)]) AS sh
+        |  FROM p, unnest(generate_series(1, len(parts))) AS g(i)
+        |  WHERE parts[CAST(i AS INT)] <> ''),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY sh
+        |        ORDER BY doc_id, idx) AS rn FROM s)
+        |SELECT doc_id, count(*)::BIGINT AS n_kept,
+        |  string_agg(sent, '. ' ORDER BY idx) AS text_clean
+        |FROM r WHERE rn = 1 GROUP BY doc_id""".stripMargin,
     "dd_url_dedup" ->
       s"""WITH ${TextQueries.urlCanonSql},
          |r AS (
