@@ -567,6 +567,36 @@ object TextQueries {
         .limit(10)
     }),
 
+    // Text analysis: Flesch–Kincaid grade level (public formula) — the
+    // readability feature quality stacks carry beside entropy/LM
+    // scores. All three inputs are EXACT integers computed row-locally
+    // (words = tokens, sentences = '.'-ish splits, syllables = vowel
+    // groups per word with a 1-minimum — the standard heuristic), so
+    // the only float math is two divisions and the fixed constants;
+    // zero shuffle at any corpus size.
+    "ta_readability" -> ((s, d) => {
+      val toks = tokens(col("text"))
+      val nW = size(toks)
+      val nS = greatest(
+        size(filter(split(col("text"), "[.!?]"), p => trim(p) =!= "")),
+        lit(1))
+      val syl = aggregate(toks, lit(0L), (acc, w) => acc +
+        greatest(size(filter(split(lower(w), "[^aeiouy]+"),
+          g => g =!= "")), lit(1)))
+      Tables.documents(s, d)
+        .filter(nW >= 1)
+        .select(col("doc_id"), nW.as("n_words"), nS.as("n_sentences"),
+          syl.as("n_syllables"),
+          // RAW double, no round(): every input is an exact integer and
+          // both engines evaluate the same literals in the same order,
+          // so the value is bit-identical — while round(…,4) diverges
+          // exactly at the half-way decimals these small-int ratios hit
+          // constantly (observed at sf0.1; the sim_quantize_int8 lesson)
+          (lit(0.39) * nW.cast("double") / nS +
+            lit(11.8) * syl.cast("double") / nW - lit(15.59))
+            .as("fk_grade"))
+    }),
+
     // Text analysis: per-doc character entropy (Shannon, nats) — the
     // garbage/binary/mojibake detector quality stacks run beside LM
     // scoring: natural text sits in a narrow entropy band, byte noise
@@ -1010,6 +1040,28 @@ object TextQueries {
         |SELECT pair, sum(freq)::BIGINT AS n
         |FROM p GROUP BY pair
         |ORDER BY n DESC, pair ASC LIMIT 10""".stripMargin,
+    "ta_readability" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS tk,
+        |    greatest(len(list_filter(
+        |      string_split_regex(text, '[.!?]'), p -> trim(p) <> '')), 1)
+        |      AS n_sentences
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, len(tk) AS n_words, n_sentences,
+        |    list_reduce(list_prepend(0::BIGINT, list_transform(tk, w ->
+        |      greatest(len(list_filter(
+        |        string_split_regex(lower(w), '[^aeiouy]+'),
+        |        g -> g <> '')), 1)::BIGINT)),
+        |      (a, b) -> a + b) AS n_syllables
+        |  FROM t WHERE len(tk) >= 1)
+        |SELECT doc_id, CAST(n_words AS INT) AS n_words,
+        |  CAST(n_sentences AS INT) AS n_sentences, n_syllables,
+        |  0.39::DOUBLE * n_words / n_sentences
+        |    + 11.8::DOUBLE * n_syllables / n_words - 15.59::DOUBLE
+        |    AS fk_grade
+        |FROM c""".stripMargin,
     // list_sort(list_distinct(...)) fixes the fold order (binary sort,
     // matching Spark's UTF8 array_sort); c·ln(c) addends are exact-count
     // derived, never -0.0, so the seedless list_reduce ≡ the seeded fold.
