@@ -596,7 +596,7 @@ object DedupQueries {
     // breaks the hot head into its bigram distribution, and the
     // 16-char length bucket splits what survives (titles >16 chars
     // apart can't be within edit distance 10 anyway, so the bucket
-    // costs recall only across one boundary). DedupSpec pins the
+    // costs recall only across one boundary). SkewSessionSpec pins the
     // hot-block share on a Zipfian fixture. Levenshtein has identical
     // semantics in both engines, so the distance itself is
     // oracle-checked.
@@ -653,7 +653,11 @@ object DedupQueries {
     // it) runs over the mutated subset only, which is ingest-delta-sized,
     // not corpus-sized. Snapshot mutation simulated as in g_scd2_merge:
     // every 3rd doc's content changed since the snapshot, every 13th doc
-    // is new, ghost store rows (+2,000,000) stand in for deletions.
+    // is new, ghost store rows stand in for deletions. Ghost ids are
+    // NEGATIVE (-doc_id - 1): testdata doc ids are non-negative (the
+    // same invariant dd_cluster_cc's checksum early-exit leans on), so a
+    // ghost can never collide with a real doc at ANY scale factor — no
+    // unchecked additive-offset assumption.
     "sig_store_refresh" -> ((s, d) => {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("text"), md5(col("text")).as("fp"))
@@ -667,7 +671,7 @@ object DedupQueries {
             .otherwise(md5(col("text"))).as("fp"),
           sentinel.as("sig"))
         .unionByName(base.filter(col("doc_id") % 11 === 0)
-          .select((col("doc_id") + 2000000L).as("doc_id"),
+          .select((-col("doc_id") - 1L).as("doc_id"),
             lit("ghost").as("fp"), sentinel.as("sig")))
       val joined = docs.alias("d")
         .join(store.alias("st"), Seq("doc_id"), "left")

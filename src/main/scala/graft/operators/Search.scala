@@ -86,8 +86,17 @@ object Search {
     * contract the filter keys carry. */
   def fromEvent(event: Map[String, String]): Either[BadRequest, Request] =
     validate(event).flatMap { ev =>
+      // Calendar validation at the boundary: a regex-valid but
+      // calendar-invalid day ('2024-02-30', '2024-13-01') must be a 400
+      // here — predicate() parses date-only bounds to compile the
+      // end-of-day-exclusive form, and an uncaught DateTimeParseException
+      // there would escape the lambda's 400 contract entirely.
+      def calendarValid(side: Option[String]): Boolean = side.forall { v =>
+        !v.matches("""\d{4}-\d{2}-\d{2}""") ||
+          scala.util.Try(java.time.LocalDate.parse(v)).isSuccess
+      }
       val dates: Either[BadRequest, (Option[String], Option[String])] =
-        ev.get("date_published") match {
+        (ev.get("date_published") match {
           case Some(r) if r.contains("..") => r.split("\\.\\.", -1) match {
             case Array(a, b) => Right((Option(a).filter(_.nonEmpty),
               Option(b).filter(_.nonEmpty)))
@@ -100,7 +109,8 @@ object Search {
           case Some(r) => Right((Some(r).filter(_.nonEmpty),
             Some(r).filter(_.nonEmpty)))
           case None => Right((None, None))
-        }
+        }).filterOrElse(
+          ft => calendarValid(ft._1) && calendarValid(ft._2), MalformedDate)
       def nonNegInt(key: String, default: Int): Either[BadRequest, Int] =
         ev.get(key) match {
           case None => Right(default)

@@ -990,18 +990,18 @@ object TextQueries {
         |           (acc, x) -> (acc * 131 + x) % 2147483647)::VARCHAR), ',')
         |    AS chunk_hashes
         |FROM c""".stripMargin,
-    // Static series bound (docs are < 4096 chars); this DuckDB build
-    // has no lateral generate_series. list(… ORDER BY i) + list_reduce
-    // mirrors the engine's position-sorted fixed-order fold; the seeded
-    // vs seedless fold difference is immaterial because 0.0 + x ≡ x for
-    // every finite logp (logp < 0, never -0.0).
+    // Series bound derived from length(t) per row (correlated unnest —
+    // no static cap to silently under-score longer docs at bigger SFs).
+    // list(… ORDER BY i) + list_reduce mirrors the engine's
+    // position-sorted fixed-order fold; the seeded vs seedless fold
+    // difference is immaterial because 0.0 + x ≡ x for every finite
+    // logp (logp < 0, never -0.0).
     "ta_lm_score" ->
       """WITH lt AS (SELECT doc_id, lower(text) AS t FROM documents
         |           WHERE length(text) >= 3),
         |occ AS (
         |  SELECT doc_id, CAST(i AS INT) AS i, substr(t, CAST(i AS INT), 3) AS tri
-        |  FROM lt, generate_series(1, 4095) g(i)
-        |  WHERE i <= length(t) - 2),
+        |  FROM lt, unnest(generate_series(1, length(t) - 2)) AS g(i)),
         |model AS (SELECT tri, count(*) AS c3 FROM occ GROUP BY tri),
         |c2 AS (SELECT substr(tri, 1, 2) AS pre, sum(c3) AS c2
         |       FROM model GROUP BY 1),
@@ -1084,14 +1084,14 @@ object TextQueries {
          |  length(nfc_normalize(substr(text, 1, 20) || '$DecomposedSuffix'))
          |    AS len_after
          |FROM documents""".stripMargin,
-    // Static series bound (docs are < 4096 tokens); this DuckDB build
-    // has no lateral generate_series.
+    // Series bound derived from len(l) per row (correlated unnest — no
+    // static cap to silently truncate longer docs at bigger SFs).
     "ta_dedup_tokens" ->
       """WITH s AS (
         |  SELECT doc_id, string_split(text, ' ') AS l FROM documents),
         |e AS (
         |  SELECT doc_id, CAST(i AS INT) AS i, l[i] AS x
-        |  FROM s, generate_series(1, 4095) t(i) WHERE i <= len(l)),
+        |  FROM s, unnest(generate_series(1, len(l))) AS t(i)),
         |f AS (
         |  SELECT doc_id, i, x,
         |    min(i) OVER (PARTITION BY doc_id, x) AS mi FROM e)

@@ -325,10 +325,23 @@ case class SigMin(child: Expression,
   * bit-identical to the builder's `putString` (both hash the UTF-8
   * encoding), so no String materializes per row. */
 case class BloomMightContain(child: Expression, bits: Array[Byte])
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
   import org.apache.spark.util.sketch.BloomFilter
+  // (no type ascription: AbstractDataType is private[sql] in Spark 4)
+  override def inputTypes = Seq(StringType)
   override def dataType: DataType = BooleanType
   override def prettyName: String = "bloom_might_contain"
+  // Array[Byte] compares by reference under case-class equality, which
+  // would make two semantically identical probes never equal — defeating
+  // subexpression elimination and plan-cache reuse. Compare the bits by
+  // CONTENT (and keep equals/hashCode consistent).
+  override def equals(other: Any): Boolean = other match {
+    case b: BloomMightContain =>
+      child == b.child && java.util.Arrays.equals(bits, b.bits)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(bits)
   @transient private lazy val filter: BloomFilter =
     BloomFilter.readFrom(new java.io.ByteArrayInputStream(bits))
   override def nullSafeEval(t: Any): Any =

@@ -205,6 +205,23 @@ class SearchSpec extends SparkSpec {
     assert(open.dateFrom.isEmpty && open.dateTo.isEmpty)
   }
 
+  test("calendar-invalid date_published is a 400, not a predicate-time " +
+    "exception") {
+    // regex-valid but calendar-invalid: before this guard these threw
+    // DateTimeParseException inside predicate(), escaping the 400 contract
+    for (bad <- Seq("2024-02-30..", "..2024-13-01", "2024-02-30",
+        "2024-02-30..2024-13-01"))
+      assert(Search.fromEvent(Map("date_published" -> bad))
+        == Left(Search.MalformedDate), bad)
+    // leap-day sanity both ways
+    assert(Search.fromEvent(Map("date_published" -> "..2024-02-29")).isRight)
+    assert(Search.fromEvent(Map("date_published" -> "..2023-02-29"))
+      == Left(Search.MalformedDate))
+    // timestamp-granular bounds never go through LocalDate.parse
+    assert(Search.fromEvent(
+      Map("date_published" -> "..2024-02-01 14:30:00")).isRight)
+  }
+
   test("by-legislation plan honors ascending order") {
     val legs = Seq("leg/1").toDF("leg_uri")
     val edges = Seq(("leg/1", "d1"), ("leg/1", "d2"), ("leg/1", "d3"))
