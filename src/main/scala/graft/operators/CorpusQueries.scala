@@ -221,41 +221,34 @@ object CorpusQueries {
         .distinct()
         .select(col("source"), Texts.md5Long(col("g3")).as("h"))
       val w = Window.partitionBy("source").orderBy("h")
-      val kept = grams
+      // Per-source sketch as ONE sorted array (≤ k longs): after this
+      // aggregation everything is sketch-on-sketch array math, and the
+      // corpus subtree is referenced exactly ONCE in the whole plan — no
+      // cache, no eager materialization inside the builder (the former
+      // kept.count() — builders are side-effect-free again). All
+      // sources' sketches collapse into a single row, pairs explode out
+      // of it (sources²·k longs — corpus-size-independent), and the KMV
+      // merge law (union-sketch = k smallest of the deduped union) is
+      // array_union + array_sort + slice per pair.
+      val sketches = grams
         .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-        .select("source", "h")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // materialize NOW: the sketch (≤ 64·n_sources longs) feeds five
-      // branches of the pair stage below; without this the lazy cache
-      // would re-run the corpus scan per branch on first execution
-      kept.count()
-      def est(hk: Column, n: Column) =
-        when(n < k, n.cast("double")).otherwise(round(
-          lit((k - 1).toDouble * 1.152921504606846976e18) / hk, 2))
-      val perSrc = kept.groupBy("source")
-        .agg(max("h").as("hk"), count(lit(1)).as("n"))
-        .select(col("source"), est(col("hk"), col("n")).as("est"))
-      val pairs = perSrc
-        .select(col("source").as("sa"), col("est").as("est_a"))
-        .crossJoin(perSrc.select(col("source").as("sb"), col("est").as("est_b")))
-        .filter(col("sa") < col("sb"))
-      val merged = pairs.select("sa", "sb")
-        .join(kept.select(col("source").as("sa"), col("h")), "sa")
-        .select("sa", "sb", "h")
-        .unionByName(pairs.select("sa", "sb")
-          .join(kept.select(col("source").as("sb"), col("h")), "sb")
-          .select("sa", "sb", "h"))
-        .distinct()
-      val wm = Window.partitionBy("sa", "sb").orderBy("h")
-      val estU = merged
-        .withColumn("rn", row_number().over(wm)).filter(col("rn") <= k)
-        .groupBy("sa", "sb").agg(max("h").as("hk"), count(lit(1)).as("n"))
-        .select(col("sa"), col("sb"), est(col("hk"), col("n")).as("est_union"))
-      pairs.join(estU, Seq("sa", "sb"))
-        .select(col("sa"), col("sb"), col("est_a"), col("est_b"),
-          col("est_union"),
-          round(greatest(lit(0.0),
-            col("est_a") + col("est_b") - col("est_union")), 2).as("est_inter"))
+        .groupBy("source").agg(sort_array(collect_list("h")).as("hs"))
+      val allRow = sketches
+        .agg(collect_list(struct(col("source"), col("hs"))).as("sk"))
+      def est(hs: Column) =
+        when(size(hs) < k, size(hs).cast("double")).otherwise(round(
+          lit((k - 1).toDouble * 1.152921504606846976e18) /
+            element_at(hs, -1), 2))
+      val u = slice(array_sort(array_union(col("a.hs"), col("b.hs"))), 1, k)
+      allRow
+        .select(explode(col("sk")).as("a"), col("sk"))
+        .select(col("a"), explode(col("sk")).as("b"))
+        .filter(col("a.source") < col("b.source"))
+        .select(col("a.source").as("sa"), col("b.source").as("sb"),
+          est(col("a.hs")).as("est_a"), est(col("b.hs")).as("est_b"),
+          est(u).as("est_union"))
+        .withColumn("est_inter", round(greatest(lit(0.0),
+          col("est_a") + col("est_b") - col("est_union")), 2))
     }),
 
     // Exact 5th/95th-percentile length trim WITHOUT a global sort: the
