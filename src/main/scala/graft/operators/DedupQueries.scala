@@ -34,6 +34,125 @@ object DedupQueries {
       .select(col("doc_id"), col("lang"), col("text"),
         array_sort(array_distinct(Texts.tokens(col("text")))).as("ws"))
 
+  /** Identical-set collapse — stage 0 of the Jaccard prefix family:
+    * group docs whose DISTINCT TOKEN SETS are exactly equal (fingerprint
+    * = md5 of the sorted set; tokens cannot contain the ' ' separator,
+    * so the join string is injective) and elect min(doc_id) as the
+    * group's representative. All candidate generation then runs over
+    * ONE row per distinct set. Why this matters at 100 TB: on
+    * boilerplate-heavy corpora (the degenerate-vocabulary regime — web
+    * crawls full of templated pages) no prefix token discriminates and
+    * rep-level candidates approach all-pairs OVER SETS — but the number
+    * of distinct sets is corpus-structure-bounded, not corpus-sized, so
+    * candidate work is now O(distinct-sets²) worst case instead of
+    * O(corpus²), and everything member-level is output-proportional.
+    * Returns (fp[, lang], rep_id, ws) — one row per distinct set
+    * (per lang when `byLang`: same set in two langs must NOT pair). */
+  private[graft] def collapseSets(docs: DataFrame, byLang: Boolean): DataFrame =
+    setGroups(fingerprinted(docs), byLang)
+
+  private def fingerprinted(docs: DataFrame): DataFrame =
+    docs.filter(size(col("ws")) > 0) // empty sets have J undefined; never pair
+      .withColumn("fp", md5(array_join(col("ws"), " ")))
+
+  private def setGroups(sets: DataFrame, byLang: Boolean): DataFrame = {
+    val gk = if (byLang) Seq("fp", "lang") else Seq("fp")
+    sets.groupBy(gk.map(col): _*)
+      .agg(min("doc_id").as("rep_id"), first("ws").as("ws"))
+  }
+
+  /** PPJoin prefix-filter candidate pairs over set REPRESENTATIVES.
+    * reps: (rep_id, ws) or (rep_id, lang, ws). Theorem (any global token
+    * order): J(A,B) ≥ t ⇒ the first (|A| − ⌈t·|A|⌉ + 1) tokens of A and
+    * of B intersect — exploding only that prefix as candidate keys loses
+    * no true pair. Tokens ordered rarest-first by rep-level document
+    * frequency (then lexicographic), which minimizes candidates AND
+    * keeps candidate keys cold: prefix keys are by construction the
+    * rarest tokens. Length filter t·|A| ≤ |B| ≤ |A|/t prunes at the
+    * join. Exposed private[graft] so the degenerate-vocabulary guard in
+    * SkewSessionSpec can pin the candidate count. */
+  private[graft] def prefixRepCandidates(reps: DataFrame, t: Double,
+      byLang: Boolean): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val toks =
+      if (byLang) reps.select(col("rep_id"), col("lang"), explode(col("ws")).as("tok"))
+      else reps.select(col("rep_id"), explode(col("ws")).as("tok"))
+    val dfKeys = if (byLang) Seq("lang", "tok") else Seq("tok")
+    val dfreq = toks.groupBy(dfKeys.map(col): _*).agg(count(lit(1)).as("df"))
+    val sorted = sort_array(collect_list(struct(col("df"), col("tok")))).as("o")
+    val grouped =
+      if (byLang) toks.join(dfreq, dfKeys).groupBy("rep_id")
+        .agg(first("lang").as("lang"), sorted)
+      else toks.join(dfreq, dfKeys).groupBy("rep_id").agg(sorted)
+    // persisted: `pre` feeds both sides of the candidate self-join
+    val ordered = grouped
+      .withColumn("ows", transform(col("o"), x => x.getField("tok")))
+      .drop("o")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val langCols = if (byLang) Seq(col("lang")) else Nil
+    val pre = ordered
+      .withColumn("n", size(col("ows")))
+      .select(col("rep_id") +: langCols ++: Seq(col("n"),
+        explode(slice(col("ows"), lit(1),
+          (col("n") - ceil(lit(t) * col("n")) + 1).cast("int"))).as("tok")): _*)
+    val cond = (Seq(
+      col("a.tok") === col("b.tok"),
+      col("a.rep_id") < col("b.rep_id"),
+      col("b.n") <= col("a.n") / t,
+      col("a.n") <= col("b.n") / t) ++
+      (if (byLang) Seq(col("a.lang") === col("b.lang")) else Nil))
+      .reduce(_ && _)
+    pre.alias("a").join(pre.alias("b"), cond)
+      .select(col("a.rep_id").as("ra"), col("b.rep_id").as("rb"))
+      .distinct()
+  }
+
+  /** Full collapsed Jaccard-similarity self-join: collapse → prefix
+    * candidates over representatives → verify ONCE per set pair →
+    * expand group pairs back to member row pairs by slim keyed joins
+    * (the output contract is row pairs, so the expansion is exactly
+    * output-sized). Within-group pairs (identical sets, J ≡ 1.0) come
+    * from a SALTED self-join on the representative key — one giant
+    * duplicate group's clique spreads over 8 reducers instead of one. */
+  private[graft] def jaccardPrefixPairs(docs: DataFrame, t: Double,
+      byLang: Boolean): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val gk = if (byLang) Seq("fp", "lang") else Seq("fp")
+    val sets = fingerprinted(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    val groups = setGroups(sets, byLang).persist(StorageLevel.MEMORY_AND_DISK)
+    // membership (rep_id, doc_id) — one window over the set key; slim
+    // rows only from here down
+    val mem = sets.select(col("doc_id"),
+      min("doc_id").over(Window.partitionBy(gk.map(col): _*)).as("rep_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val (wa, wb, wkeys) =
+      Skew.saltedSelfJoinSides(mem, Seq("rep_id"), "doc_id", 8)
+    val within = wa.alias("wa").join(wb.alias("wb"), wkeys)
+      .filter(col("wa.doc_id") < col("wb.doc_id"))
+      .select(col("wa.doc_id").as("a_id"), col("wb.doc_id").as("b_id"),
+        lit(1.0).as("jac"))
+
+    val repCols = if (byLang) Seq(col("rep_id"), col("lang"), col("ws"))
+      else Seq(col("rep_id"), col("ws"))
+    val cand = prefixRepCandidates(groups.select(repCols: _*), t, byLang)
+    val inter = graft.plans.Native
+      .sorted_intersect_count(col("a_ws"), col("b_ws")).cast("double")
+    val verified = cand
+      .join(groups.select(col("rep_id").as("ra"), col("ws").as("a_ws")), "ra")
+      .join(groups.select(col("rep_id").as("rb"), col("ws").as("b_ws")), "rb")
+      .withColumn("jac",
+        round(inter / (size(col("a_ws")) + size(col("b_ws")) - inter), 6))
+      .filter(col("jac") >= t)
+      .select("ra", "rb", "jac")
+    val cross = verified
+      .join(mem.select(col("rep_id").as("ra"), col("doc_id").as("x")), "ra")
+      .join(mem.select(col("rep_id").as("rb"), col("doc_id").as("y")), "rb")
+      .select(least(col("x"), col("y")).as("a_id"),
+        greatest(col("x"), col("y")).as("b_id"), col("jac"))
+    within.unionByName(cross)
+  }
+
   /** Shared 256-perm LSH probe + verify for the native signature paths.
     *
     * Cache lifecycle: the returned frame references persisted
@@ -251,41 +370,17 @@ object DedupQueries {
     // bucket's false negatives (true pairs straddling a /8 boundary, e.g.
     // sizes 15/16) are gone — output is now exactly "all same-lang pairs
     // with J ≥ 0.9".
+    // Round 8: identical token SETS now collapse to one representative
+    // BEFORE candidate generation (collapseSets/jaccardPrefixPairs) —
+    // the degenerate-vocabulary mitigation SCALE.md promised. On a
+    // boilerplate corpus where no prefix token discriminates, candidate
+    // work is bounded by distinct-set structure, and member-level work
+    // (within-group J≡1.0 cliques + group-pair expansion) is exactly
+    // output-proportional. SkewSessionSpec pins the candidate bound.
     "dd_ngram_jaccard" -> ((s, d) => {
-      import org.apache.spark.storage.StorageLevel
-      val t = 0.9
-      val base = prepared(s, d).select(col("doc_id"), col("lang"), col("ws"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val toks = base.select(col("doc_id"), col("lang"),
-        explode(col("ws")).as("tok"))
-      val dfreq = toks.groupBy("lang", "tok").agg(count("*").as("df"))
-      val ordered = toks.join(dfreq, Seq("lang", "tok"))
-        .groupBy("doc_id")
-        .agg(first("lang").as("lang"),
-          sort_array(collect_list(struct(col("df"), col("tok")))).as("o"))
-        .select(col("doc_id"), col("lang"),
-          transform(col("o"), x => x.getField("tok")).as("ows"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val pre = ordered
-        .withColumn("n", size(col("ows")))
-        .select(col("doc_id"), col("lang"), col("n"),
-          explode(slice(col("ows"), lit(1),
-            (col("n") - ceil(lit(t) * col("n")) + 1).cast("int"))).as("tok"))
-      val cand = pre.alias("a").join(pre.alias("b"),
-          col("a.lang") === col("b.lang") && col("a.tok") === col("b.tok") &&
-            col("a.doc_id") < col("b.doc_id") &&
-            col("b.n") <= col("a.n") / t && col("a.n") <= col("b.n") / t)
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-        .distinct()
-      val inter = graft.plans.Native
-        .sorted_intersect_count(col("a_ws"), col("b_ws")).cast("double")
-      cand
-        .join(base.select(col("doc_id").as("a_id"), col("ws").as("a_ws")), "a_id")
-        .join(base.select(col("doc_id").as("b_id"), col("ws").as("b_ws")), "b_id")
-        .withColumn("jac",
-          round(inter / (size(col("a_ws")) + size(col("b_ws")) - inter), 6))
-        .filter(col("jac") >= t)
-        .select("a_id", "b_id", "jac")
+      jaccardPrefixPairs(
+        prepared(s, d).select(col("doc_id"), col("lang"), col("ws")),
+        0.9, byLang = true)
     }),
 
     // Exact set-similarity self-join via PREFIX FILTERING (PPJoin-style):
@@ -300,49 +395,15 @@ object DedupQueries {
     // population cold: prefix keys are by construction the RAREST tokens,
     // the opposite of a hot-key distribution. Length filter
     // t·|A| ≤ |B| ≤ |A|/t prunes at the join.
+    // Candidate rows stay SLIM (rep ids + one prefix token); verify
+    // re-attaches the sorted token sets by keyed join and runs the
+    // native merge-walk intersect ONCE PER DISTINCT-SET PAIR (identical
+    // sets collapsed first — see dd_ngram_jaccard's round-8 note; an
+    // inline-verify variant carrying token arrays through the self-join
+    // measured 4× slower at sf0.1).
     "dd_jaccard_prefix" -> ((s, d) => {
-      import org.apache.spark.storage.StorageLevel
-      val t = 0.9
-      // base and ordered each feed ≥2 branches of the join graph below —
-      // persist (the checkpoint-before-self-join posture, as in
-      // bandPairJoin) so tokenize/df-rank run once.
-      val base = prepared(s, d).select(col("doc_id"), col("ws"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val toks = base.select(col("doc_id"), explode(col("ws")).as("tok"))
-      val dfreq = toks.groupBy("tok").agg(count("*").as("df"))
-      val ordered = toks.join(dfreq, "tok")
-        .groupBy("doc_id")
-        .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("o"))
-        .select(col("doc_id"),
-          transform(col("o"), x => x.getField("tok")).as("ows"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      // Candidate rows stay SLIM (ids + one prefix token): dedup to
-      // distinct pairs first, then re-attach the sorted token sets by a
-      // broadcast-able keyed join and verify with the native merge-walk
-      // intersect. (An inline-verify variant carrying the token arrays
-      // through the self-join measured 4× slower at sf0.1 — fat join
-      // output beats two cheap attach joins only when the doc table
-      // itself is too big to hash-join, and then AQE picks the shuffle.)
-      val pre = ordered
-        .withColumn("n", size(col("ows")))
-        .select(col("doc_id"), col("n"),
-          explode(slice(col("ows"), lit(1),
-            (col("n") - ceil(lit(t) * col("n")) + 1).cast("int"))).as("tok"))
-      val cand = pre.alias("a").join(pre.alias("b"),
-          col("a.tok") === col("b.tok") &&
-            col("a.doc_id") < col("b.doc_id") &&
-            col("b.n") <= col("a.n") / t && col("a.n") <= col("b.n") / t)
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-        .distinct()
-      val inter = graft.plans.Native
-        .sorted_intersect_count(col("a_ws"), col("b_ws")).cast("double")
-      cand
-        .join(base.select(col("doc_id").as("a_id"), col("ws").as("a_ws")), "a_id")
-        .join(base.select(col("doc_id").as("b_id"), col("ws").as("b_ws")), "b_id")
-        .withColumn("jac",
-          round(inter / (size(col("a_ws")) + size(col("b_ws")) - inter), 6))
-        .filter(col("jac") >= t)
-        .select("a_id", "b_id", "jac")
+      jaccardPrefixPairs(prepared(s, d).select(col("doc_id"), col("ws")),
+        0.9, byLang = false)
     }),
 
     // MinHash + LSH banding (portable md5 permutations, 16 perms = 4

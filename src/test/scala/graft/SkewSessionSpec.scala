@@ -49,6 +49,49 @@ class SkewSessionSpec extends SparkSpec {
         "blocking degraded toward first-token-only")
   }
 
+  test("identical-set collapse bounds Jaccard candidates by distinct-set " +
+    "structure on a degenerate vocabulary") {
+    // Degenerate regime: tiny vocabulary, heavy duplication — the
+    // boilerplate-web-crawl shape where no prefix token discriminates.
+    // 400 docs but only 12 distinct token sets: candidate generation
+    // must be bounded by set pairs (C(12,2) = 66), NOT doc pairs
+    // (C(400,2) = 79,800) — the round-7 scale-killer finding.
+    val vocab = Seq("the", "quick", "brown", "fox", "jumps", "over",
+      "lazy", "dog")
+    val sets = (0 until 12).map { i =>
+      // 12 distinct subsets of the 8-token vocab, sizes 5..8
+      vocab.indices.filter(j => j < 5 || (i >> (j - 5)) % 2 == 0)
+        .map(vocab).sorted
+    }
+    val docs = (0 until 400)
+      .map(i => (i.toLong, sets(i % 12)))
+      .toDF("doc_id", "ws")
+    val groups = graft.operators.DedupQueries.collapseSets(docs, byLang = false)
+    assert(groups.count() == 12)
+    val nCand = graft.operators.DedupQueries
+      .prefixRepCandidates(groups.select($"rep_id", $"ws"), 0.9, byLang = false)
+      .count()
+    assert(nCand <= 66,
+      s"$nCand rep-level candidates — exceeds the C(12,2)=66 distinct-set " +
+        "bound; collapse degraded toward per-doc candidate generation")
+
+    // and the collapsed pipeline's OUTPUT equals brute force over docs
+    val t = 0.9
+    val bySet = (0 until 400).map(i => i.toLong -> sets(i % 12).toSet).toMap
+    val expected = (for {
+      a <- 0L until 400L; b <- (a + 1) until 400L
+      ja = bySet(a); jb = bySet(b)
+      j = ja.intersect(jb).size.toDouble / ja.union(jb).size
+      if j >= t
+    } yield (a, b, math.rint(j * 1e6) / 1e6)).toSet
+    val got = graft.operators.DedupQueries
+      .jaccardPrefixPairs(docs, t, byLang = false)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == expected,
+      s"collapsed pipeline emitted ${got.size} pairs, brute force " +
+        s"${expected.size}")
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions on gap") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
