@@ -457,17 +457,16 @@ class PlanSpec extends SparkSpec {
   test("sk_kmv_overlap: per-source sketch window prunes map-side; the " +
     "pair stage never rescans the corpus") {
     val p = planOf(CorpusQueries.queries("sk_kmv_overlap")(spark, sf))
-    // every FileScan in the rendered plan sits INSIDE an InMemoryTableScan
-    // cacheBuilder print (2 lineage renders per cache node) — the pair
-    // stage itself only ever reads the materialized sketch
-    assert(p.contains("InMemoryTableScan"),
-      "pair branches must read the materialized sketch")
+    // Post-7f56fde the builder is side-effect-free: all sketches collapse
+    // into ONE collect_list row before pair expansion, so the corpus
+    // subtree appears exactly once in the whole plan — the pair stage
+    // explodes the single sketch row and never walks back to the files.
     assert(p.contains("WindowGroupLimit"),
       "the per-source top-64 must prune map-side")
     val scans = "FileScan parquet".r.findAllIn(p).size
-    val caches = "InMemoryTableScan".r.findAllIn(p).size
-    assert(scans <= 2 * caches,
-      "a FileScan outside a cacheBuilder lineage means the corpus is rescanned")
+    assert(scans == 1,
+      s"$scans corpus FileScans in the plan — the pair stage must reuse " +
+        "the single collapsed sketch row, not rescan the corpus")
   }
 
   test("s13_orc_partitioned: read-back prunes to the lang=en partition") {

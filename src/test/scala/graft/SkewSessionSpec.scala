@@ -59,8 +59,12 @@ class SkewSessionSpec extends SparkSpec {
     val vocab = Seq("the", "quick", "brown", "fox", "jumps", "over",
       "lazy", "dog")
     val sets = (0 until 12).map { i =>
-      // 12 distinct subsets of the 8-token vocab, sizes 5..8
-      vocab.indices.filter(j => j < 5 || (i >> (j - 5)) % 2 == 0)
+      // 12 distinct subsets of the 8-token vocab, sizes 4..8: tokens 0..3
+      // are always present, tokens 4..7 toggle on bits 0..3 of i, so the
+      // 12 values of i < 16 give 12 distinct 4-bit patterns. Any two
+      // distinct sets share at most 7 of 8 tokens → J ≤ 7/8 < 0.9, so
+      // only identical-set doc pairs survive the threshold.
+      vocab.indices.filter(j => j < 4 || (i >> (j - 4)) % 2 == 0)
         .map(vocab).sorted
     }
     val docs = (0 until 400)
