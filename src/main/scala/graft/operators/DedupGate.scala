@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.Hashes
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -39,7 +40,6 @@ object DedupGate {
   def classify(incoming: DataFrame, corpus: DataFrame,
       numBands: Int, rowsPerBand: Int,
       broadcastIncoming: Boolean = true): DataFrame = {
-    import graft.functions.Hashes
 
     def banded(df: DataFrame, idCol: String) =
       df.select(col(idCol), col("sig"),
@@ -80,6 +80,16 @@ object DedupGate {
       .distinct()
       .filter(col("sim") >= DuplicateThreshold)
 
+    resolve(incoming, corpusLive.select(col("node_id"), col("meta_key")),
+      candidates)
+  }
+
+  /** Shared resolution tail of both gate variants: pick the best candidate
+    * per incoming doc, attach the match's metadata, emit the 3-way
+    * outcome. `corpusMeta` is one (node_id, meta_key) row per live node.
+    */
+  private def resolve(incoming: DataFrame, corpusMeta: DataFrame,
+      candidates: DataFrame): DataFrame = {
     // Best candidate per doc: max sim, corpus wins ties, then lowest id
     // (A2 argmax with full tie-break).
     val best = candidates
@@ -92,7 +102,7 @@ object DedupGate {
 
     // Metadata of the best match: from the corpus row or the batch twin.
     val metaOfMatch = best
-      .join(corpusLive.select(col("node_id").as("match_id"),
+      .join(corpusMeta.select(col("node_id").as("match_id"),
         col("meta_key").as("corpus_meta")), Seq("match_id"), "left")
       .join(incoming.select(col("uid").as("match_id"),
         col("meta_key").as("batch_meta")), Seq("match_id"), "left")
@@ -113,5 +123,68 @@ object DedupGate {
         when(col("from_corpus"), col("match_id")).as("matched_node_id"),
         col("best_sim"),
         when(!col("from_corpus"), col("match_id")).as("batch_twin"))
+  }
+
+  /** Banded rows of the ON-DISK signature store: one row per
+    * (live doc, band), keyed by the single concatenated bucket key
+    * `bkey = band_id '_' band_key`. Archived docs are dropped at write
+    * time — the store IS the live index, mirroring the reference's
+    * removal of archived nodes from the probe set
+    * (`check_duplicate.py:96-101` filters archived at query time; a
+    * maintained store pays that filter once per archive flip, not per
+    * probe). Written `bucketBy(bkey)` via `Layout.bucketedStoreWrite`,
+    * every later probe join on bkey leaves the store side EXCHANGE-FREE:
+    * at 100 TB the store-side band shuffle — by far the largest shuffle
+    * of the gate — is paid once at write time, never per ingest batch.
+    */
+  def bandedSigStore(corpus: DataFrame, numBands: Int,
+      rowsPerBand: Int): DataFrame =
+    corpus.filter(col("status") =!= "archive")
+      .select(col("node_id"), col("sig"), col("meta_key"),
+        explode(Hashes.bands(col("sig"), numBands, rowsPerBand)).as("band"))
+      .select(col("node_id"), col("sig"), col("meta_key"),
+        concat_ws("_", col("band.band_id"), col("band.band_key")).as("bkey"))
+
+  /** `classify` against a pre-banded on-disk store (the frame
+    * `bandedSigStore` wrote, read back from its bucketed table). The
+    * probe join keys on the store's single bucket column `bkey`, so the
+    * store side carries no Exchange — only the (small) ingest batch
+    * shuffles, into the store's bucket layout. Outcome semantics are
+    * identical to `classify`.
+    */
+  def classifyStored(incoming: DataFrame, store: DataFrame,
+      numBands: Int, rowsPerBand: Int): DataFrame = {
+
+    def banded(df: DataFrame, idCol: String) =
+      df.select(col(idCol), col("sig"),
+        explode(Hashes.bands(col("sig"), numBands, rowsPerBand)).as("band"))
+        .select(col(idCol), col("sig"),
+          concat_ws("_", col("band.band_id"), col("band.band_key")).as("bkey"))
+
+    val probe = banded(incoming, "uid")
+    val corpusCand = probe.alias("q")
+      .join(store.alias("c"), Seq("bkey"))
+      .select(col("q.uid").as("uid"), col("c.node_id").as("match_id"),
+        Hashes.minhashJaccard(col("q.sig"), col("c.sig")).as("sim"),
+        lit(true).as("from_corpus"))
+
+    val batchCand = probe.alias("a")
+      .join(probe.alias("b"), Seq("bkey"))
+      .filter(col("a.uid") > col("b.uid"))
+      .select(col("a.uid").as("uid"), col("b.uid").as("match_id"),
+        Hashes.minhashJaccard(col("a.sig"), col("b.sig")).as("sim"),
+        lit(false).as("from_corpus"))
+
+    val candidates = corpusCand.unionByName(batchCand)
+      .distinct()
+      .filter(col("sim") >= DuplicateThreshold)
+
+    // Exactly one store row per live node carries band 0, so the per-node
+    // meta frame is a row-local prefix filter on the bucketed scan — no
+    // distinct over the store. (Band ids ≥ 10 render as "10_…", which the
+    // "0_" prefix does not match.)
+    val corpusMeta = store.filter(col("bkey").startsWith("0_"))
+      .select(col("node_id"), col("meta_key"))
+    resolve(incoming, corpusMeta, candidates)
   }
 }

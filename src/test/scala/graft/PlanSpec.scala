@@ -469,6 +469,46 @@ class PlanSpec extends SparkSpec {
         "the single collapsed sketch row, not rescan the corpus")
   }
 
+  test("dg_gate_stored: the probe join against the on-disk signature " +
+    "store shuffles ONLY the batch side — the store's bucket layout is " +
+    "the join layout") {
+    // Building the query writes the bucketed store table (the write is
+    // the operator's semantics, K2 convention).
+    OrpQueries.queries("dg_gate_stored")(spark, sf)
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqeBc =
+      spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      // A fresh (non-bucketed) ingest batch, banded to the store's bkey.
+      val batch = spark.range(10).select(col("id").as("uid"),
+        array((0 until 16).map(i => (col("id") * i).cast("long")): _*)
+          .as("sig"))
+      val probe = batch.select(col("uid"), col("sig"),
+        explode(graft.functions.Hashes.bands(col("sig"), 4, 4)).as("band"))
+        .select(col("uid"),
+          concat_ws("_", col("band.band_id"), col("band.band_key"))
+            .as("bkey"))
+      val p = planOf(probe.join(spark.table("graft_sig_store"), Seq("bkey")))
+      assert(p.contains("SelectedBucketsCount"),
+        s"store read must be a bucketed scan:\n$p")
+      val exchanges = "Exchange".r.findAllIn(p).size
+      assert(exchanges == 1,
+        s"$exchanges exchanges — only the batch side may shuffle " +
+          s"(into the store's bucket layout):\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      prevAqeBc match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None =>
+          spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+      spark.sql("DROP TABLE IF EXISTS graft_sig_store")
+    }
+  }
+
   test("s13_orc_partitioned: read-back prunes to the lang=en partition") {
     val p = planOf(SourceSinkQueries.queries("s13_orc_partitioned")(spark, sf))
     assert(p.contains("PartitionFilters") && p.contains("lang"),
