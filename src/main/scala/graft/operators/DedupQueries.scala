@@ -525,6 +525,20 @@ object DedupQueries {
       // The rule is an optimization, never a correctness dependency.
       s.conf.set("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromConstraints")
+      // Recovery posture: localCheckpoint blocks live only on executors,
+      // so on a real cluster one lost executor kills the whole job
+      // mid-loop. When the context has a RELIABLE checkpoint dir
+      // configured (sc.setCheckpointDir onto fault-tolerant storage),
+      // truncate lineage through checkpoint() instead — every frame we
+      // truncate is contraction-residue-sized, so the per-round write is
+      // tiny next to the shuffles it protects. Locally (no dir) fall
+      // back to executor-local checkpoints, which are faster and fine
+      // in a single-JVM test run.
+      implicit class Truncated(df: org.apache.spark.sql.DataFrame) {
+        def truncated(eager: Boolean): org.apache.spark.sql.DataFrame =
+          if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager)
+          else df.localCheckpoint(eager)
+      }
       // Eagerly materialize the edge list ONCE: the symmetric union below
       // references `edges` on both sides, and only the signature table is
       // persisted inside the LSH pipeline — without this checkpoint the
@@ -534,7 +548,7 @@ object DedupQueries {
       val edges = queries("dd_minhash_lsh")(s, d)
         .filter(col("est_jac") >= 0.75) // high-confidence cluster edges
         .select(col("a_id"), col("b_id"))
-        .localCheckpoint(true)
+        .truncated(true)
       // Symmetric edge list, pre-shuffled on the probe key and CACHED in
       // that layout: every round's hop join reads the cached hash-
       // partitioned blocks and only exchanges the (vertex-sized) label
@@ -555,7 +569,7 @@ object DedupQueries {
       val labels0 = sym.groupBy("src")
         .agg(min("dst").as("mn"))
         .select(col("src").as("id"), least(col("src"), col("mn")).as("comp"))
-        .localCheckpoint(true)
+        .truncated(true)
       // Fresh attribute ids for re-referenced checkpointed frames: a
       // checkpoint keeps its exprIds, and joining the same relation
       // twice in one plan trips InferFiltersFromConstraints (observed
@@ -577,12 +591,12 @@ object DedupQueries {
         .select(col("csrc").as("src"), col("cdst").as("dst"))
         .filter(col("src") =!= col("dst"))
         .distinct()
-        .localCheckpoint(false)
+        .truncated(false)
 
       var labels = cEdges.groupBy("src")
         .agg(min("dst").as("mn"))
         .select(col("src").as("id"), least(col("src"), col("mn")).as("comp"))
-        .localCheckpoint(false)
+        .truncated(false)
       var converged = false
       var rounds = 0
       // Convergence via a monotone checksum: every per-vertex comp is
@@ -610,7 +624,7 @@ object DedupQueries {
               col("comp").as("comp2")).alias("y"), Seq("comp"), "left")
             .select(col("id"),
               least(col("comp"), coalesce(col("comp2"), col("comp"))).as("comp"))
-        val next = jump(hop(labels)).localCheckpoint(false)
+        val next = jump(hop(labels)).truncated(false)
         val nextSum = next.agg(coalesce(sum("comp"), lit(0L))).head.getLong(0)
         labels = next
         converged = nextSum == checksum

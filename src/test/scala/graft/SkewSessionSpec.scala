@@ -96,6 +96,32 @@ class SkewSessionSpec extends SparkSpec {
         s"${expected.size}")
   }
 
+  test("dd_cluster_cc: with a reliable checkpoint dir configured, " +
+    "lineage truncation goes through checkpoint() and the output is " +
+    "unchanged") {
+    import graft.operators.DedupQueries
+    val base = DedupQueries.queries("dd_cluster_cc")(spark, sf)
+      .orderBy("doc_id").collect().toSeq
+    // Production recovery switch: sc.setCheckpointDir flips the CC
+    // loop's truncation from executor-local blocks (lost with a dead
+    // executor) to reliable checkpoint files. There is no public unset,
+    // and only dd_cluster_cc consults the dir, so it stays set for the
+    // rest of the suite — harmless.
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    val got = DedupQueries.queries("dd_cluster_cc")(spark, sf)
+      .orderBy("doc_id").collect().toSeq
+    assert(got == base, "reliable-checkpoint run must be row-identical")
+    // the reliable path actually engaged: checkpoint files were written
+    def hasFiles(p: java.nio.file.Path): Boolean = {
+      val s = java.nio.file.Files.walk(p)
+      try s.anyMatch(q => java.nio.file.Files.isRegularFile(q))
+      finally s.close()
+    }
+    assert(hasFiles(dir),
+      "no checkpoint files written — the switch never engaged")
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions on gap") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
