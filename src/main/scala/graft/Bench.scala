@@ -37,11 +37,19 @@ object Bench {
     // is a per-run contention probe — on an idle box it's ~10 s (JVM +
     // codegen + first scans); a multiple of that means the sweep's
     // numbers are inflated too.
+    // Guarded: a loader failure here (e.g. a testdata regeneration that
+    // changes a physical parquet type) must degrade to a cold first query
+    // and a loud stderr line — never kill the whole sweep with rc=1
+    // (round-11 lesson: BENCH_r11 died in this block and reported nothing).
     val warm0 = System.nanoTime()
-    Tables.documents(spark, sfDir).limit(100).count()
-    Tables.events(spark, sfDir).limit(100).count()
-    spark.range(100000).groupBy(org.apache.spark.sql.functions.expr("id % 7"))
-      .count().count()
+    try {
+      Tables.documents(spark, sfDir).limit(100).count()
+      Tables.events(spark, sfDir).limit(100).count()
+      spark.range(100000).groupBy(org.apache.spark.sql.functions.expr("id % 7"))
+        .count().count()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] WARMUP FAILED (continuing cold): $e")
+    }
     val warmupSec = (System.nanoTime() - warm0) / 1e9
     // Dev aid: SPARK_GRAFT_BENCH_ONLY=q1,q2 times just those queries
     // (repeated runs of a hot path without the full sweep). Unset in the

@@ -15,8 +15,19 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  /** The testdata generator has shipped naive (unadjusted) parquet
+    * TIMESTAMP columns in some generations and UTC-adjusted ones in
+    * others. The engine standardizes on session-TZ `TimestampType`
+    * (session TZ pinned to UTC), so naive micros must NOT surface as
+    * TIMESTAMP_NTZ: reading them with NTZ inference off yields the same
+    * instants as the adjusted encoding, keeps every comparison literal
+    * type-compatible, and — unlike a per-column cast on top of the scan —
+    * leaves min/max filter pushdown on date columns intact
+    * (`PushedFilters` pins in PlanSpec cover q6/s10). */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.read.parquet(s"$sfDir/$name.parquet")
+  }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
@@ -25,16 +36,22 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read it as raw nanos (legacy long) and convert to a
-    * micros TimestampType — the generator only emits whole microseconds,
-    * so the conversion is lossless and matches DuckDB's own ns→us
-    * coercion of the same file.
+  /** `events.ts` additionally shipped one generation as parquet
+    * TIMESTAMP(NANOS), which Spark's vectorized reader rejects outright —
+    * that encoding is read as raw nanos (legacy long) and converted to
+    * micros (lossless: the generator emits whole microseconds, and it
+    * matches DuckDB's own ns→us coercion of the same file). Dispatch is
+    * on the LOADED schema, not a config guess — whichever encoding the
+    * current testdata has, the right branch runs.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => df // micros TimestampType via load()'s NTZ-off read
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
