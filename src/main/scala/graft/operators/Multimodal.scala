@@ -158,19 +158,32 @@ object Multimodal {
     * LENGTH-PRESERVING 2-byte splice of every 25th (the pixel-noise /
     * re-encode stand-in — an append would shift every sampled position
     * and rightly not match). Shared by mm_phash_dedup and
-    * pipe_mm_refinery, mirrored verbatim in their oracles. */
-  private def phashSrc(s: SparkSession, d: String): DataFrame = {
-    val doc = Tables.documents(s, d)
+    * pipe_mm_refinery, mirrored verbatim in their oracles.
+    *
+    * Ghost (mutated) rows need ids that (a) can NEVER collide with a
+    * real doc and (b) sort ABOVE every real id, so the keep-first pair
+    * orientation (a_id < b_id drops b_id) always drops the ghost, not
+    * the original. A fixed additive offset satisfies neither at all
+    * scale factors, so the offset is derived from the data itself —
+    * max(doc_id) + 1, attached as a broadcast one-row frame (the same
+    * scalar-attach pattern the codebook joins use): collision-free and
+    * order-correct by construction at ANY corpus size. */
+  private[graft] def withGhostDups(doc: DataFrame): DataFrame = {
+    val off = doc.agg((max(col("doc_id")) + 1L).as("ghost_off"))
     doc.select(col("doc_id"), col("text"))
       .unionAll(doc
         .filter(col("doc_id") % 25 === 0 && length(col("text")) > 101)
-        .select((col("doc_id") + 1000000).as("doc_id"),
+        .crossJoin(broadcast(off))
+        .select((col("doc_id") + col("ghost_off")).as("doc_id"),
           concat(substring(col("text"), 1, 9), lit("X"),
             substring(col("text"), 11, 89), lit("X"),
             col("text").substr(lit(101), length(col("text"))))
             .as("text")))
-      .select(col("doc_id"), col("text").cast("binary").as("content"))
   }
+
+  private def phashSrc(s: SparkSession, d: String): DataFrame =
+    withGhostDups(Tables.documents(s, d))
+      .select(col("doc_id"), col("text").cast("binary").as("content"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_media_meta" -> ((s, d) => {
@@ -339,7 +352,7 @@ object Multimodal {
       """WITH src AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 1000000,
+        |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents),
         |    substr(text, 1, 9) || 'X' || substr(text, 11, 89) || 'X'
         |      || substr(text, 101, length(text))
         |  FROM documents WHERE doc_id % 25 = 0 AND length(text) > 101),
@@ -377,7 +390,7 @@ object Multimodal {
       """WITH src AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 1000000,
+        |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents),
         |    substr(text, 1, 9) || 'X' || substr(text, 11, 89) || 'X'
         |      || substr(text, 101, length(text))
         |  FROM documents WHERE doc_id % 25 = 0 AND length(text) > 101),

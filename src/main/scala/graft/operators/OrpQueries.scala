@@ -270,8 +270,12 @@ object OrpQueries {
         .select(col("doc_id").cast("string").as("uid"),
           concat(col("text"), lit(" amended")).as("text"), col("lang"),
           when(col("doc_id") % 6 === 0, 0.9).otherwise(0.999).as("sim"))
+        // brand-new uids carry a non-numeric prefix: current uids are
+        // pure digits, so "new_<id>" cannot collide at ANY corpus size
+        // (the additive-offset scheme could, once doc ids pass the
+        // offset — same latent pattern sig_store_refresh's ghost ids had)
         .unionByName(docs.filter(col("doc_id") % 7 === 0)
-          .select((col("doc_id") + 1000000).cast("string").as("uid"),
+          .select(concat(lit("new_"), col("doc_id")).as("uid"),
             col("text"), col("lang"), lit(1.0).as("sim")))
       GraphMerge.merge(current, incoming, Seq("text", "lang"))
         .select(col("uid"), col("lang"), col("version"), col("status"),
@@ -546,7 +550,7 @@ object OrpQueries {
         |    CASE WHEN doc_id % 6 = 0 THEN 0.9 ELSE 0.999 END AS sim
         |  FROM documents WHERE doc_id % 3 = 0
         |  UNION ALL
-        |  SELECT (doc_id + 1000000)::VARCHAR, text, lang, 1.0
+        |  SELECT 'new_' || doc_id, text, lang, 1.0
         |  FROM documents WHERE doc_id % 7 = 0),
         |live AS (SELECT * FROM cur WHERE status <> 'archive'),
         |archived AS (SELECT * FROM cur WHERE status = 'archive'),

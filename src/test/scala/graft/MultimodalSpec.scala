@@ -85,4 +85,30 @@ class MultimodalSpec extends SparkSpec {
     val total = rows.map(_.getAs[Array[Byte]](2).length).sum
     assert(total > 0 && total <= 10)
   }
+
+  test("phash ghost ids derive from max(doc_id) — no collision even when " +
+      "real ids straddle the old 1,000,000 additive offset") {
+    // A corpus whose real ids OVERLAP the historical fixed offset: under
+    // `doc_id + 1000000` the ghost of 25 would collide with real 1000025
+    // and the ghost of 1000050 would sort below real ids — both silent
+    // misclassifications. The data-derived offset must keep ghosts
+    // disjoint from and strictly above every real id.
+    val txt = ("abcdefghij" * 15).take(120)
+    val docs = Seq(25L, 50L, 1000025L, 1000050L)
+      .map(id => (id, txt + id))
+      .toDF("doc_id", "text")
+    val out = Multimodal.withGhostDups(docs)
+    val ids = out.select($"doc_id").collect().map(_.getLong(0))
+    val real = Set(25L, 50L, 1000025L, 1000050L)
+    val ghosts = ids.filterNot(real.contains)
+    // every 25th-rule doc (all four here) gets exactly one ghost
+    assert(ids.length == 8 && ghosts.length == 4)
+    // ghosts are unique, disjoint from real ids, and ALL above max real id
+    assert(ghosts.distinct.length == 4)
+    assert(ghosts.forall(_ > 1000050L))
+    // ghost text is a length-preserving splice, not an append
+    val lens = out.groupBy(length($"text").as("l")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(lens.values.sum == 8 && lens.keySet.forall(_ >= 120))
+  }
 }
