@@ -143,6 +143,10 @@ object DedupGate {
       .select(col("node_id"), col("sig"), col("meta_key"),
         explode(Hashes.bands(col("sig"), numBands, rowsPerBand)).as("band"))
       .select(col("node_id"), col("sig"), col("meta_key"),
+        // band_id rides along as its own column so per-node slices
+        // (meta lookups, signature reuse) filter structurally on
+        // `band_id = 0` instead of parsing the rendered bucket key
+        col("band.band_id").as("band_id"),
         concat_ws("_", col("band.band_id"), col("band.band_key")).as("bkey"))
 
   /** `classify` against a pre-banded on-disk store (the frame
@@ -180,10 +184,11 @@ object DedupGate {
       .filter(col("sim") >= DuplicateThreshold)
 
     // Exactly one store row per live node carries band 0, so the per-node
-    // meta frame is a row-local prefix filter on the bucketed scan — no
-    // distinct over the store. (Band ids ≥ 10 render as "10_…", which the
-    // "0_" prefix does not match.)
-    val corpusMeta = store.filter(col("bkey").startsWith("0_"))
+    // meta frame is a row-local filter on the bucketed scan — no distinct
+    // over the store. band_id is a store column of its own, so the filter
+    // is structural (and parquet-pushable), not a parse of the rendered
+    // bucket key.
+    val corpusMeta = store.filter(col("band_id") === 0)
       .select(col("node_id"), col("meta_key"))
     resolve(incoming, corpusMeta, candidates)
   }

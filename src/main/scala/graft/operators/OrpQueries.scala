@@ -379,7 +379,7 @@ object OrpQueries {
       val mutSig = MinHashPipeline.signatures(
         inc0.filter(col("uid") % 10 === 0), "uid", col("itext"))
       val reusedSig = inc0.filter(col("uid") % 10 =!= 0).select(col("uid"))
-        .join(stored.filter(col("bkey").startsWith("0_"))
+        .join(stored.filter(col("band_id") === 0)
           .select(col("node_id").as("uid"), col("sig")), "uid")
       val incoming = inc0.join(mutSig.unionByName(reusedSig), "uid")
       DedupGate.classifyStored(incoming, stored, 4, 4)

@@ -78,7 +78,10 @@ class ContractSpec extends SparkSpec {
       "ta_lm_score",
       // substring-containment rules join: theta predicate by nature,
       // against a broadcast ≤dozen-phrase rule table
-      "m5_doc_type")
+      "m5_doc_type",
+      // 1-row max(doc_id)+1 ghost-offset scalar attach (the planted
+      // near-dup ids derive from the corpus, never a fixed constant)
+      "mm_phash_dedup", "pipe_mm_refinery")
     // Constructing some frames triggers eager driver-side scalar jobs
     // (cluster_cc loop, bloom build) — sf0.001 keeps the sweep cheap.
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
