@@ -457,6 +457,60 @@ object RelationalQueries {
         GROUP BY n_name""")
     }),
 
+    // TPC-H Q18 (large-volume customer, public benchmark spec) — the
+    // SKEWED-AGGREGATE shape the other sql_* queries don't cover: a
+    // corpus-sized group-by whose HAVING keeps a tiny fraction of
+    // groups, then a 3-table join only over those survivors. The plan
+    // that must hold at 100 TB: the quantity roll-up combines MAP-SIDE
+    // (partial_sum before its exchange — a hot orderkey contributes one
+    // partial row per partition, never a reducer-side row pileup), the
+    // HAVING filter runs on the aggregate BEFORE any join (the fact
+    // tables join a 46-row survivor set at sf0.01, not 60k orders), and
+    // the survivor probe is a LeftSemi. DECIMAL sums keep the parallel
+    // reduction exact and order-insensitive.
+    "sql_q18" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("v_orders")
+      Tables.customer(s, d).createOrReplaceTempView("v_customer")
+      Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+      s.sql("""
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+                 AS DECIMAL(18,2)) AS DOUBLE) AS total_qty
+        FROM v_customer
+        JOIN v_orders ON c_custkey = o_custkey
+        JOIN v_lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (
+          SELECT l_orderkey FROM v_lineitem
+          GROUP BY l_orderkey
+          HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 100""")
+    }),
+
+    // TPC-H Q17 (small-quantity-order revenue, public benchmark spec,
+    // adapted to this schema's columns) — the correlated-scalar-subquery
+    // shape: each lineitem row compares against a PER-PARTKEY aggregate
+    // of the same fact table. Catalyst decorrelates it into an
+    // aggregate-then-join — the per-partkey avg combines map-side
+    // (partial_avg) into a partkey-sized frame, never a re-scan per
+    // row — and the part dim broadcasts. l_quantity is integral, so the
+    // double avg is an exact-sum division: identical across engines and
+    // partition orders, safe to compare against a strict `<`.
+    "sql_q17" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+      Tables.part(s, d).createOrReplaceTempView("v_part")
+      s.sql("""
+        SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))) / 7.0, 2)
+                 AS DOUBLE) AS avg_yearly
+        FROM v_lineitem
+        JOIN v_part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#23'
+          AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                            FROM v_lineitem l2
+                            WHERE l2.l_partkey = p_partkey)""")
+    }),
+
     // T4 explode (legislation_table_update.py:80) + word-frequency agg:
     // documents text → words → counts. The classic shuffle-heavy op; at
     // scale the map-side partial agg collapses per-partition duplicates
@@ -744,6 +798,29 @@ object RelationalQueries {
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
         |LIMIT 10""".stripMargin,
+    "sql_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+        |    AS DECIMAL(18,2)) AS DOUBLE) AS total_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey ASC
+        |LIMIT 100""".stripMargin,
+    "sql_q17" ->
+      """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))) / 7.0, 2)
+        |    AS DOUBLE) AS avg_yearly
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#23'
+        |  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+        |                    FROM lineitem l2
+        |                    WHERE l2.l_partkey = p_partkey)""".stripMargin,
     "w_running_sum" ->
       """SELECT o_custkey, o_orderkey,
         |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2)))

@@ -350,6 +350,35 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("sql_q18: the corpus-sized quantity roll-up partial-aggregates " +
+    "map-side and the HAVING survivors probe as a semi join — facts " +
+    "never join before the group filter") {
+    val p = planOf(RelationalQueries.queries("sql_q18")(spark, sf))
+    assert(p.contains("partial_sum"),
+      "the per-orderkey quantity sum must map-side combine — a hot " +
+        "orderkey contributes one partial row per partition, not a " +
+        "reducer-side pileup")
+    assert(p.contains("LeftSemi"),
+      "the HAVING survivor set must probe as a semi join, not " +
+        "materialize through an inner-join + distinct")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("sql_q17: the correlated per-partkey avg decorrelates into ONE " +
+    "map-side-combined aggregate; the part dim broadcasts") {
+    val p = planOf(RelationalQueries.queries("sql_q17")(spark, sf))
+    assert(p.contains("partial_avg") || p.contains("partial_sum"),
+      "the per-partkey avg must partial-aggregate map-side — the " +
+        "decorrelated rewrite, never a re-scan per outer row")
+    assert(p.contains("BroadcastHashJoin"),
+      "the filtered part dim is dim-sized and must broadcast")
+    assert(!p.contains("CartesianProduct"))
+    // decorrelation means the fact table appears a bounded number of
+    // times (outer scan + subquery aggregate), never once per outer row
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans <= 3, s"$scans fact scans — decorrelation failed:\n$p")
+  }
+
   test("mix_curriculum: cut-points broadcast back as scan-side " +
     "arithmetic — the corpus branch never sorts or shuffles globally") {
     val p = planOf(MixQueries.queries("mix_curriculum")(spark, sf))
