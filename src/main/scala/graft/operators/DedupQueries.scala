@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.{Hashes, Texts, Vectors}
+import graft.streaming.StreamDedup
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -18,6 +19,10 @@ import org.apache.spark.sql.functions._
   */
 object DedupQueries {
   type Q = (SparkSession, String) => DataFrame
+
+  /** Unique memory-sink names for the streaming drain (bench runs a
+    * query more than once in a session). */
+  private val streamSeq = new java.util.concurrent.atomic.AtomicInteger
 
   /** Block key for the fuzzy-title join: (first two tokens, 16-char
     * length bucket). Exposed so the skew guard in SkewSessionSpec pins
@@ -440,6 +445,66 @@ object DedupQueries {
           Hashes.minhashJaccard(col("a_sig"), col("b_sig")).as("est_jac"))
         .distinct()
         .filter(col("est_jac") >= 0.5)
+    }),
+
+    // ST7 streaming band tier, drained to a BATCH frame — the
+    // batch/stream parity check for the LSH near-dup path (reference
+    // contract: `check_duplicate.py:82-151` applied serially at ingest).
+    // The full corpus streams through StreamDedup.dedupByBands in
+    // ascending-id micro-batches: per band key, RocksDB state keeps the
+    // first owner (min id within a batch — the batch gate's
+    // earlier-id-wins rule), every later doc sharing the band emits
+    // collision:<owner>. With ascending chunks the owner is provably
+    // the GLOBAL min doc id over the band, so the drained per-doc
+    // rollup (bands, collisions, first colliding owner) is a pure
+    // function of the corpus — the oracle states it relationally over
+    // the same signature CTEs as dd_minhash_lsh. The driver-side
+    // collect below is the STREAM-SOURCE SIMULATION (MemoryStream is
+    // driver-fed by design; production reads SQS/Kinesis) — bounded by
+    // the simulated ingest size, never a pipeline operator.
+    "dg_stream_band_tier" -> ((s, d) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      val keyed = MinHashPipeline
+        .signatures(Tables.documents(s, d), "doc_id", col("text"))
+        .select(col("doc_id"),
+          transform(Hashes.bands(col("sig"), 4, 4),
+            b => concat_ws("_", b.getField("band_id"), b.getField("band_key")))
+            .as("bkeys"))
+        .as[(Long, Seq[String])]
+      val feed = keyed.collect().sortBy(_._1)
+      val prevProvider =
+        s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val input = MemoryStream[(Long, Seq[String])]
+        val sink = s"graft_stream_band_${streamSeq.incrementAndGet()}"
+        val q = StreamDedup.dedupByBands(input.toDS())
+          .toDF("doc_id", "band_key", "outcome")
+          .writeStream.outputMode("update").format("memory")
+          .queryName(sink).start()
+        // 3 ascending micro-batches: cross-batch state probes are the
+        // property under test (one batch would only test within-batch)
+        feed.grouped(math.max(1, feed.length / 3 + 1)).foreach { c =>
+          input.addData(c.toIndexedSeq: _*)
+          q.processAllAvailable()
+        }
+        q.stop()
+        s.table(sink).groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bands"),
+            sum(when(col("outcome") =!= "new", 1L).otherwise(0L))
+              .as("n_collisions"),
+            min(when(col("outcome") =!= "new",
+              substring_index(col("outcome"), ":", -1).cast("long")))
+              .as("first_owner"))
+      } finally prevProvider match {
+        case Some(p) =>
+          s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
     }),
 
     // SimHash near-dup clusters: identical 16-bit portable fingerprint ⇒
@@ -908,6 +973,21 @@ object DedupQueries {
     "dd_minhash_lsh" ->
       s"""WITH $lshPairsCtes
          |SELECT a_id, b_id, est_jac FROM pairs WHERE est_jac >= 0.5""".stripMargin,
+    // Relational statement of the drained streaming band tier: with
+    // ascending-id micro-batches and the min-id within-batch claim, the
+    // band owner IS the global min doc id over the band — so the per-doc
+    // rollup is order-free SQL over the same signature CTEs.
+    "dg_stream_band_tier" ->
+      s"""WITH $lshPairsCtes,
+         |owners AS (SELECT band_id, band_key, min(doc_id) AS owner
+         |           FROM banded GROUP BY band_id, band_key)
+         |SELECT b.doc_id, count(*) AS n_bands,
+         |  sum(CASE WHEN o.owner <> b.doc_id THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_collisions,
+         |  min(CASE WHEN o.owner <> b.doc_id THEN o.owner END) AS first_owner
+         |FROM banded b JOIN owners o
+         |  ON b.band_id = o.band_id AND b.band_key = o.band_key
+         |GROUP BY b.doc_id""".stripMargin,
     "dd_cluster_cc" ->
       s"""WITH RECURSIVE $lshPairsCtes,
          |edges AS (SELECT a_id, b_id FROM pairs WHERE est_jac >= 0.75),

@@ -46,7 +46,9 @@ class FingerprintDedup
   * the dedup gate's near tier (ST7, `check_duplicate.py:183-289` second
   * check, the dg_dedup_gate band probe as arriving state instead of a
   * batch join): each doc fans out to its band keys, state holds the
-  * FIRST owner per band, and any later doc sharing a band emits
+  * FIRST owner per band (min doc id within a micro-batch — the batch
+  * gate's earlier-id-wins tie-break, so the claim is deterministic
+  * under shuffle order), and any later doc sharing a band emits
   * `collision:<owner>` (a re-arrival of the owner itself collides with
   * its own id — the consumer's exact-tier distinguishes re-arrival from
   * true near-dup). At 100 TB the band-key state is hash-partitioned
@@ -68,15 +70,20 @@ class BandDedup
 
   override def handleInputRows(key: String, rows: Iterator[(String, Long)],
       timerValues: TimerValues): Iterator[(Long, String, String)] = {
-    // eager for the same reason as FingerprintDedup: the band must be
-    // claimed even if downstream stops consuming early
-    val out = rows.map { case (_, docId) =>
+    // Eager for the same reason as FingerprintDedup: the band must be
+    // claimed even if downstream stops consuming early. Sorted by doc id
+    // first: rows of one band within a micro-batch arrive in shuffle
+    // order, so an arrival-order claim would make the owner
+    // NONDETERMINISTIC across runs — the min-id claim is the batch
+    // gate's "earlier id wins" rule (DedupGate batch-twin resolution),
+    // making the drained outcome a pure function of the input set.
+    val out = rows.toVector.sortBy(_._2).map { case (_, docId) =>
       if (owner.exists()) (docId, key, s"collision:${owner.get()}")
       else {
         owner.update(docId)
         (docId, key, "new")
       }
-    }.toVector
+    }
     out.iterator
   }
 }
