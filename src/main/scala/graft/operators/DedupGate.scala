@@ -192,4 +192,55 @@ object DedupGate {
       .select(col("node_id"), col("meta_key"))
     resolve(incoming, corpusMeta, candidates)
   }
+
+  /** Apply one ingest batch's gate outcomes to the banded signature
+    * store — the MAINTENANCE half of the gate loop (reference:
+    * `misc/stream_update_process/record_handler.py:103-147` writes each
+    * outcome back to the graph; `check_duplicate.py:96-101` excludes
+    * archived nodes from every later probe). `outcomes` is
+    * classify/classifyStored output for `incoming` (uid, sig,
+    * meta_key); `archiveFlips` holds node ids archived since the store
+    * was last written.
+    *
+    *  - `new`       → the doc's banded rows enter under its own uid
+    *  - `version`   → the incoming signature/meta REPLACE the target
+    *                  node's rows (target = matched corpus node, or the
+    *                  batch twin's node for within-batch versions)
+    *  - `duplicate` → no store change
+    *  - archive     → every row of the node drops
+    *
+    * Several batch docs landing on one target node resolve
+    * LAST-writer-wins by uid — the reference's serial processing order.
+    *
+    * Scale shape: `dead` is delta-sized, so the store-side anti-join is
+    * a broadcast probe (no store exchange); only the delta pays the
+    * band explode. The returned frame is the updated LIVE store; at
+    * production scale the rewrite lands as delta files beside the
+    * bucketed base (bucket layout keyed the same) with periodic
+    * compaction via `Layout.bucketedStoreWrite` — a per-batch full
+    * rewrite would re-pay the corpus band shuffle the store exists to
+    * amortize.
+    */
+  def applyOutcomes(store: DataFrame, incoming: DataFrame,
+      outcomes: DataFrame, archiveFlips: DataFrame,
+      numBands: Int, rowsPerBand: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val upserts = outcomes
+      .filter(col("outcome").isin("new", "version"))
+      .select(col("uid"),
+        when(col("outcome") === "new", col("uid"))
+          .otherwise(coalesce(col("matched_node_id"), col("batch_twin")))
+          .as("node_id"))
+      .join(incoming.select(col("uid"), col("sig"), col("meta_key")), "uid")
+    val winners = upserts
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("node_id").orderBy(col("uid").desc)))
+      .filter(col("rk") === 1)
+      .select(col("node_id"), col("sig"), col("meta_key"),
+        lit("published").as("status"))
+    val dead = winners.select("node_id")
+      .unionByName(archiveFlips.select("node_id")).distinct()
+    store.join(broadcast(dead), Seq("node_id"), "left_anti")
+      .unionByName(bandedSigStore(winners, numBands, rowsPerBand))
+  }
 }

@@ -1,0 +1,108 @@
+package graft
+
+import graft.operators.{DedupGate, Layout, MinHashPipeline}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The full gate↔store maintenance loop (ST7 + K5/K7): batch 1's
+  * outcomes update the bucketed on-disk signature store (new appends,
+  * version replaces, archive drops), and batch 2 probes the MAINTAINED
+  * store. Correctness bar: the stored-gate outcomes for batch 2 must be
+  * row-identical to the in-memory gate run against the merged corpus
+  * built independently from batch-1 outcomes — the store is an index,
+  * never a semantic actor. Reference contract:
+  * `misc/stream_update_process/record_handler.py:103-147` (outcome
+  * write-back) + `lambdas/check_duplicate/check_duplicate.py:96-101`
+  * (archived nodes leave the probe set).
+  */
+class StoreLoopSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sigsOf(df: DataFrame, id: String, text: String): DataFrame =
+    df.join(MinHashPipeline.signatures(df, id, col(text)), id)
+
+  test("gate outcomes feed back into the bucketed store: a second batch " +
+      "probing the maintained store matches the in-memory gate on the " +
+      "merged corpus") {
+    val text = (i: Int) =>
+      s"document body $i carries its own distinct words w${i}a w${i}b " +
+        s"w${i}c and trailing filler ${i * 37}"
+    val fresh =
+      "entirely new submission covering unrelated subject matter tokens qq zz"
+    val fresh2 =
+      "another novel arrival with different vocabulary entirely pp kk"
+
+    val corpus0 = (1 to 30).map(i => (i.toLong, text(i), "en", "published"))
+      .toDF("node_id", "text", "meta_key", "status")
+    val c0 = sigsOf(corpus0, "node_id", "text")
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft-loop").toString
+    Layout.bucketedStoreWrite(DedupGate.bandedSigStore(c0, 4, 4),
+      "loop_store_0", s"$tmp/s0", 8, Seq("bkey"))
+    val s0 = spark.table("loop_store_0")
+
+    val batch1 = Seq(
+      (101L, text(5), "en"),  // duplicate of node 5
+      (102L, text(10), "xx"), // version of node 10 (meta change)
+      (103L, fresh, "en"),    // new
+      (105L, fresh, "xx"))    // version of BATCH TWIN 103 (within-batch)
+      .toDF("uid", "itext", "meta_key")
+    val b1 = batch1.join(
+      MinHashPipeline.signatures(batch1, "uid", col("itext")), "uid")
+
+    val o1 = DedupGate.classifyStored(b1, s0, 4, 4)
+    val o1m = o1.collect().map(r => r.getLong(0) ->
+      (r.getString(1), Option(r.get(2)), Option(r.get(4)))).toMap
+    assert(o1m(101L)._1 == "duplicate" && o1m(101L)._2 == Some(5L))
+    assert(o1m(102L)._1 == "version" && o1m(102L)._2 == Some(10L))
+    assert(o1m(103L)._1 == "new")
+    assert(o1m(105L)._1 == "version" && o1m(105L)._3 == Some(103L))
+
+    // Maintenance: batch-1 outcomes + an archive flip of node 20 land
+    // in the store (disk round-trip both before and after).
+    val flips = Seq(20L).toDF("node_id")
+    val s1 = DedupGate.applyOutcomes(s0, b1, o1, flips, 4, 4)
+    Layout.bucketedStoreWrite(s1, "loop_store_1", s"$tmp/s1", 8, Seq("bkey"))
+    val s1r = spark.table("loop_store_1")
+
+    val batch2 = Seq(
+      // duplicate of node 103: meta xx AFTER twin 105's version won
+      (201L, fresh, "xx"),
+      // version of node 10: the store's meta is xx post-102 (a stale
+      // store would say duplicate)
+      (202L, text(10), "en"),
+      // new: node 20 archived between batches (a stale store would say
+      // duplicate)
+      (203L, text(20), "en"),
+      (204L, fresh2, "en"))   // new
+      .toDF("uid", "itext", "meta_key")
+    val b2 = batch2.join(
+      MinHashPipeline.signatures(batch2, "uid", col("itext")), "uid")
+
+    val stored = DedupGate.classifyStored(b2, s1r, 4, 4)
+
+    // Independent reference: the merged corpus built BY HAND from
+    // batch-1 outcomes, probed by the IN-MEMORY gate.
+    val corpus1 = ((1 to 30).filter(i => i != 20 && i != 10)
+      .map(i => (i.toLong, text(i), "en", "published")) ++
+      Seq((10L, text(10), "xx", "published"),
+          (103L, fresh, "xx", "published")))
+      .toDF("node_id", "text", "meta_key", "status")
+    val mem = DedupGate.classify(b2, sigsOf(corpus1, "node_id", "text"), 4, 4)
+
+    def keyed(df: DataFrame): DataFrame = df
+      .select("uid", "outcome", "matched_node_id", "best_sim", "batch_twin")
+    assert(keyed(stored).except(keyed(mem)).isEmpty &&
+      keyed(mem).except(keyed(stored)).isEmpty,
+      "stored-gate outcomes diverged from the in-memory gate on the " +
+        "merged corpus")
+
+    // The loop's headline outcomes, stated directly.
+    val o2 = stored.collect().map(r => r.getLong(0) ->
+      (r.getString(1), Option(r.get(2)))).toMap
+    assert(o2(201L)._1 == "duplicate" && o2(201L)._2 == Some(103L))
+    assert(o2(202L)._1 == "version" && o2(202L)._2 == Some(10L))
+    assert(o2(203L)._1 == "new")
+    assert(o2(204L)._1 == "new")
+  }
+}
