@@ -511,6 +511,42 @@ object RelationalQueries {
                             WHERE l2.l_partkey = p_partkey)""")
     }),
 
+    // TPC-H Q21 (suppliers who kept orders waiting, public benchmark
+    // spec, lateness adapted to this schema: shipped > 60 days after
+    // the order date) — the correlated EXISTS / NOT-EXISTS chain, the
+    // one join family Q3/Q5/Q6/Q17/Q18 leave uncovered. Catalyst turns
+    // the EXISTS into a LeftSemi and the NOT EXISTS into a LeftAnti,
+    // both keyed on l_orderkey with the supplier-inequality as a
+    // residual condition — at 100 TB these are ordinary keyed shuffles
+    // over the fact table, never per-row subquery re-execution, and
+    // the `late` set is computed ONCE and reused for both the outer
+    // filter and the anti probe.
+    "sql_q21" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("v_orders")
+      Tables.supplier(s, d).createOrReplaceTempView("v_supplier")
+      Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+      s.sql("""
+        WITH late AS (
+          SELECT DISTINCT l.l_orderkey, l.l_suppkey
+          FROM v_lineitem l JOIN v_orders o ON l.l_orderkey = o.o_orderkey
+          WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        SELECT s_name, count(*) AS numwait
+        FROM v_supplier s
+        JOIN v_lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        JOIN v_orders o ON o.o_orderkey = l1.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (SELECT 1 FROM v_lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM late l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20""")
+    }),
+
     // T4 explode (legislation_table_update.py:80) + word-frequency agg:
     // documents text → words → counts. The classic shuffle-heavy op; at
     // scale the map-side partial agg collapses per-partition duplicates
@@ -821,6 +857,26 @@ object RelationalQueries {
         |  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
         |                    FROM lineitem l2
         |                    WHERE l2.l_partkey = p_partkey)""".stripMargin,
+    "sql_q21" ->
+      """WITH late AS (
+        |  SELECT DISTINCT l.l_orderkey, l.l_suppkey
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |SELECT s_name, count(*) AS numwait
+        |FROM supplier s
+        |JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        |WHERE o.o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 20""".stripMargin,
     "w_running_sum" ->
       """SELECT o_custkey, o_orderkey,
         |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2)))

@@ -379,6 +379,19 @@ class PlanSpec extends SparkSpec {
     assert(scans <= 3, s"$scans fact scans — decorrelation failed:\n$p")
   }
 
+  test("sql_q21: EXISTS and NOT EXISTS decorrelate into keyed semi/anti " +
+    "joins — never per-row subquery re-execution") {
+    val p = planOf(RelationalQueries.queries("sql_q21")(spark, sf))
+    assert(p.contains("LeftSemi"),
+      "EXISTS must plan as a keyed semi join")
+    assert(p.contains("LeftAnti"),
+      "NOT EXISTS must plan as a keyed anti join")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "the supplier-inequality must ride the keyed joins as a residual " +
+        "condition, not force a nested loop")
+  }
+
   test("mix_curriculum: cut-points broadcast back as scan-side " +
     "arithmetic — the corpus branch never sorts or shuffles globally") {
     val p = planOf(MixQueries.queries("mix_curriculum")(spark, sf))
