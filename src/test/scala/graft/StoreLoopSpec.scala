@@ -105,4 +105,37 @@ class StoreLoopSpec extends SparkSpec {
     assert(o2(203L)._1 == "new")
     assert(o2(204L)._1 == "new")
   }
+
+  test("applyOutcomes edge cases: an all-duplicate batch leaves the " +
+      "store untouched; archive-only maintenance drops exactly the " +
+      "flipped node's rows") {
+    val text = (i: Int) =>
+      s"edge fixture $i distinct tokens e${i}x e${i}y e${i}z padding ${i * 13}"
+    val corpus = (1 to 8).map(i => (i.toLong, text(i), "en", "published"))
+      .toDF("node_id", "text", "meta_key", "status")
+    val c = sigsOf(corpus, "node_id", "text")
+    val s0 = DedupGate.bandedSigStore(c, 4, 4)
+
+    // batch of pure re-arrivals: every outcome is duplicate
+    val batch = Seq((901L, text(3), "en"), (902L, text(7), "en"))
+      .toDF("uid", "itext", "meta_key")
+    val b = batch.join(
+      MinHashPipeline.signatures(batch, "uid", col("itext")), "uid")
+    val o = DedupGate.classifyStored(b, s0, 4, 4)
+    assert(o.filter(col("outcome") =!= "duplicate").isEmpty)
+
+    val noFlips = Seq.empty[Long].toDF("node_id")
+    val unchanged = DedupGate.applyOutcomes(s0, b, o, noFlips, 4, 4)
+    assert(unchanged.except(s0).isEmpty && s0.except(unchanged).isEmpty,
+      "an all-duplicate batch must be a store no-op")
+
+    // archive-only maintenance: same batch, node 7 flips
+    val afterFlip =
+      DedupGate.applyOutcomes(s0, b, o, Seq(7L).toDF("node_id"), 4, 4)
+    assert(afterFlip.filter(col("node_id") === 7L).isEmpty,
+      "flipped node's rows must drop")
+    assert(afterFlip.except(s0).isEmpty &&
+      s0.except(afterFlip).count() == 4, // node 7 carried 4 band rows
+      "nothing but the flipped node may change")
+  }
 }
