@@ -224,6 +224,25 @@ object DedupGate {
   def applyOutcomes(store: DataFrame, incoming: DataFrame,
       outcomes: DataFrame, archiveFlips: DataFrame,
       numBands: Int, rowsPerBand: Int): DataFrame = {
+    val (append, tombstones) =
+      outcomesDelta(incoming, outcomes, archiveFlips, numBands, rowsPerBand)
+    store.join(broadcast(tombstones), Seq("node_id"), "left_anti")
+      .unionByName(append)
+  }
+
+  /** The same maintenance as [[applyOutcomes]], expressed as the
+    * PER-BATCH DELTA instead of a rewritten store: `(append,
+    * tombstones)` where `append` is the banded rows of the batch's
+    * winners (delta-sized — the only band explode the batch pays) and
+    * `tombstones` the node ids whose stored rows are dead (replaced by
+    * a version, or archived). This is the artifact the 1000×-scale
+    * posture writes beside the bucketed base each batch; compaction =
+    * `applyOutcomes` + `Layout.bucketedStoreWrite`, run periodically,
+    * which is the ONLY time the corpus-sized band shuffle recurs.
+    */
+  def outcomesDelta(incoming: DataFrame, outcomes: DataFrame,
+      archiveFlips: DataFrame, numBands: Int, rowsPerBand: Int)
+      : (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val upserts = outcomes
       .filter(col("outcome").isin("new", "version"))
@@ -238,9 +257,58 @@ object DedupGate {
       .filter(col("rk") === 1)
       .select(col("node_id"), col("sig"), col("meta_key"),
         lit("published").as("status"))
-    val dead = winners.select("node_id")
+    val tombstones = winners.select("node_id")
       .unionByName(archiveFlips.select("node_id")).distinct()
-    store.join(broadcast(dead), Seq("node_id"), "left_anti")
-      .unionByName(bandedSigStore(winners, numBands, rowsPerBand))
+    (bandedSigStore(winners, numBands, rowsPerBand), tombstones)
+  }
+
+  /** `classifyStored` against BASE + DELTA + TOMBSTONES — the per-batch
+    * probe shape of the delta-store posture, identical in outcome to
+    * probing the compacted store. Candidate generation distributes over
+    * the union, so each side is probed the way its size deserves: the
+    * bucketed base joins exchange-free on `bkey` with tombstoned nodes
+    * dropped by a broadcast anti-join AT THE SCAN (delta-sized build
+    * side — the base never shuffles), and the delta — ingest-scale by
+    * construction — rides a broadcast hash join. No corpus-sized
+    * exchange exists anywhere in the per-batch path.
+    */
+  def classifyStoredDelta(incoming: DataFrame, base: DataFrame,
+      delta: DataFrame, tombstones: DataFrame,
+      numBands: Int, rowsPerBand: Int): DataFrame = {
+
+    def banded(df: DataFrame, idCol: String) =
+      df.select(col(idCol), col("sig"),
+        explode(Hashes.bands(col("sig"), numBands, rowsPerBand)).as("band"))
+        .select(col(idCol), col("sig"),
+          concat_ws("_", col("band.band_id"), col("band.band_key")).as("bkey"))
+
+    val liveBase = base
+      .join(broadcast(tombstones.select("node_id")), Seq("node_id"),
+        "left_anti")
+    val probe = banded(incoming, "uid")
+    def storeCand(side: DataFrame) = probe.alias("q")
+      .join(side.alias("c"), Seq("bkey"))
+      .select(col("q.uid").as("uid"), col("c.node_id").as("match_id"),
+        Hashes.minhashJaccard(col("q.sig"), col("c.sig")).as("sim"),
+        lit(true).as("from_corpus"))
+
+    val batchCand = probe.alias("a")
+      .join(probe.alias("b"), Seq("bkey"))
+      .filter(col("a.uid") > col("b.uid"))
+      .select(col("a.uid").as("uid"), col("b.uid").as("match_id"),
+        Hashes.minhashJaccard(col("a.sig"), col("b.sig")).as("sim"),
+        lit(false).as("from_corpus"))
+
+    val candidates = storeCand(liveBase)
+      .unionByName(storeCand(broadcast(delta)))
+      .unionByName(batchCand)
+      .distinct()
+      .filter(col("sim") >= DuplicateThreshold)
+
+    val corpusMeta = liveBase.filter(col("band_id") === 0)
+      .select(col("node_id"), col("meta_key"))
+      .unionByName(delta.filter(col("band_id") === 0)
+        .select(col("node_id"), col("meta_key")))
+    resolve(incoming, corpusMeta, candidates)
   }
 }

@@ -568,6 +568,43 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("delta-store probe: the tombstone anti-join rides the bucketed " +
+    "base scan without an exchange — the per-batch path never shuffles " +
+    "the base") {
+    // Re-create the bucketed store table (independent of test order).
+    OrpQueries.queries("dg_gate_stored")(spark, sf)
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val batch = spark.range(10).select(col("id").as("uid"),
+        array((0 until 16).map(i => (col("id") * i).cast("long")): _*)
+          .as("sig"))
+      val probe = batch.select(col("uid"), col("sig"),
+        explode(graft.functions.Hashes.bands(col("sig"), 4, 4)).as("band"))
+        .select(col("uid"),
+          concat_ws("_", col("band.band_id"), col("band.band_key"))
+            .as("bkey"))
+      val tombstones = spark.range(3).select(col("id").as("node_id"))
+      // liveBase exactly as classifyStoredDelta builds it: explicit
+      // broadcast hint, so the anti-join survives threshold=-1
+      val liveBase = spark.table("graft_sig_store")
+        .join(broadcast(tombstones), Seq("node_id"), "left_anti")
+      val p = planOf(probe.join(liveBase, Seq("bkey")))
+      assert(p.contains("SelectedBucketsCount"),
+        s"base read must stay a bucketed scan under the anti-join:\n$p")
+      // count SHUFFLE exchanges only — the tombstone set's
+      // BroadcastExchange is the intended delta-sized broadcast
+      val shuffles = p.linesIterator
+        .count(l => l.contains("Exchange") && !l.contains("BroadcastExchange"))
+      assert(shuffles == 1,
+        s"$shuffles shuffle exchanges — the anti-join must preserve the " +
+          s"base's bucket partitioning; only the batch side may shuffle:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.sql("DROP TABLE IF EXISTS graft_sig_store")
+    }
+  }
+
   test("s13_orc_partitioned: read-back prunes to the lang=en partition") {
     val p = planOf(SourceSinkQueries.queries("s13_orc_partitioned")(spark, sf))
     assert(p.contains("PartitionFilters") && p.contains("lang"),

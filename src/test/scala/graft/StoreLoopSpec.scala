@@ -106,6 +106,61 @@ class StoreLoopSpec extends SparkSpec {
     assert(o2(204L)._1 == "new")
   }
 
+  test("delta-store posture: probing base + per-batch delta + tombstones " +
+      "is outcome-identical to probing the compacted store, and the " +
+      "delta artifacts are ingest-sized") {
+    val text = (i: Int) =>
+      s"delta fixture $i with unique vocabulary d${i}p d${i}q d${i}r tail ${i * 11}"
+    val fresh = "brand new delta submission separate wording entirely mm nn"
+    val corpus = (1 to 25).map(i => (i.toLong, text(i), "en", "published"))
+      .toDF("node_id", "text", "meta_key", "status")
+    val base = DedupGate.bandedSigStore(sigsOf(corpus, "node_id", "text"), 4, 4)
+
+    val batch1 = Seq(
+      (301L, text(4), "en"),  // duplicate — contributes NOTHING to the delta
+      (302L, text(9), "xx"),  // version of node 9
+      (303L, fresh, "en"))    // new
+      .toDF("uid", "itext", "meta_key")
+    val b1 = batch1.join(
+      MinHashPipeline.signatures(batch1, "uid", col("itext")), "uid")
+    val o1 = DedupGate.classifyStored(b1, base, 4, 4)
+    val flips = Seq(17L).toDF("node_id")
+
+    val (append, tombstones) = DedupGate.outcomesDelta(b1, o1, flips, 4, 4)
+    // delta artifacts are ingest-scale: 2 winners × 4 bands appended;
+    // tombstones = {9 (version-replaced), 17 (archived), 303 (new —
+    // vacuous in base, kept as the guard against a new uid colliding
+    // with an unrelated base node id)}
+    assert(append.count() == 8 && tombstones.count() == 3)
+
+    val batch2 = Seq(
+      (401L, fresh, "en"),    // duplicate of delta-resident node 303
+      (402L, text(9), "en"),  // version: node 9's live meta is xx (delta)
+      (403L, text(17), "en"), // new: node 17 tombstoned
+      (404L, text(2), "en"))  // duplicate of untouched base node 2
+      .toDF("uid", "itext", "meta_key")
+    val b2 = batch2.join(
+      MinHashPipeline.signatures(batch2, "uid", col("itext")), "uid")
+
+    val viaDelta =
+      DedupGate.classifyStoredDelta(b2, base, append, tombstones, 4, 4)
+    val compacted = DedupGate.applyOutcomes(base, b1, o1, flips, 4, 4)
+    val viaCompacted = DedupGate.classifyStored(b2, compacted, 4, 4)
+
+    def keyed(df: DataFrame): DataFrame = df
+      .select("uid", "outcome", "matched_node_id", "best_sim", "batch_twin")
+    assert(keyed(viaDelta).except(keyed(viaCompacted)).isEmpty &&
+      keyed(viaCompacted).except(keyed(viaDelta)).isEmpty,
+      "delta-path outcomes diverged from the compacted store")
+
+    val o2 = viaDelta.collect().map(r => r.getLong(0) ->
+      (r.getString(1), Option(r.get(2)))).toMap
+    assert(o2(401L)._1 == "duplicate" && o2(401L)._2 == Some(303L))
+    assert(o2(402L)._1 == "version" && o2(402L)._2 == Some(9L))
+    assert(o2(403L)._1 == "new")
+    assert(o2(404L)._1 == "duplicate" && o2(404L)._2 == Some(2L))
+  }
+
   test("applyOutcomes edge cases: an all-duplicate batch leaves the " +
       "store untouched; archive-only maintenance drops exactly the " +
       "flipped node's rows") {
