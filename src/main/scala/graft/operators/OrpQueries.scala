@@ -385,6 +385,50 @@ object OrpQueries {
       DedupGate.classifyStored(incoming, stored, 4, 4)
     }),
 
+    // ST7 gate in the DELTA-STORE posture: the base index was written
+    // BEFORE some changes happened (1/7th of the corpus hadn't arrived;
+    // no archive flip had landed), and the probe composes base + the
+    // late arrivals' delta + the flips' tombstones via
+    // classifyStoredDelta — base side exchange-free, delta broadcast.
+    // Same fixture, same oracle SQL as dg_dedup_gate/dg_gate_stored:
+    // how the live index is PHYSICALLY organized (monolith, bucketed
+    // table, or base+delta) must not change a single classified row.
+    "dg_gate_delta" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val inc0 = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("uid"),
+          when(col("doc_id") % 10 === 0,
+            concat(lit("completely different content block "), col("doc_id")))
+            .otherwise(col("text")).as("itext"),
+          when(col("doc_id") % 15 === 0, lit("xx")).otherwise(col("lang"))
+            .as("meta_key"))
+      val corp0 = docs.select(col("doc_id").as("node_id"), col("text"),
+        col("lang").as("meta_key"),
+        when(col("doc_id") % 10 === 9, "archive").otherwise("published")
+          .as("status"))
+      val corpSig = MinHashPipeline.signatures(corp0, "node_id", col("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // base as written at T0: the %7 tranche hadn't arrived, and docs
+      // archived SINCE then were still published
+      val base = DedupGate.bandedSigStore(
+        corp0.filter(col("node_id") % 7 =!= 0)
+          .withColumn("status", lit("published"))
+          .join(corpSig, "node_id"), 4, 4)
+      // the late tranche's delta (bandedSigStore drops its archived rows
+      // itself — they were never live in any index generation)
+      val delta = DedupGate.bandedSigStore(
+        corp0.filter(col("node_id") % 7 === 0)
+          .join(corpSig, "node_id"), 4, 4)
+      val tombstones = corp0.filter(col("status") === "archive")
+        .select("node_id")
+      val mutSig = MinHashPipeline.signatures(
+        inc0.filter(col("uid") % 10 === 0), "uid", col("itext"))
+      val reusedSig = inc0.filter(col("uid") % 10 =!= 0).select(col("uid"))
+        .join(corpSig.withColumnRenamed("node_id", "uid"), "uid")
+      val incoming = inc0.join(mutSig.unionByName(reusedSig), "uid")
+      DedupGate.classifyStoredDelta(incoming, base, delta, tombstones, 4, 4)
+    }),
+
     // O4 within-row top-n (keyword top-10 after lemma-dedup): top-5
     // distinct words per document, descending.
     "o4_topn_within_row" -> ((s, d) => {
@@ -596,6 +640,8 @@ object OrpQueries {
     // is the SAME SQL — materializing the index on disk must not change
     // a single classified row.
     "dg_gate_stored" -> dgGateSql,
+    // And the base+delta+tombstone composition must be too.
+    "dg_gate_delta" -> dgGateSql,
     "o4_topn_within_row" ->
       """SELECT doc_id,
         |  array_to_string(
