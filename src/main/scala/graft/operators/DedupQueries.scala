@@ -288,6 +288,54 @@ object DedupQueries {
         .agg(count("*").as("n_shared"))
     }),
 
+    // FUZZY decontamination by n-gram CONTAINMENT — the production
+    // companion to dd_decontaminate's exact any-gram hit: a train doc is
+    // contaminated when it contains ≥ 20% of an eval doc's distinct
+    // 8-grams (the asymmetric containment |train ∩ eval| / |eval| that
+    // catches an eval passage EMBEDDED in a larger train doc, where
+    // symmetric Jaccard would dilute to ~0). Scale shape: the eval
+    // side's gram→eval-doc attribution map is eval-sized and BROADCAST
+    // twice (grams, then sizes); the corpus explodes grams in place and
+    // the only corpus shuffle is the keyed (doc, eval) count — same
+    // geometry as dd_decontaminate, one extra keyed column. The corpus
+    // has just one natural overlap pair, so partial contaminations are
+    // PLANTED deterministically: every train doc ≡37 (mod 100) carries
+    // a 40-token slice of eval doc (id mod 20) appended — containment
+    // ≈ 0.6, well over threshold but far from the exact-copy 1.0 the
+    // exact scrub already catches. Mirrored verbatim in the oracle.
+    "dd_containment_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val evals = docs.filter(col("doc_id") < 20)
+      val planted = docs.filter(col("doc_id") >= 20 &&
+          col("doc_id") % 100 === 37).alias("t")
+        .join(evals.select(col("doc_id").as("eid"), col("text").as("etext")),
+          col("t.doc_id") % 20 === col("eid"))
+        .select(col("t.doc_id").as("doc_id"),
+          concat(col("t.text"), lit(" "),
+            array_join(slice(Texts.tokens(col("etext")), 1, 40), " "))
+            .as("text"))
+      val train = docs.filter(col("doc_id") >= 20 &&
+          col("doc_id") % 100 =!= 37)
+        .select(col("doc_id"), col("text"))
+        .unionByName(planted)
+      def grams(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("doc_id"), explode(array_distinct(
+          Texts.wordNgrams(Texts.tokens(col("text")), 8))).as("gram"))
+      val evalGrams = grams(evals)
+        .select(col("doc_id").as("eval_id"), col("gram"))
+      val evalSizes = evalGrams.groupBy("eval_id")
+        .agg(count(lit(1)).as("n_eval"))
+      grams(train)
+        .join(broadcast(evalGrams), Seq("gram"))
+        .groupBy("doc_id", "eval_id")
+        .agg(count(lit(1)).as("shared"))
+        .join(broadcast(evalSizes), Seq("eval_id"))
+        .select(col("doc_id"), col("eval_id"),
+          round(col("shared").cast("double") / col("n_eval"), 6)
+            .as("containment"))
+        .filter(col("containment") >= 0.2)
+    }),
+
     // Chunked signature aggregation via the SigMin UDAF (SURVEY §2.11's
     // MinHashAgg): 16-perm portable signatures are computed per 10-token
     // CHUNK, then merged to the document signature with the custom
@@ -900,6 +948,36 @@ object DedupQueries {
         |FROM g JOIN b USING (gram)
         |WHERE g.doc_id >= 20
         |GROUP BY 1""".stripMargin,
+    "dd_containment_decontaminate" ->
+      """WITH ev AS (SELECT doc_id AS eid,
+        |         list_filter(string_split(text, ' '), x -> x <> '') AS etk
+        |       FROM documents WHERE doc_id < 20),
+        |train AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id >= 20 AND doc_id % 100 <> 37
+        |  UNION ALL
+        |  SELECT t.doc_id,
+        |    t.text || ' ' || array_to_string(e.etk[1:40], ' ')
+        |  FROM documents t JOIN ev e ON t.doc_id % 20 = e.eid
+        |  WHERE t.doc_id >= 20 AND t.doc_id % 100 = 37),
+        |tt AS (SELECT doc_id,
+        |         list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |       FROM train),
+        |tg AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |         generate_series(1, greatest(len(tk) - 7, 1)),
+        |         i -> array_to_string(tk[i:i+7], ' ')))) AS gram
+        |       FROM tt),
+        |eg AS (SELECT eid AS eval_id, unnest(list_distinct(list_transform(
+        |         generate_series(1, greatest(len(etk) - 7, 1)),
+        |         i -> array_to_string(etk[i:i+7], ' ')))) AS gram
+        |       FROM ev),
+        |esz AS (SELECT eval_id, count(*) AS n_eval FROM eg GROUP BY 1),
+        |hits AS (SELECT tg.doc_id, eg.eval_id, count(*) AS shared
+        |         FROM tg JOIN eg USING (gram) GROUP BY 1, 2)
+        |SELECT h.doc_id, h.eval_id,
+        |  round(h.shared::DOUBLE / s.n_eval, 6) AS containment
+        |FROM hits h JOIN esz s USING (eval_id)
+        |WHERE round(h.shared::DOUBLE / s.n_eval, 6) >= 0.2""".stripMargin,
     // The oracle computes the FLAT whole-document signature — chunked
     // UDAF-merged signatures must equal it exactly (min is associative).
     "agg_sig_min_chunks" ->
