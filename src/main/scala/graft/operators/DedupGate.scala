@@ -211,6 +211,11 @@ object DedupGate {
     *
     * Several batch docs landing on one target node resolve
     * LAST-writer-wins by uid — the reference's serial processing order.
+    * "Last" follows the uid column's NATURAL ordering (numeric for
+    * longs, lexicographic for strings): uid stands in for arrival
+    * order, so callers with string uids must mint them so their
+    * ordering encodes arrival (zero-padded or time-prefixed), or the
+    * winner diverges from serial semantics.
     *
     * Scale shape: `dead` is delta-sized, so the store-side anti-join is
     * a broadcast probe (no store exchange); only the delta pays the
@@ -244,12 +249,9 @@ object DedupGate {
       archiveFlips: DataFrame, numBands: Int, rowsPerBand: Int)
       : (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    val upserts = outcomes
+    val upserts = resolveTargets(outcomes)
       .filter(col("outcome").isin("new", "version"))
-      .select(col("uid"),
-        when(col("outcome") === "new", col("uid"))
-          .otherwise(coalesce(col("matched_node_id"), col("batch_twin")))
-          .as("node_id"))
+      .select(col("uid"), col("target").as("node_id"))
       .join(incoming.select(col("uid"), col("sig"), col("meta_key")), "uid")
     val winners = upserts
       .withColumn("rk", row_number().over(
@@ -262,18 +264,75 @@ object DedupGate {
     (bandedSigStore(winners, numBands, rowsPerBand), tombstones)
   }
 
-  /** `classifyStored` against BASE + DELTA + TOMBSTONES — the per-batch
-    * probe shape of the delta-store posture, identical in outcome to
-    * probing the compacted store. Candidate generation distributes over
-    * the union, so each side is probed the way its size deserves: the
-    * bucketed base joins exchange-free on `bkey` with tombstoned nodes
-    * dropped by a broadcast anti-join AT THE SCAN (delta-sized build
-    * side — the base never shuffles), and the delta — ingest-scale by
-    * construction — rides a broadcast hash join. No corpus-sized
-    * exchange exists anywhere in the per-batch path.
+  /** Final store node per outcome row, with BATCH-TWIN CHAINS resolved:
+    * `new` targets its own uid; `version`/`duplicate` target their
+    * matched corpus node when one exists, otherwise the node their twin
+    * ultimately resolved to — the reference's serial semantics, where
+    * by the time a doc is checked its twin has already landed (or been
+    * discarded as a duplicate of) its own target. Without the walk, a
+    * version-of-a-twin that itself carried a corpus node forward would
+    * mint a PHANTOM node under the twin's uid and leave the real node
+    * stale. (At 16 perms the ≥0.95 gate forces signature-identical
+    * matches, so ties resolve corpus-first/lowest-id and only
+    * twin-of-`new` links occur; with more permutations fractional sims
+    * make longer chains reachable, so the walk is load-bearing.)
+    *
+    * Twins always carry a LOWER uid than their follower, so chains are
+    * strictly decreasing and acyclic; pointer-jumping doubles the
+    * resolved prefix per round (round count ≤ log2 of the deepest
+    * chain). The per-round emptiness probe is a driver-side scalar over
+    * the INGEST-sized frame — the dd_cluster_cc convergence pattern,
+    * never a corpus-sized action.
+    */
+  private[graft] def resolveTargets(outcomes: DataFrame): DataFrame = {
+    var t = outcomes.select(col("uid"), col("outcome"),
+      when(col("outcome") === "new", col("uid"))
+        .otherwise(col("matched_node_id")).as("target"),
+      col("batch_twin").as("twin"))
+    var rounds = 0
+    while (rounds < 64 &&
+        !t.filter(col("target").isNull && col("twin").isNotNull).isEmpty) {
+      val hop = t.select(col("uid").as("twin"),
+        col("target").as("twin_target"), col("twin").as("twin_twin"))
+      t = t.join(hop, Seq("twin"), "left")
+        .select(col("uid"), col("outcome"),
+          coalesce(col("target"), col("twin_target")).as("target"),
+          when(col("target").isNull && col("twin_target").isNull,
+            col("twin_twin")).otherwise(col("twin")).as("twin"))
+      rounds += 1
+    }
+    t.select(col("uid"), col("outcome"), col("target"))
+  }
+
+  /** `classifyStored` against BASE + one DELTA + TOMBSTONES — the
+    * single-outstanding-delta probe. See [[classifyStoredDeltas]] for
+    * the accumulated multi-generation form; this delegates to it.
     */
   def classifyStoredDelta(incoming: DataFrame, base: DataFrame,
       delta: DataFrame, tombstones: DataFrame,
+      numBands: Int, rowsPerBand: Int): DataFrame =
+    classifyStoredDeltas(incoming, base, Seq((delta, tombstones)),
+      numBands, rowsPerBand)
+
+  /** `classifyStored` against BASE + ACCUMULATED DELTA GENERATIONS —
+    * the per-batch probe shape of the delta-store posture with several
+    * batches outstanding since the last compaction, identical in
+    * outcome to probing the compacted store. `generations` is ordered
+    * oldest-first, each entry one batch's `(append, tombstones)` from
+    * [[outcomesDelta]]. Visibility is generational: a tombstone kills
+    * base rows and every EARLIER delta's rows, never its own batch's
+    * appends (its own winners are in the same artifact) nor later ones.
+    *
+    * Candidate generation distributes over the union, so each side is
+    * probed the way its size deserves: the bucketed base joins
+    * exchange-free on `bkey` with the union of all tombstones dropped
+    * by a broadcast anti-join AT THE SCAN (delta-sized build side — the
+    * base never shuffles), and each delta — ingest-scale by
+    * construction — rides a broadcast hash join. No corpus-sized
+    * exchange exists anywhere in the per-batch path.
+    */
+  def classifyStoredDeltas(incoming: DataFrame, base: DataFrame,
+      generations: Seq[(DataFrame, DataFrame)],
       numBands: Int, rowsPerBand: Int): DataFrame = {
 
     def banded(df: DataFrame, idCol: String) =
@@ -282,9 +341,19 @@ object DedupGate {
         .select(col(idCol), col("sig"),
           concat_ws("_", col("band.band_id"), col("band.band_key")).as("bkey"))
 
-    val liveBase = base
-      .join(broadcast(tombstones.select("node_id")), Seq("node_id"),
-        "left_anti")
+    def minus(df: DataFrame, dead: Seq[DataFrame]): DataFrame =
+      if (dead.isEmpty) df
+      else df.join(
+        broadcast(dead.map(_.select("node_id")).reduce(_ unionByName _)
+          .distinct()),
+        Seq("node_id"), "left_anti")
+
+    val allTombs = generations.map(_._2)
+    val liveBase = minus(base, allTombs)
+    // delta i survives only tombstones of LATER generations
+    val liveDeltas = generations.zipWithIndex.map { case ((delta, _), i) =>
+      minus(delta, allTombs.drop(i + 1))
+    }
     val probe = banded(incoming, "uid")
     def storeCand(side: DataFrame) = probe.alias("q")
       .join(side.alias("c"), Seq("bkey"))
@@ -299,16 +368,18 @@ object DedupGate {
         Hashes.minhashJaccard(col("a.sig"), col("b.sig")).as("sim"),
         lit(false).as("from_corpus"))
 
-    val candidates = storeCand(liveBase)
-      .unionByName(storeCand(broadcast(delta)))
+    val candidates = liveDeltas
+      .map(d => storeCand(broadcast(d)))
+      .foldLeft(storeCand(liveBase))(_ unionByName _)
       .unionByName(batchCand)
       .distinct()
       .filter(col("sim") >= DuplicateThreshold)
 
-    val corpusMeta = liveBase.filter(col("band_id") === 0)
-      .select(col("node_id"), col("meta_key"))
-      .unionByName(delta.filter(col("band_id") === 0)
+    val corpusMeta = liveDeltas
+      .map(_.filter(col("band_id") === 0)
         .select(col("node_id"), col("meta_key")))
+      .foldLeft(liveBase.filter(col("band_id") === 0)
+        .select(col("node_id"), col("meta_key")))(_ unionByName _)
     resolve(incoming, corpusMeta, candidates)
   }
 }

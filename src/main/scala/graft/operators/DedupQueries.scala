@@ -528,18 +528,29 @@ object DedupQueries {
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       try {
         val input = MemoryStream[(Long, Seq[String])]
-        val sink = s"graft_stream_band_${streamSeq.incrementAndGet()}"
+        val seqNo = streamSeq.incrementAndGet()
+        val sink = s"graft_stream_band_$seqNo"
+        // the previous invocation's memory sink is dead weight the
+        // moment a new one starts (bench times this query more than
+        // once per session) — drop it so drained rows don't accumulate
+        // in driver memory across the sweep
+        if (seqNo > 1)
+          s.catalog.dropTempView(s"graft_stream_band_${seqNo - 1}")
         val q = StreamDedup.dedupByBands(input.toDS())
           .toDF("doc_id", "band_key", "outcome")
           .writeStream.outputMode("update").format("memory")
           .queryName(sink).start()
         // 3 ascending micro-batches: cross-batch state probes are the
-        // property under test (one batch would only test within-batch)
-        feed.grouped(math.max(1, feed.length / 3 + 1)).foreach { c =>
-          input.addData(c.toIndexedSeq: _*)
-          q.processAllAvailable()
-        }
-        q.stop()
+        // property under test (one batch would only test within-batch).
+        // stop() runs on the error path too — a failed micro-batch must
+        // not leave a zombie StreamingQuery running beside every later
+        // query in the session
+        try {
+          feed.grouped(math.max(1, feed.length / 3 + 1)).foreach { c =>
+            input.addData(c.toIndexedSeq: _*)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
         s.table(sink).groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_bands"),
             sum(when(col("outcome") =!= "new", 1L).otherwise(0L))

@@ -518,9 +518,10 @@ object RelationalQueries {
     // the EXISTS into a LeftSemi and the NOT EXISTS into a LeftAnti,
     // both keyed on l_orderkey with the supplier-inequality as a
     // residual condition — at 100 TB these are ordinary keyed shuffles
-    // over the fact table, never per-row subquery re-execution, and
-    // the `late` set is computed ONCE and reused for both the outer
-    // filter and the anti probe.
+    // over the fact table, never per-row subquery re-execution. (The
+    // `late` CTE feeds only the anti probe; the outer filter re-derives
+    // lateness inline on its own join — Catalyst inlines uncached CTEs,
+    // so a shared reference would not be materialized once anyway.)
     "sql_q21" -> ((s, d) => {
       Tables.orders(s, d).createOrReplaceTempView("v_orders")
       Tables.supplier(s, d).createOrReplaceTempView("v_supplier")

@@ -161,6 +161,88 @@ class StoreLoopSpec extends SparkSpec {
     assert(o2(404L)._1 == "duplicate" && o2(404L)._2 == Some(2L))
   }
 
+  test("resolveTargets follows batch-twin chains to the final node — " +
+      "a version of a twin that carried a corpus node forward lands on " +
+      "that node, never on a phantom uid") {
+    // Synthetic outcomes (reachable with >16-perm signatures, where
+    // fractional sims make twin chains deeper than twin-of-new): A new;
+    // B version-of-twin A; C version-of-twin B; D version of corpus
+    // node 40; E version-of-twin D; F duplicate-of-twin E.
+    val outcomes = Seq(
+      (101L, "new", None, None),
+      (102L, "version", None, Some(101L)),
+      (103L, "version", None, Some(102L)),
+      (104L, "version", Some(40L), None),
+      (105L, "version", None, Some(104L)),
+      (106L, "duplicate", None, Some(105L)))
+      .toDF("uid", "outcome", "matched_node_id", "batch_twin")
+    val t = DedupGate.resolveTargets(outcomes).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(t(101L) == 101L)
+    assert(t(102L) == 101L && t(103L) == 101L,
+      "chained twins must collapse to the root's own node")
+    assert(t(104L) == 40L)
+    assert(t(105L) == 40L && t(106L) == 40L,
+      "twins of a corpus-version must land on the corpus node, not " +
+        "mint a phantom node at the twin's uid")
+  }
+
+  test("multi-generation deltas: three uncompacted batches probe " +
+      "identically to the iteratively compacted store") {
+    val text = (i: Int) =>
+      s"generation fixture $i owns words g${i}a g${i}b g${i}c end ${i * 19}"
+    val fresh1 = "first generation new doc with its own content vv ww"
+    val corpus = (1 to 20).map(i => (i.toLong, text(i), "en", "published"))
+      .toDF("node_id", "text", "meta_key", "status")
+    val base = DedupGate.bandedSigStore(sigsOf(corpus, "node_id", "text"), 4, 4)
+
+    def mkBatch(rows: Seq[(Long, String, String)]) = {
+      val b = rows.toDF("uid", "itext", "meta_key")
+      b.join(MinHashPipeline.signatures(b, "uid", col("itext")), "uid")
+    }
+    // batch 1: new doc + version of node 5
+    val b1 = mkBatch(Seq((501L, fresh1, "en"), (502L, text(5), "xx")))
+    // batch 2: RE-version node 5 (tombstones batch-1's delta row for 5)
+    // and version the batch-1 new node 501
+    val b2 = mkBatch(Seq((601L, text(5), "yy"), (602L, fresh1, "zz")))
+    // batch 3 probes: node 5's live meta must be yy, 501's must be zz
+    val b3 = mkBatch(Seq(
+      (701L, text(5), "yy"),   // duplicate of node 5 (gen-2 meta)
+      (702L, fresh1, "en"),    // version of node 501 (gen-2 meta zz)
+      (703L, text(9), "en")))  // duplicate of untouched base node 9
+
+    val none = Seq.empty[Long].toDF("node_id")
+    val o1 = DedupGate.classifyStoredDeltas(b1, base, Seq(), 4, 4)
+    val (a1, t1) = DedupGate.outcomesDelta(b1, o1, none, 4, 4)
+    val o2 = DedupGate.classifyStoredDeltas(b2, base, Seq((a1, t1)), 4, 4)
+    val (a2, t2) = DedupGate.outcomesDelta(b2, o2, none, 4, 4)
+    val viaDeltas = DedupGate.classifyStoredDeltas(
+      b3, base, Seq((a1, t1), (a2, t2)), 4, 4)
+
+    // Reference: compact after every batch instead.
+    val s1 = DedupGate.applyOutcomes(base, b1, o1, none, 4, 4)
+    val o2c = DedupGate.classifyStored(b2, s1, 4, 4)
+    def keyed(df: DataFrame): DataFrame = df
+      .select("uid", "outcome", "matched_node_id", "best_sim", "batch_twin")
+    assert(keyed(o2).except(keyed(o2c)).isEmpty &&
+      keyed(o2c).except(keyed(o2)).isEmpty,
+      "batch-2 outcomes diverged between one-delta and compacted paths")
+    val s2 = DedupGate.applyOutcomes(s1, b2, o2c, none, 4, 4)
+    val viaCompacted = DedupGate.classifyStored(b3, s2, 4, 4)
+
+    assert(keyed(viaDeltas).except(keyed(viaCompacted)).isEmpty &&
+      keyed(viaCompacted).except(keyed(viaDeltas)).isEmpty,
+      "batch-3 outcomes diverged between two-generation and compacted " +
+        "paths")
+    val o3 = viaDeltas.collect().map(r => r.getLong(0) ->
+      (r.getString(1), Option(r.get(2)))).toMap
+    assert(o3(701L)._1 == "duplicate" && o3(701L)._2 == Some(5L),
+      "node 5's generation-2 meta must win — a stale generation-1 row " +
+        "surviving the tombstone would flip this to version")
+    assert(o3(702L)._1 == "version" && o3(702L)._2 == Some(501L))
+    assert(o3(703L)._1 == "duplicate" && o3(703L)._2 == Some(9L))
+  }
+
   test("applyOutcomes edge cases: an all-duplicate batch leaves the " +
       "store untouched; archive-only maintenance drops exactly the " +
       "flipped node's rows") {
