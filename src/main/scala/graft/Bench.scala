@@ -1,13 +1,38 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+import scala.util.control.NonFatal
 
 /** Benchmark main. Per-round contract: the LAST stdout line is one SHORT
-  * JSON object (total seconds only — a multi-KB line gets truncated by
-  * log capture and then fails to parse); the per-query seconds map goes
-  * to a file (`SPARK_GRAFT_BENCH_OUT`, default `bench_queries.json`) and
-  * is also echoed to stderr for humans. */
+  * JSON object (total seconds plus the flat per-query seconds map — a
+  * multi-KB line gets truncated by log capture and then fails to parse,
+  * so everything else is additive small fields); the RICH per-query
+  * record — {sec, gc_sec, heap_mb_delta, rows, exchanges} — goes to a
+  * file (`SPARK_GRAFT_BENCH_OUT`, default `bench_queries.json`) so a
+  * contaminated measurement self-identifies per query (GC share of wall
+  * time) and a plan regression shows as structure drift (rows /
+  * exchange count) separately from wall-time noise. Compare two
+  * artifacts with `tools/diff_bench.py`.
+  */
 object Bench {
+
+  private def gcMillis: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime.max(0L)).sum
+  }
+  private def heapUsedMb: Double =
+    java.lang.management.ManagementFactory.getMemoryMXBean
+      .getHeapMemoryUsage.getUsed / 1e6
+
+  /** One timed end-to-end run: wall seconds, success, GC seconds spent
+    * inside the run (all collectors, whole JVM — in local[n] the
+    * executors share this JVM so the attribution is exact), and the
+    * heap-used delta across the action (positive = the query left data
+    * resident; large values flag allocation-heavy paths). */
+  private case class Meas(sec: Double, ok: Boolean, gcSec: Double,
+    heapMbDelta: Double, rows: Long)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -29,7 +54,13 @@ object Bench {
     // forensic re-run (round-5 lesson: 265s "regression" was a busy box).
     val loadavg = try {
       Files.readString(Paths.get("/proc/loadavg")).trim.split(" ")(0).toDouble
-    } catch { case _: Throwable => -1.0 }
+    } catch { case NonFatal(_) => -1.0 }
+    // Canary #1b: the JVM heap ceiling actually in effect. BENCH_r12's
+    // 4-8× slow mode on the allocation-heaviest queries is exactly the
+    // signature build.sbt predicts for an under-sized heap (its -Xmx
+    // respects SPARK_DRIVER_MEM) — record the ceiling so a run under a
+    // different memory regime identifies itself.
+    val maxHeapMb = Runtime.getRuntime.maxMemory / 1e6
     // JVM/codegen warmup: the first Spark job in a session pays ~3-4 s of
     // classloading, codegen, and scan setup — attribute that to startup,
     // not to whichever query sorts first alphabetically.
@@ -40,17 +71,22 @@ object Bench {
     // Guarded: a loader failure here (e.g. a testdata regeneration that
     // changes a physical parquet type) must degrade to a cold first query
     // and a loud stderr line — never kill the whole sweep with rc=1
-    // (round-11 lesson: BENCH_r11 died in this block and reported nothing).
+    // (round-11 lesson: BENCH_r11 died in this block and reported
+    // nothing). NonFatal only: a fatal VM error (OOM, LinkageError)
+    // means every later measurement would run against a broken JVM —
+    // let it crash loudly instead. On failure the canary field is
+    // recorded as -1, not as a meaningless near-zero wall time.
     val warm0 = System.nanoTime()
-    try {
+    val warmupSec = try {
       Tables.documents(spark, sfDir).limit(100).count()
       Tables.events(spark, sfDir).limit(100).count()
       spark.range(100000).groupBy(org.apache.spark.sql.functions.expr("id % 7"))
         .count().count()
-    } catch { case e: Throwable =>
+      (System.nanoTime() - warm0) / 1e9
+    } catch { case NonFatal(e) =>
       System.err.println(s"[bench] WARMUP FAILED (continuing cold): $e")
+      -1.0
     }
-    val warmupSec = (System.nanoTime() - warm0) / 1e9
     // Dev aid: SPARK_GRAFT_BENCH_ONLY=q1,q2 times just those queries
     // (repeated runs of a hot path without the full sweep). Unset in the
     // driver's per-round run, so the contract output is unchanged.
@@ -59,17 +95,21 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     def timeOne(name: String,
-        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : (Double, Boolean) = {
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Meas = {
+      val gc0 = gcMillis
+      val h0 = heapUsedMb
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
+      var rows = -1L
+      val ok = try { rows = fn(spark, sfDir).count(); true }
+        catch { case NonFatal(e) =>
           // a failure must be LOUD: a swallowed exception times as a
           // fast "success" and reads as a speedup in round-over-round
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           false
         }
       val dt = (System.nanoTime() - t0) / 1e9
+      val gcSec = (gcMillis - gc0) / 1e3
+      val heapDelta = heapUsedMb - h0
       // Queries that persist intermediates (the self-join dedup family)
       // would otherwise accumulate storage across the run and skew later
       // timings with eviction/GC pressure. Unpersist BLOCKING so the
@@ -78,12 +118,23 @@ object Bench {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       System.gc()
-      (dt, ok)
+      Meas(dt, ok, gcSec, heapDelta, rows)
     }
+    // Structural fingerprint, measured OUTSIDE the timed runs: the
+    // physical plan's Exchange count. Wall time is noisy on a contended
+    // box; exchange count and result cardinality are not — a plan
+    // regression shows as drift here even when timings can't be trusted.
+    def exchangesOf(
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Int =
+      try {
+        fn(spark, sfDir).queryExecution.executedPlan.toString
+          .linesIterator.count(_.contains("Exchange"))
+      } catch { case NonFatal(_) => -1 }
     val firstPass = selected.map { case (name, fn) =>
-      val (dt, ok) = timeOne(name, fn)
-      System.err.println(f"[bench] $name%-28s $dt%8.2f s")
-      (name, fn, dt, ok)
+      val m = timeOne(name, fn)
+      System.err.println(
+        f"[bench] $name%-28s ${m.sec}%8.2f s  (gc ${m.gcSec}%5.2f s)")
+      (name, fn, m)
     }
     // Adaptive second pass: this host's run-to-run noise is ±15-50% and
     // lands almost entirely on the multi-second queries (GC phase, page
@@ -91,29 +142,51 @@ object Bench {
     // two — sub-second queries aren't worth the reruns, and a minimum of
     // two honest end-to-end runs is the standard way to strip one-off
     // interference without inventing numbers. Recorded as "agg" in the
-    // output so the methodology is visible next to the data.
-    val results = firstPass.map { case (name, fn, dt1, ok) =>
-      if (ok && dt1 > 1.0) {
-        val (dt2, ok2) = timeOne(name, fn)
-        var best = if (ok2) math.min(dt1, dt2) else dt1
+    // output so the methodology is visible next to the data. The gc/heap
+    // canaries follow the KEPT (fastest) run — they explain the number
+    // that gets reported, not a run that was discarded.
+    val results = firstPass.map { case (name, fn, m1) =>
+      if (m1.ok && m1.sec > 1.0) {
+        val m2 = timeOne(name, fn)
+        var best = if (m2.ok && m2.sec < m1.sec) m2 else m1
         var n = 2
         // the slowest queries carry the most residual noise (GC phase,
         // page cache) AND dominate the total — buy them a third run
-        if (ok2 && best > 2.5) {
-          val (dt3, ok3) = timeOne(name, fn)
-          if (ok3) { best = math.min(best, dt3); n = 3 }
+        if (m2.ok && best.sec > 2.5) {
+          val m3 = timeOne(name, fn)
+          if (m3.ok) { if (m3.sec < best.sec) best = m3; n = 3 }
         }
-        System.err.println(f"[bench] $name%-28s $best%8.2f s (min of $n)")
+        System.err.println(f"[bench] $name%-28s ${best.sec}%8.2f s " +
+          f"(min of $n, gc ${best.gcSec}%5.2f s)")
         name -> best
-      } else name -> dt1
+      } else name -> m1
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val byName = results.toMap
+    val exchanges = selected.map { case (name, fn) =>
+      name -> (if (byName(name).ok) exchangesOf(fn) else -1)
+    }.toMap
+    val qsFlat = results.map { case (k, m) => "\"" + k + "\":" + f"${m.sec}%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val failed = firstPass.collect { case (n, _, _, false) => n }
+    val qsRich = results.map { case (k, m) =>
+      "\"" + k + "\":" + f"""{"sec":${m.sec}%.3f,"gc_sec":${m.gcSec}%.3f,""" +
+        f""""heap_mb_delta":${m.heapMbDelta}%.1f,"rows":${m.rows},""" +
+        s""""exchanges":${exchanges(k)}}"""
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2.sec).sum
+    val gcTotal = results.map(_._2.gcSec).sum
+    val failed = firstPass.collect { case (n, _, m) if !m.ok => n }
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","agg":"min-of-2 for queries >1s, min-of-3 >2.5s","canary_warmup_sec":$warmupSec%.2f,"canary_loadavg_at_start":$loadavg%.2f,"n_errors":${failed.size},"errors":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
-    Files.writeString(Paths.get(outFile), line)
+    val commonFields =
+      f""""metric":"total","value":$total%.3f,"unit":"sec",""" +
+        s""""agg":"min-of-2 for queries >1s, min-of-3 >2.5s",""" +
+        f""""canary_warmup_sec":$warmupSec%.2f,""" +
+        f""""canary_loadavg_at_start":$loadavg%.2f,""" +
+        f""""canary_max_heap_mb":$maxHeapMb%.0f,""" +
+        f""""gc_sec_total":$gcTotal%.3f,""" +
+        s""""n_errors":${failed.size},"errors":$failedJson"""
+    val line = s"""{$commonFields,"queries":$qsFlat,"sf":"$sfDir"}"""
+    val rich = s"""{$commonFields,"queries":$qsRich,"sf":"$sfDir"}"""
+    Files.writeString(Paths.get(outFile), rich)
     // Contract: the final stdout line IS the JSON result, with the
     // per-query seconds inline (build.sbt's StdoutOutput strategy keeps
     // it free of sbt's "[info] " prefix so the driver can json-parse it).

@@ -62,27 +62,45 @@ object DedupGate {
     val bandedIncoming = banded(incoming, "uid")
     val probe =
       if (broadcastIncoming) broadcast(bandedIncoming) else bandedIncoming
-    val corpusCand = probe.alias("q")
+    val corpusHits = probe.alias("q")
       .join(banded(corpusLive, "node_id").alias("c"), Seq("band_id", "band_key"))
       .select(col("q.uid").as("uid"), col("c.node_id").as("match_id"),
-        Hashes.minhashJaccard(col("q.sig"), col("c.sig")).as("sim"),
+        col("q.sig").as("qsig"), col("c.sig").as("csig"),
         lit(true).as("from_corpus"))
 
     val inB = banded(incoming, "uid")
-    val batchCand = inB.alias("a")
+    val batchHits = inB.alias("a")
       .join(inB.alias("b"), Seq("band_id", "band_key"))
       .filter(col("a.uid") > col("b.uid"))
       .select(col("a.uid").as("uid"), col("b.uid").as("match_id"),
-        Hashes.minhashJaccard(col("a.sig"), col("b.sig")).as("sim"),
+        col("a.sig").as("qsig"), col("b.sig").as("csig"),
         lit(false).as("from_corpus"))
 
-    val candidates = corpusCand.unionByName(batchCand)
-      .distinct()
-      .filter(col("sim") >= DuplicateThreshold)
+    val candidates = verifyOncePerPair(corpusHits.unionByName(batchHits))
 
     resolve(incoming, corpusLive.select(col("node_id"), col("meta_key")),
       candidates)
   }
+
+  /** Collapse BAND HITS to distinct candidate pairs BEFORE the
+    * similarity verify: a pair sharing k bands arrives as k hit rows,
+    * and evaluating the signature walk per hit would pay the verify —
+    * the allocation-heaviest scalar in the gate — up to numBands× per
+    * pair (reference contract: verify runs per candidate *document*,
+    * `check_duplicate.py:128-151`, never per band). The map-side
+    * partial `first` collapses same-mapper duplicates before the
+    * exchange, so the shuffle carries one (sig-bearing) row per pair
+    * per mapper, and `minhashJaccard` runs exactly once per distinct
+    * (uid, match_id) pair, above the dedup aggregate.
+    */
+  private def verifyOncePerPair(hits: DataFrame): DataFrame =
+    hits
+      .groupBy("uid", "match_id", "from_corpus")
+      .agg(first("qsig").as("qsig"), first("csig").as("csig"))
+      .select(col("uid"), col("match_id"),
+        Hashes.minhashJaccard(col("qsig"), col("csig")).as("sim"),
+        col("from_corpus"))
+      .filter(col("sim") >= DuplicateThreshold)
 
   /** Shared resolution tail of both gate variants: pick the best candidate
     * per incoming doc, attach the match's metadata, emit the 3-way
@@ -166,22 +184,20 @@ object DedupGate {
           concat_ws("_", col("band.band_id"), col("band.band_key")).as("bkey"))
 
     val probe = banded(incoming, "uid")
-    val corpusCand = probe.alias("q")
+    val corpusHits = probe.alias("q")
       .join(store.alias("c"), Seq("bkey"))
       .select(col("q.uid").as("uid"), col("c.node_id").as("match_id"),
-        Hashes.minhashJaccard(col("q.sig"), col("c.sig")).as("sim"),
+        col("q.sig").as("qsig"), col("c.sig").as("csig"),
         lit(true).as("from_corpus"))
 
-    val batchCand = probe.alias("a")
+    val batchHits = probe.alias("a")
       .join(probe.alias("b"), Seq("bkey"))
       .filter(col("a.uid") > col("b.uid"))
       .select(col("a.uid").as("uid"), col("b.uid").as("match_id"),
-        Hashes.minhashJaccard(col("a.sig"), col("b.sig")).as("sim"),
+        col("a.sig").as("qsig"), col("b.sig").as("csig"),
         lit(false).as("from_corpus"))
 
-    val candidates = corpusCand.unionByName(batchCand)
-      .distinct()
-      .filter(col("sim") >= DuplicateThreshold)
+    val candidates = verifyOncePerPair(corpusHits.unionByName(batchHits))
 
     // Exactly one store row per live node carries band 0, so the per-node
     // meta frame is a row-local filter on the bucketed scan — no distinct
@@ -210,12 +226,12 @@ object DedupGate {
     *  - archive     → every row of the node drops
     *
     * Several batch docs landing on one target node resolve
-    * LAST-writer-wins by uid — the reference's serial processing order.
-    * "Last" follows the uid column's NATURAL ordering (numeric for
-    * longs, lexicographic for strings): uid stands in for arrival
-    * order, so callers with string uids must mint them so their
-    * ordering encodes arrival (zero-padded or time-prefixed), or the
-    * winner diverges from serial semantics.
+    * LAST-writer-wins in arrival order — the reference's serial
+    * processing order. Arrival is the uid column's natural ordering for
+    * numeric uids, or an explicit `arrival` column on `incoming` when
+    * present; string uids WITHOUT an `arrival` column are refused
+    * loudly (see [[outcomesDeltaParts]]) because lexicographic order
+    * silently diverges from serial semantics.
     *
     * Scale shape: `dead` is delta-sized, so the store-side anti-join is
     * a broadcast probe (no store exchange); only the delta pays the
@@ -226,11 +242,30 @@ object DedupGate {
     * rewrite would re-pay the corpus band shuffle the store exists to
     * amortize.
     */
+  /** PRECONDITION: a `new` winner enters the store under its own uid,
+    * so batch uids must be DISJOINT from unrelated store node ids (the
+    * reference mints uids and node ids from one id space where equality
+    * means same document). A collision would let the winner's vacuous
+    * tombstone silently delete the unrelated node's rows — so this
+    * compaction-path entry point probes for it eagerly (delta-sized
+    * broadcast build against the store scan the anti-join pays anyway;
+    * applyOutcomes is periodic compaction, never the per-batch path)
+    * and refuses loudly instead.
+    */
   def applyOutcomes(store: DataFrame, incoming: DataFrame,
       outcomes: DataFrame, archiveFlips: DataFrame,
       numBands: Int, rowsPerBand: Int): DataFrame = {
-    val (append, tombstones) =
-      outcomesDelta(incoming, outcomes, archiveFlips, numBands, rowsPerBand)
+    val (append, tombstones, newIds) =
+      outcomesDeltaParts(incoming, outcomes, archiveFlips,
+        numBands, rowsPerBand)
+    val clashes = store.join(broadcast(newIds), Seq("node_id"))
+      .select("node_id").distinct().limit(5).collect().map(_.get(0))
+    require(clashes.isEmpty,
+      s"applyOutcomes: batch uids ${clashes.mkString(", ")} classified " +
+        "'new' collide with unrelated existing store node ids — applying " +
+        "them would silently replace those nodes' rows. Batch uid space " +
+        "must be disjoint from store node ids (same-id means same " +
+        "document in the reference's id scheme).")
     store.join(broadcast(tombstones), Seq("node_id"), "left_anti")
       .unionByName(append)
   }
@@ -248,20 +283,73 @@ object DedupGate {
   def outcomesDelta(incoming: DataFrame, outcomes: DataFrame,
       archiveFlips: DataFrame, numBands: Int, rowsPerBand: Int)
       : (DataFrame, DataFrame) = {
+    val (append, tombstones, _) =
+      outcomesDeltaParts(incoming, outcomes, archiveFlips,
+        numBands, rowsPerBand)
+    (append, tombstones)
+  }
+
+  /** [[outcomesDelta]] plus the one-column frame of node ids MINTED by
+    * `new` outcomes this batch — the ids whose tombstone entry is
+    * vacuous by the uid↔node_id disjointness precondition (see
+    * [[applyOutcomes]], which probes the store with exactly this frame
+    * to make a violated precondition loud instead of a silent delete).
+    *
+    * Two loud contracts enforced here rather than downstream:
+    *  - an UNRESOLVED twin chain (a row whose batch twin is absent from
+    *    `outcomes`, so [[resolveTargets]] leaves `target` null) raises
+    *    at execution instead of appending null-node rows that strand
+    *    the real target stale;
+    *  - last-writer-wins needs an ARRIVAL order. A numeric uid encodes
+    *    it; an optional `arrival` column on `incoming` overrides it
+    *    (ordered by `(arrival, uid)` desc); STRING uids without an
+    *    `arrival` column are REFUSED — lexicographic order silently
+    *    diverges from serial semantics (e.g. "doc9" > "doc10").
+    */
+  private[graft] def outcomesDeltaParts(incoming: DataFrame,
+      outcomes: DataFrame, archiveFlips: DataFrame,
+      numBands: Int, rowsPerBand: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.StringType
+    val hasArrival = incoming.columns.contains("arrival")
+    if (!hasArrival &&
+        incoming.schema("uid").dataType == StringType)
+      throw new IllegalArgumentException(
+        "outcomesDelta: string uids without an 'arrival' column — " +
+          "lexicographic uid order does not encode arrival order " +
+          "(\"doc9\" sorts after \"doc10\"), so last-writer-wins would " +
+          "diverge from the reference's serial semantics. Add a " +
+          "monotone 'arrival' column to the incoming batch, or mint " +
+          "uids whose natural ordering encodes arrival.")
+    val incomingCols =
+      Seq(col("uid"), col("sig"), col("meta_key")) ++
+        (if (hasArrival) Seq(col("arrival")) else Nil)
     val upserts = resolveTargets(outcomes)
       .filter(col("outcome").isin("new", "version"))
-      .select(col("uid"), col("target").as("node_id"))
-      .join(incoming.select(col("uid"), col("sig"), col("meta_key")), "uid")
+      .select(col("uid"), col("outcome"),
+        // embedded in the consumed column (not a droppable side
+        // assertion) so column pruning can never elide the check
+        when(col("target").isNull, raise_error(concat(
+          lit("outcomesDelta: unresolved twin chain — uid "), col("uid"),
+          lit(" resolved to no target node (its batch twin is absent " +
+            "from the outcomes frame); appending it would strand the " +
+            "real target stale"))))
+          .otherwise(col("target")).as("node_id"))
+      .join(incoming.select(incomingCols: _*), "uid")
+    val arrivalOrder =
+      (if (hasArrival) Seq(col("arrival").desc) else Nil) :+ col("uid").desc
     val winners = upserts
       .withColumn("rk", row_number().over(
-        Window.partitionBy("node_id").orderBy(col("uid").desc)))
+        Window.partitionBy("node_id").orderBy(arrivalOrder: _*)))
       .filter(col("rk") === 1)
       .select(col("node_id"), col("sig"), col("meta_key"),
         lit("published").as("status"))
     val tombstones = winners.select("node_id")
       .unionByName(archiveFlips.select("node_id")).distinct()
-    (bandedSigStore(winners, numBands, rowsPerBand), tombstones)
+    val newIds = upserts.filter(col("outcome") === "new")
+      .select("node_id").distinct()
+    (bandedSigStore(winners, numBands, rowsPerBand), tombstones, newIds)
   }
 
   /** Final store node per outcome row, with BATCH-TWIN CHAINS resolved:
@@ -355,25 +443,23 @@ object DedupGate {
       minus(delta, allTombs.drop(i + 1))
     }
     val probe = banded(incoming, "uid")
-    def storeCand(side: DataFrame) = probe.alias("q")
+    def storeHits(side: DataFrame) = probe.alias("q")
       .join(side.alias("c"), Seq("bkey"))
       .select(col("q.uid").as("uid"), col("c.node_id").as("match_id"),
-        Hashes.minhashJaccard(col("q.sig"), col("c.sig")).as("sim"),
+        col("q.sig").as("qsig"), col("c.sig").as("csig"),
         lit(true).as("from_corpus"))
 
-    val batchCand = probe.alias("a")
+    val batchHits = probe.alias("a")
       .join(probe.alias("b"), Seq("bkey"))
       .filter(col("a.uid") > col("b.uid"))
       .select(col("a.uid").as("uid"), col("b.uid").as("match_id"),
-        Hashes.minhashJaccard(col("a.sig"), col("b.sig")).as("sim"),
+        col("a.sig").as("qsig"), col("b.sig").as("csig"),
         lit(false).as("from_corpus"))
 
-    val candidates = liveDeltas
-      .map(d => storeCand(broadcast(d)))
-      .foldLeft(storeCand(liveBase))(_ unionByName _)
-      .unionByName(batchCand)
-      .distinct()
-      .filter(col("sim") >= DuplicateThreshold)
+    val candidates = verifyOncePerPair(liveDeltas
+      .map(d => storeHits(broadcast(d)))
+      .foldLeft(storeHits(liveBase))(_ unionByName _)
+      .unionByName(batchHits))
 
     val corpusMeta = liveDeltas
       .map(_.filter(col("band_id") === 0)

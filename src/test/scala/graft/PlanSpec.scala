@@ -56,6 +56,39 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("dedup gate: the similarity verify sits ABOVE the candidate-pair " +
+    "dedup — one signature walk per distinct (uid, match_id) pair, " +
+    "never per band hit") {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    // All three gate variants share verifyOncePerPair; pin the two with
+    // distinct probe shapes (broadcast in-memory vs bucketed store).
+    for (q <- Seq("dg_dedup_gate", "dg_gate_delta")) {
+      val plan = OrpQueries.queries(q)(spark, sf).queryExecution.optimizedPlan
+      val pairDedups = plan.collect {
+        case a: Aggregate
+            if a.groupingExpressions.exists(_.toString.contains("match_id")) &&
+              a.groupingExpressions.exists(_.toString.contains("from_corpus")) =>
+          a
+      }
+      assert(pairDedups.nonEmpty,
+        s"$q: the (uid, match_id, from_corpus) pair-dedup aggregate is " +
+          "missing from the optimized plan")
+      // The verify is minhashJaccard's zip_with walk, which the
+      // GraftRules optimizer rule rewrites into the native SigAgree
+      // expression (prints as `sigagree`); either spelling below the
+      // dedup aggregate would mean once-per-band-hit evaluation.
+      def hasVerify(s: String) =
+        s.contains("zip_with") || s.contains("sigagree")
+      pairDedups.foreach { a =>
+        assert(!hasVerify(a.child.toString),
+          s"$q: the similarity verify appears BELOW the pair-dedup " +
+            "aggregate — it would run once per band hit")
+      }
+      assert(hasVerify(plan.toString),
+        s"$q: the similarity verify vanished from the plan entirely")
+    }
+  }
+
   test("sampling/split filters are scan-narrow: zero exchanges in the plan") {
     for (q <- Seq("samp_stratified", "samp_hash_split")) {
       val p = planOf(MixQueries.queries(q)(spark, sf))
@@ -419,31 +452,44 @@ class PlanSpec extends SparkSpec {
 
   test("mm_phash_dedup: band self-join and Hamming verify stay keyed — " +
     "never all-pairs over the payload table") {
-    val p = planOf(Multimodal.queries("mm_phash_dedup")(spark, sf))
     // Exactly one PHYSICAL BroadcastNestedLoopJoin is legitimate: the
     // one-ROW ghost-offset scalar attach (broadcast of a single
     // max(doc_id) aggregate — 8 bytes at any corpus size). The attach
-    // sits inside the persisted hash frame, whose build plan is
-    // reprinted under every InMemoryTableScan reference — so bound the
-    // raw line count by the reprint count (a SECOND nested loop
-    // anywhere pushes the count past the bound), and require every
-    // occurrence to be the condition-free Cross shape with the
-    // max-aggregate in scope (an all-pairs theta BNLJ prints its
-    // residual condition and fails the shape check).
-    val bnljLines = p.linesIterator
-      .filter(_.contains("BroadcastNestedLoopJoin")).map(_.trim).toSeq
-    val reprints =
-      math.max(1, p.linesIterator.count(_.contains("InMemoryTableScan")))
-    assert(bnljLines.size <= reprints,
-      s"${bnljLines.size} BroadcastNestedLoopJoin occurrences for " +
-        s"$reprints cached-branch reprints — a second nested loop " +
-        s"entered the plan:\n$p")
-    assert(bnljLines.forall(_.endsWith("BuildRight, Cross")),
-      s"every BNLJ must be the condition-free one-row scalar attach:\n$p")
-    if (bnljLines.nonEmpty)
-      assert(p.contains("partial_max(doc_id") || p.contains("max(doc_id"),
-        s"the BNLJ must be the max(doc_id) scalar attach:\n$p")
-    assert(!p.contains("CartesianProduct"))
+    // sits inside the persisted hash frame, whose build plan the string
+    // rendering reprints under every InMemoryTableScan reference — so
+    // walk the ACTUAL node trees (main plan + each distinct cached
+    // relation's build plan) and dedupe structurally, instead of
+    // bounding raw line counts by reprints (which a second genuine
+    // cross join could slip under when ≥2 reprints exist).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    def allPlans(p: SparkPlan): Seq[SparkPlan] = {
+      val cached = p.collect { case s: InMemoryTableScanExec =>
+        s.relation.cachedPlan }.distinct
+      p +: cached.flatMap(allPlans)
+    }
+    val df = Multimodal.queries("mm_phash_dedup")(spark, sf)
+    val plans = allPlans(df.queryExecution.executedPlan)
+    val bnljs = plans.flatMap(_.collect {
+      case b: BroadcastNestedLoopJoinExec => b }).distinct
+    assert(bnljs.size <= 1,
+      s"${bnljs.size} distinct BroadcastNestedLoopJoin nodes — a second " +
+        s"nested loop entered the plan:\n${plans.map(_.toString).mkString}")
+    bnljs.foreach { b =>
+      assert(b.joinType == org.apache.spark.sql.catalyst.plans.Cross &&
+        b.condition.isEmpty,
+        s"the BNLJ must be the condition-free Cross scalar attach:\n$b")
+      val build = b.buildSide match {
+        case BuildRight => b.right
+        case BuildLeft => b.left
+      }
+      assert(build.toString.contains("max(doc_id"),
+        s"the BNLJ's build side must be the one-row max(doc_id) " +
+          s"aggregate subtree:\n$build")
+    }
+    assert(!plans.exists(_.toString.contains("CartesianProduct")))
   }
 
   test("sig_store_refresh: the signature pipeline runs ONLY over the " +

@@ -243,6 +243,81 @@ class StoreLoopSpec extends SparkSpec {
     assert(o3(703L)._1 == "duplicate" && o3(703L)._2 == Some(9L))
   }
 
+  test("last-writer-wins ordering contract: string uids without an " +
+      "arrival column are refused loudly; an explicit arrival column " +
+      "restores serial semantics where lexicographic order would lie") {
+    // Two versions of store node 5 in one batch: "doc9" arrives FIRST
+    // (arrival 1), "doc10" second. Lexicographic uid order says doc9 >
+    // doc10 — the silent-wrong winner the refusal exists to prevent.
+    val sig = (1L to 16L).toSeq
+    val incoming = Seq(
+      ("doc9", sig, "first", 1L),
+      ("doc10", sig, "second", 2L))
+      .toDF("uid", "sig", "meta_key", "arrival")
+    val outcomes = Seq(
+      ("doc9", "version", Some("n5"), None: Option[String]),
+      ("doc10", "version", Some("n5"), None: Option[String]))
+      .toDF("uid", "outcome", "matched_node_id", "batch_twin")
+    val flips = Seq.empty[String].toDF("node_id")
+
+    val e = intercept[IllegalArgumentException] {
+      DedupGate.outcomesDelta(incoming.drop("arrival"), outcomes,
+        flips, 4, 4)
+    }
+    assert(e.getMessage.contains("arrival"),
+      "refusal must name the missing 'arrival' column")
+
+    val (append, _) =
+      DedupGate.outcomesDelta(incoming, outcomes, flips, 4, 4)
+    val metas = append.select("meta_key").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(metas == Set("second"),
+      "with an explicit arrival column the LAST arrival (doc10) must " +
+        s"win node 5, got metas $metas")
+  }
+
+  test("applyOutcomes refuses a 'new' uid that collides with an " +
+      "unrelated existing store node id instead of silently replacing " +
+      "that node's rows") {
+    val text = (i: Int) =>
+      s"collision fixture $i tokens c${i}m c${i}n c${i}o padding ${i * 23}"
+    val corpus = (1 to 6).map(i => (i.toLong, text(i), "en", "published"))
+      .toDF("node_id", "text", "meta_key", "status")
+    val s0 = DedupGate.bandedSigStore(sigsOf(corpus, "node_id", "text"), 4, 4)
+
+    // uid 3 carries genuinely NEW content (the gate says "new") but its
+    // uid equals store node 3 — the disjointness precondition violated.
+    val batch = Seq((3L, "totally unrelated new submission xyzzy plugh", "en"))
+      .toDF("uid", "itext", "meta_key")
+    val b = batch.join(
+      MinHashPipeline.signatures(batch, "uid", col("itext")), "uid")
+    val o = DedupGate.classifyStored(b, s0, 4, 4)
+    assert(o.collect().head.getString(1) == "new")
+
+    val e = intercept[IllegalArgumentException] {
+      DedupGate.applyOutcomes(s0, b, o, Seq.empty[Long].toDF("node_id"),
+        4, 4)
+    }
+    assert(e.getMessage.contains("collide"),
+      s"refusal must name the collision, got: ${e.getMessage}")
+  }
+
+  test("outcomesDelta raises on an unresolved twin chain (twin absent " +
+      "from the outcomes frame) instead of appending null-node rows") {
+    val sig = (1L to 16L).toSeq
+    val incoming = Seq((102L, sig, "en"))
+      .toDF("uid", "sig", "meta_key")
+    // 102's twin 999 never appears in outcomes — a partial frame.
+    val outcomes = Seq((102L, "version", None: Option[Long], Some(999L)))
+      .toDF("uid", "outcome", "matched_node_id", "batch_twin")
+    val (append, _) = DedupGate.outcomesDelta(incoming, outcomes,
+      Seq.empty[Long].toDF("node_id"), 4, 4)
+    val e = intercept[Exception] { append.count() }
+    assert(e.getMessage.contains("unresolved twin chain") ||
+      Option(e.getCause).exists(_.getMessage.contains("unresolved twin chain")),
+      s"execution must raise the twin-chain error, got: $e")
+  }
+
   test("applyOutcomes edge cases: an all-duplicate batch leaves the " +
       "store untouched; archive-only maintenance drops exactly the " +
       "flipped node's rows") {

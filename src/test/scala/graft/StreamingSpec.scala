@@ -118,6 +118,104 @@ class StreamingSpec extends SparkSpec {
     assert(corpus.count() == 4)
   }
 
+  test("delta-store loop through checkpointed foreachBatch: redelivered " +
+    "micro-batches are no-ops, and outcomes + compacted store are " +
+    "row-identical to the pure-batch dg_gate_delta path") {
+    import graft.operators.{DedupGate, MinHashPipeline}
+    import graft.streaming.GateStoreLoop
+    implicit val sqlCtx = spark.sqlContext
+
+    val text = (i: Int) =>
+      s"stream loop fixture $i has words s${i}a s${i}b s${i}c tail ${i * 29}"
+    val fresh1 = "first streamed new document with its own words aa bb"
+    val corpus = (1 to 18).map(i => (i.toLong, text(i), "en", "published"))
+      .toDF("node_id", "text", "meta_key", "status")
+    def sigged(df: org.apache.spark.sql.DataFrame, id: String,
+        tcol: String) =
+      df.join(MinHashPipeline.signatures(df, id, col(tcol)), id)
+    val base = DedupGate.bandedSigStore(
+      sigged(corpus, "node_id", "text"), 4, 4)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-sloop").toString
+    GateStoreLoop.init(base, dir)
+
+    // batch 1: new + version of node 7; batch 2: re-versions node 7,
+    // duplicates batch-1's new node, touches untouched base node 3
+    val batch1 = Seq((801L, fresh1, "en"), (802L, text(7), "xx"))
+    val batch2 = Seq((901L, text(7), "yy"), (902L, fresh1, "en"),
+      (903L, text(3), "en"))
+
+    val input = MemoryStream[(Long, String, String)]
+    val docs = input.toDF().toDF("uid", "itext", "meta_key")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sckpt").toString
+    def runOnce(): Unit = {
+      val q = StreamPipeline.run(docs, ckpt) { (b, id) =>
+        val withSig = b.localCheckpoint(true)
+        GateStoreLoop.handleBatch(dir, 4, 4)(
+          sigged(withSig, "uid", "itext").select("uid", "sig", "meta_key"),
+          id)
+      }
+      q.awaitTermination()
+    }
+    input.addData(batch1: _*)
+    runOnce()
+    input.addData(batch2: _*)
+    runOnce()
+
+    // REDELIVERY: re-run both batches with their original batchIds (the
+    // checkpointed contract after a failure between artifact write and
+    // offset commit) — artifacts must be overwritten bit-stably, state
+    // unchanged.
+    def b(rows: Seq[(Long, String, String)]) =
+      sigged(rows.toDF("uid", "itext", "meta_key"), "uid", "itext")
+        .select("uid", "sig", "meta_key")
+    GateStoreLoop.handleBatch(dir, 4, 4)(b(batch1), 0L)
+    GateStoreLoop.handleBatch(dir, 4, 4)(b(batch2), 1L)
+
+    // Pure-batch reference: the dg_gate_delta path, by hand.
+    val o1 = DedupGate.classifyStoredDeltas(b(batch1), base, Seq(), 4, 4)
+    val none = Seq.empty[Long].toDF("node_id")
+    val (a1, t1) = DedupGate.outcomesDelta(b(batch1), o1, none, 4, 4)
+    val o2 = DedupGate.classifyStoredDeltas(
+      b(batch2), base, Seq((a1, t1)), 4, 4)
+    val (a2, t2) = DedupGate.outcomesDelta(b(batch2), o2, none, 4, 4)
+
+    def sameRows(x: org.apache.spark.sql.DataFrame,
+        y: org.apache.spark.sql.DataFrame, what: String): Unit =
+      assert(x.except(y).isEmpty && y.except(x).isEmpty,
+        s"$what diverged between streaming loop and batch path")
+    val keyedCols =
+      Seq("uid", "outcome", "matched_node_id", "best_sim", "batch_twin")
+    sameRows(GateStoreLoop.outcomes(spark, dir)
+      .select(keyedCols.head, keyedCols.tail: _*),
+      o1.unionByName(o2).select(keyedCols.head, keyedCols.tail: _*),
+      "outcomes")
+
+    // sanity on the loop's semantics before comparing stores
+    val om = GateStoreLoop.outcomes(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), Option(r.get(2)))).toMap
+    assert(om(801L)._1 == "new")
+    assert(om(802L)._1 == "version" && om(802L)._2 == Some(7L))
+    assert(om(901L)._1 == "version" && om(901L)._2 == Some(7L),
+      "node 7's live meta after batch 1 is xx, so yy re-versions it")
+    assert(om(902L)._1 == "duplicate" && om(902L)._2 == Some(801L))
+    assert(om(903L)._1 == "duplicate" && om(903L)._2 == Some(3L))
+
+    // COMPACTION: fold the two generations; store must equal the batch
+    // path's iterative fold.
+    GateStoreLoop.compact(spark, dir)
+    val (compacted, open) = GateStoreLoop.state(spark, dir)
+    assert(open.isEmpty, "compaction must close every open generation")
+    val ref = Seq((a1, t1), (a2, t2)).foldLeft(base) {
+      case (s, (append, tombs)) =>
+        s.join(broadcast(tombs), Seq("node_id"), "left_anti")
+          .unionByName(append)
+    }
+    sameRows(compacted, ref, "compacted store")
+    // node 7 carries batch-2's signature generation exactly once
+    assert(compacted.filter(col("node_id") === 7L).count() == 4)
+  }
+
   test("transformWithState fingerprint dedup: first arrival new, " +
     "re-arrivals duplicate across micro-batches (RocksDB state)") {
     import graft.streaming.StreamDedup

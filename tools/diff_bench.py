@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Diff two bench_queries.json artifacts, separating STRUCTURE from TIME.
+
+Usage: python3 tools/diff_bench.py OLD.json NEW.json [--time-ratio 1.5]
+
+Structure (rows, exchange count) is stable run-to-run; wall time is not.
+A plan regression therefore shows as structure drift even on a contended
+box, while a pure wall-time swing with matching structure and an elevated
+gc share / loadavg canary reads as measurement contamination, not a code
+regression (the r12 lesson: 4-8x official-bench swings on the gate family
+with bit-identical outputs).
+
+Handles both schemas: the flat map {"q": sec} (pre-r13 and the stdout
+line) and the rich map {"q": {"sec":..,"gc_sec":..,"heap_mb_delta":..,
+"rows":..,"exchanges":..}} written to bench_queries.json from r13 on.
+"""
+import json
+import sys
+
+
+def load(path):
+    with open(path) as f:
+        d = json.load(f)
+    qs = {}
+    for name, v in d.get("queries", {}).items():
+        if isinstance(v, dict):
+            qs[name] = v
+        else:
+            qs[name] = {"sec": float(v)}
+    return d, qs
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    ratio = 1.5
+    for a in sys.argv[1:]:
+        if a.startswith("--time-ratio"):
+            ratio = float(a.split("=", 1)[1] if "=" in a else sys.argv[
+                sys.argv.index(a) + 1])
+    if len(args) != 2:
+        print(__doc__)
+        sys.exit(2)
+    (da, qa), (db, qb) = load(args[0]), load(args[1])
+
+    print(f"== canaries ==")
+    for key in ("canary_loadavg_at_start", "canary_warmup_sec",
+                "canary_max_heap_mb", "gc_sec_total", "value", "n_errors"):
+        print(f"  {key:28s} {da.get(key, '-'):>10} -> {db.get(key, '-'):>10}")
+
+    names = sorted(set(qa) | set(qb))
+    structure, time_moves = [], []
+    for n in names:
+        a, b = qa.get(n), qb.get(n)
+        if a is None or b is None:
+            structure.append((n, "added" if a is None else "removed", "", ""))
+            continue
+        for field in ("rows", "exchanges"):
+            if field in a and field in b and a[field] != b[field]:
+                structure.append((n, field, a[field], b[field]))
+        sa, sb = a["sec"], b["sec"]
+        if sa > 0 and (sb / sa >= ratio or (sb > 0 and sa / sb >= ratio)) \
+                and max(sa, sb) >= 1.0:
+            gc_note = ""
+            if "gc_sec" in b and sb > 0:
+                gc_note = f"  (new gc share {b['gc_sec'] / sb:.0%})"
+            time_moves.append((n, sa, sb, gc_note))
+
+    print(f"\n== structure drift ({len(structure)}) — "
+          "investigate as plan regressions ==")
+    for n, field, va, vb in structure:
+        print(f"  {n:32s} {field:10s} {va} -> {vb}")
+    if not structure:
+        print("  none — plans produce identical cardinality and shuffles")
+
+    print(f"\n== wall-time moves >= {ratio}x on queries >= 1s "
+          f"({len(time_moves)}) — read against canaries/gc first ==")
+    for n, sa, sb, gc_note in time_moves:
+        print(f"  {n:32s} {sa:8.2f}s -> {sb:8.2f}s ({sb / sa:5.2f}x){gc_note}")
+    if not time_moves:
+        print("  none")
+
+    sys.exit(1 if structure else 0)
+
+
+if __name__ == "__main__":
+    main()
