@@ -270,6 +270,31 @@ object SimilarityQueries {
           min_by(col("sim"), col("kept_id")).as("sim"))
     }),
 
+    // Embedding-space decontamination — the SEMANTIC tier of the
+    // decontamination family (dd_decontaminate / dd_bloom / containment
+    // are lexical n-gram tiers; paraphrased eval leakage slips all of
+    // them). Every corpus vector within the cosine gate of ANY eval
+    // vector is flagged with its strongest eval match (argmax, ties to
+    // the lowest eval id). Scale shape: the eval set is SMALL at any
+    // corpus size (benchmarks are thousands of rows, not billions) so
+    // it broadcasts and the corpus streams through one scan — zero
+    // corpus exchange; only the (flag-sized) argmax shuffles. 0.4 gate
+    // matches dd_semdedup (synthetic embeddings are near-orthogonal).
+    "dd_embed_decontaminate" -> ((s, d) => {
+      val e = emb(s, d)
+      val ev = e.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("eval_id"), col("v").as("e_v"))
+      val corp = e.filter(col("vec_id") % 25 =!= 0)
+        .select(col("vec_id"), col("v").as("c_v"))
+      corp.crossJoin(broadcast(ev))
+        .withColumn("sim", Vectors.cosineRounded(col("c_v"), col("e_v")))
+        .filter(col("sim") >= 0.4)
+        .groupBy("vec_id")
+        .agg(max(struct(col("sim"), (-col("eval_id")).as("ni"))).as("m"))
+        .select(col("vec_id"), (-col("m.ni")).cast("long").as("eval_id"),
+          col("m.sim").as("sim"))
+    }),
+
     // ANN quality measurement: recall@3 of the IVF probe against the
     // exact top-3 — the accept/reject metric that decides whether an
     // approximate index ships. Pure composition of the two pipelines
@@ -740,6 +765,19 @@ object SimilarityQueries {
         |       UNION ALL SELECT c FROM tri)
         |SELECT node_id, count(*) AS n_triangles
         |FROM un GROUP BY node_id""".stripMargin,
+    "dd_embed_decontaminate" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |ev AS (SELECT vec_id AS eval_id, v FROM e WHERE vec_id % 25 = 0),
+        |corp AS (SELECT vec_id, v FROM e WHERE vec_id % 25 <> 0),
+        |hits AS (
+        |  SELECT c.vec_id, ev.eval_id,
+        |    round(list_cosine_similarity(c.v, ev.v), 4) AS sim
+        |  FROM corp c JOIN ev ON true
+        |  WHERE round(list_cosine_similarity(c.v, ev.v), 4) >= 0.4),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY sim DESC, eval_id ASC) AS rn FROM hits)
+        |SELECT vec_id, eval_id, sim FROM r WHERE rn = 1""".stripMargin,
     "dd_semdedup" ->
       s"""WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v,

@@ -70,7 +70,11 @@ class ContractSpec extends SparkSpec {
       "ta_quality_trim", "mix_curriculum", "pipe_corpus_refinery",
       "samp_temperature",
       "ta_oov_rate", "ta_tfidf", "dq_audit", "mix_datacard_incr",
-      "dd_decontaminate", "dd_bloom_decontaminate", "sim_ann_bruteforce",
+      "dd_decontaminate", "dd_bloom_decontaminate",
+      // tiny broadcast EVAL-embedding set crossed onto the corpus scan —
+      // the semantic decontamination probe (eval sets are small at any
+      // corpus size; the corpus never broadcasts)
+      "dd_embed_decontaminate", "sim_ann_bruteforce",
       "sim_ann_bucketed", "sim_knn_graph",
       // 1-row (n_docs, sum_dl) census crossed onto the term stats
       "ix_bm25",
