@@ -27,6 +27,75 @@ class PropertySpec extends SparkSpec {
     assert(rows.map(_.getLong(2)).distinct.length == pairs.length)
   }
 
+  test("dedup gate equals a brute-force all-pairs reference on a " +
+    "randomized corpus/batch (band shortlist + once-per-pair verify " +
+    "lose no candidate and invent none)") {
+    import graft.operators.{DedupGate, MinHashPipeline}
+    // Pool small enough that duplicates, versions, batch twins, and
+    // near-misses all occur; texts long enough to shingle.
+    val pool = (0 until 12).map(i =>
+      s"pooled document number $i with shared filler words and marker " +
+        s"m${i}a m${i}b plus tail ${i * 101}")
+    val corpusRows = (1 to 40).map { id =>
+      (id.toLong, pool(rnd.nextInt(pool.size)),
+        if (rnd.nextInt(4) == 0) "fr" else "en",
+        if (rnd.nextInt(10) == 0) "archive" else "published")
+    }
+    val batchRows = (101 to 115).map { uid =>
+      val t0 = pool(rnd.nextInt(pool.size))
+      val t = if (rnd.nextInt(4) == 0) t0 + s" mutated $uid" else t0
+      (uid.toLong, t, if (rnd.nextInt(4) == 0) "fr" else "en")
+    }
+    val corpus0 = corpusRows.toDF("node_id", "text", "meta_key", "status")
+    val batch0 = batchRows.toDF("uid", "itext", "meta_key")
+    val corpus = corpus0.join(
+      MinHashPipeline.signatures(corpus0, "node_id", $"text"), "node_id")
+    val batch = batch0.join(
+      MinHashPipeline.signatures(batch0, "uid", $"itext"), "uid")
+
+    // Brute-force reference on collected signatures: ALL pairs, no
+    // banding, no pair-dedup — the semantics the LSH shortlist and the
+    // once-per-pair verify must reproduce exactly (at >= 0.95 with 16
+    // perms a qualifying pair agrees on >= 15.2 -> all 16 components,
+    // so every qualifying pair also shares every band: the shortlist
+    // is lossless by construction and this property would catch a
+    // banding or dedup bug as a missing/extra outcome).
+    def sigsOf(df: org.apache.spark.sql.DataFrame, id: String) =
+      df.select(col(id), col("sig"), col("meta_key")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1), r.getString(2)))
+    val corpSigs = corpus.filter($"status" =!= "archive")
+      .select($"node_id", $"sig", $"meta_key").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getString(2)))
+    val batchSigs = sigsOf(batch, "uid")
+    def sim(a: Seq[Long], b: Seq[Long]): Double =
+      BigDecimal(a.zip(b).count(p => p._1 == p._2).toDouble / a.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = batchSigs.map { case (uid, s, meta) =>
+      val cands =
+        corpSigs.map { case (nid, cs, cm) => (sim(s, cs), true, nid, cm) } ++
+          batchSigs.filter(_._1 < uid)
+            .map { case (buid, bs, bm) => (sim(s, bs), false, buid, bm) }
+      val best = cands.filter(_._1 >= DedupGate.DuplicateThreshold)
+        .sortBy { case (sm, fc, id, _) => (-sm, !fc, id) }.headOption
+      uid -> (best match {
+        case None => ("new", None, None)
+        case Some((_, true, nid, cm)) =>
+          (if (cm == meta) "duplicate" else "version", Some(nid), None)
+        case Some((_, false, buid, bm)) =>
+          (if (bm == meta) "duplicate" else "version", None, Some(buid))
+      })
+    }.toMap
+
+    val got = DedupGate.classify(batch, corpus, 4, 4).collect()
+      .map(r => r.getLong(0) -> (r.getString(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Long]))).toMap
+    assert(got.keySet == expected.keySet)
+    for ((uid, exp) <- expected)
+      assert(got(uid) == exp,
+        s"uid $uid: gate said ${got(uid)}, brute-force reference $exp")
+  }
+
   test("cleanText is idempotent over random printable strings") {
     val chars = ('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9') ++
       Seq(' ', ' ', ' ', '.', ',', '!', '?', ';', ':', '<', '>', '/', 'é')
