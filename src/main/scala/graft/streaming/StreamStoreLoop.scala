@@ -40,12 +40,16 @@ object GateStoreLoop {
 
   private def fs(dir: String) = new java.io.File(dir)
 
-  /** Highest compacted base generation present under `dir` (-1 when only
-    * the initial base exists and it was written as `base_-1`). */
+  /** Highest COMPLETE compacted base generation under `dir` (-1 when
+    * only the initial base exists, written as `base_-1`). Completeness
+    * is the parquet commit marker — a fold interrupted mid-write leaves
+    * no `_SUCCESS`, so the previous base stays authoritative. */
   private def baseGen(dir: String): Long =
     fs(dir).listFiles().toSeq
       .map(_.getName).filter(_.startsWith("base_"))
-      .map(_.stripPrefix("base_").toLong).max
+      .map(_.stripPrefix("base_").toLong)
+      .filter(g => new java.io.File(s"$dir/base_$g/_SUCCESS").exists())
+      .max
 
   /** (base frame, ordered open generations) as of now. */
   def state(spark: SparkSession, dir: String)
@@ -102,6 +106,25 @@ object GateStoreLoop {
     outcomes.write.mode("overwrite").parquet(s"$dir/gen_$batchId/outcomes")
     append.write.mode("overwrite").parquet(s"$dir/gen_$batchId/delta")
     tombs.write.mode("overwrite").parquet(s"$dir/gen_$batchId/tombs")
+  }
+
+  /** Compaction POLICY for the streaming loop: fold when the open
+    * generation count reaches `maxOpenGenerations`. Each open
+    * generation adds one broadcast probe to every later batch's
+    * classify, so the per-batch cost grows linearly in open
+    * generations while compaction costs one corpus-sized fold —
+    * bounding the count trades a periodic corpus shuffle for a bounded
+    * probe fan-out, the standard LSM posture. Call after
+    * [[handleBatch]] in the same foreachBatch (compaction is
+    * idempotent and crash-safe: an interrupted fold leaves the old
+    * base authoritative because `state` resolves to the highest
+    * COMPLETE base).
+    */
+  def maybeCompact(spark: SparkSession, dir: String,
+      maxOpenGenerations: Int): Boolean = {
+    val (_, gens) = state(spark, dir)
+    if (gens.size >= maxOpenGenerations) { compact(spark, dir); true }
+    else false
   }
 
   /** Fold every open generation into a new compacted base — the

@@ -243,6 +243,40 @@ class StoreLoopSpec extends SparkSpec {
     assert(o3(703L)._1 == "duplicate" && o3(703L)._2 == Some(9L))
   }
 
+  test("bulk-backfill posture: classify with broadcastIncoming=false " +
+      "(keyed-shuffle band join instead of broadcast probe) is " +
+      "outcome-identical to the broadcast gate") {
+    val text = (i: Int) =>
+      s"backfill fixture $i unique words b${i}q b${i}r b${i}s tail ${i * 31}"
+    val corpus = (1 to 25).map(i => (i.toLong, text(i), "en",
+      if (i % 8 == 0) "archive" else "published"))
+      .toDF("node_id", "text", "meta_key", "status")
+    val c = sigsOf(corpus, "node_id", "text")
+    val batch = Seq(
+      (601L, text(3), "en"),   // duplicate
+      (602L, text(5), "xx"),   // version
+      (603L, text(8), "en"),   // new (8 is archived)
+      (604L, "wholly new backfill content zz yy xx", "en"), // new
+      (605L, "wholly new backfill content zz yy xx", "xx")) // version of twin
+      .toDF("uid", "itext", "meta_key")
+    val b = batch.join(
+      MinHashPipeline.signatures(batch, "uid", col("itext")), "uid")
+    def keyed(df: DataFrame): DataFrame = df
+      .select("uid", "outcome", "matched_node_id", "best_sim", "batch_twin")
+    val bcast = DedupGate.classify(b, c, 4, 4)
+    val shuffled = DedupGate.classify(b, c, 4, 4, broadcastIncoming = false)
+    assert(keyed(bcast).except(keyed(shuffled)).isEmpty &&
+      keyed(shuffled).except(keyed(bcast)).isEmpty,
+      "keyed-shuffle fallback diverged from the broadcast gate")
+    val om = shuffled.collect().map(r => r.getLong(0) ->
+      (r.getString(1), Option(r.get(2)), Option(r.get(4)))).toMap
+    assert(om(601L)._1 == "duplicate" && om(601L)._2 == Some(3L))
+    assert(om(602L)._1 == "version" && om(602L)._2 == Some(5L))
+    assert(om(603L)._1 == "new")
+    assert(om(604L)._1 == "new")
+    assert(om(605L)._1 == "version" && om(605L)._3 == Some(604L))
+  }
+
   test("last-writer-wins ordering contract: string uids without an " +
       "arrival column are refused loudly; an explicit arrival column " +
       "restores serial semantics where lexicographic order would lie") {

@@ -201,9 +201,13 @@ class StreamingSpec extends SparkSpec {
     assert(om(902L)._1 == "duplicate" && om(902L)._2 == Some(801L))
     assert(om(903L)._1 == "duplicate" && om(903L)._2 == Some(3L))
 
-    // COMPACTION: fold the two generations; store must equal the batch
-    // path's iterative fold.
-    GateStoreLoop.compact(spark, dir)
+    // COMPACTION via the policy hook: below threshold is a no-op,
+    // at threshold the two generations fold; store must equal the
+    // batch path's iterative fold.
+    assert(!GateStoreLoop.maybeCompact(spark, dir, 3),
+      "2 open generations must not trigger a threshold-3 compaction")
+    assert(GateStoreLoop.state(spark, dir)._2.size == 2)
+    assert(GateStoreLoop.maybeCompact(spark, dir, 2))
     val (compacted, open) = GateStoreLoop.state(spark, dir)
     assert(open.isEmpty, "compaction must close every open generation")
     val ref = Seq((a1, t1), (a2, t2)).foldLeft(base) {
