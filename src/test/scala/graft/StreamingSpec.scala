@@ -220,6 +220,50 @@ class StreamingSpec extends SparkSpec {
     assert(compacted.filter(col("node_id") === 7L).count() == 4)
   }
 
+  test("torn generation artifacts are invisible: a crash between the " +
+    "delta write and the tombs write leaves a generation state() skips, " +
+    "and redelivery of that batch heals it in place") {
+    import graft.operators.{DedupGate, MinHashPipeline}
+    import graft.streaming.GateStoreLoop
+    val text = (i: Int) =>
+      s"torn fixture $i carries words t${i}a t${i}b t${i}c tail ${i * 41}"
+    val corpus = (1 to 10).map(i => (i.toLong, text(i), "en", "published"))
+      .toDF("node_id", "text", "meta_key", "status")
+    def sigged(df: org.apache.spark.sql.DataFrame, id: String, t: String) =
+      df.join(MinHashPipeline.signatures(df, id, col(t)), id)
+    val base = DedupGate.bandedSigStore(sigged(corpus, "node_id", "text"),
+      4, 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-torn").toString
+    GateStoreLoop.init(base, dir)
+
+    val b0 = sigged(Seq((501L, text(4), "xx")).toDF("uid", "itext", "meta_key"),
+      "uid", "itext").select("uid", "sig", "meta_key")
+    GateStoreLoop.handleBatch(dir, 4, 4)(b0, 0L)
+    assert(GateStoreLoop.state(spark, dir)._2.map(_._1) == Seq(0L))
+
+    // simulate the crash window: batch 1's delta landed, tombs did not
+    val (a1, _) = DedupGate.outcomesDelta(
+      sigged(Seq((502L, text(6), "yy")).toDF("uid", "itext", "meta_key"),
+        "uid", "itext"),
+      DedupGate.classifyStored(
+        sigged(Seq((502L, text(6), "yy")).toDF("uid", "itext", "meta_key"),
+          "uid", "itext"), base, 4, 4),
+      Seq.empty[Long].toDF("node_id"), 4, 4)
+    a1.write.mode("overwrite").parquet(s"$dir/gen_1/delta")
+    assert(GateStoreLoop.state(spark, dir)._2.map(_._1) == Seq(0L),
+      "a generation without its tombs commit marker must be invisible")
+
+    // redelivery of batch 1 overwrites the torn artifacts and completes
+    val b1 = sigged(Seq((502L, text(6), "yy")).toDF("uid", "itext", "meta_key"),
+      "uid", "itext").select("uid", "sig", "meta_key")
+    GateStoreLoop.handleBatch(dir, 4, 4)(b1, 1L)
+    assert(GateStoreLoop.state(spark, dir)._2.map(_._1) == Seq(0L, 1L))
+    val om = GateStoreLoop.outcomes(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), Option(r.get(2)))).toMap
+    assert(om(501L)._1 == "version" && om(501L)._2 == Some(4L))
+    assert(om(502L)._1 == "version" && om(502L)._2 == Some(6L))
+  }
+
   test("transformWithState fingerprint dedup: first arrival new, " +
     "re-arrivals duplicate across micro-batches (RocksDB state)") {
     import graft.streaming.StreamDedup
