@@ -28,6 +28,59 @@ object SimilarityQueries {
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
 
+  /** The frozen 8-cell IVF codebook (first 8 vectors ≙ a trained
+    * coarse quantizer) — shared by sim_ann_ivf and sim_ivf_delta so
+    * the monolithic and delta postures assign against the SAME cells. */
+  private def centroids(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("v").as("c_v"))
+
+  /** Nearest-`rkMax`-cell assignment against a broadcast codebook.
+    * L2 is a raw fixed-order fold (see pqRanked): bit-identical across
+    * engines, so the assignment rank can't flip on a rounding boundary.
+    * Output keeps (vec_id, v, cell, rk). */
+  private def ivfAssign(vecs: DataFrame, cents: DataFrame,
+      rkMax: Int): DataFrame = {
+    val d2 = aggregate(
+      zip_with(col("v"), col("c_v"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+    val byDist = Window.partitionBy("vec_id")
+      .orderBy(col("d2").asc, col("c_id").asc)
+    vecs.crossJoin(broadcast(cents))
+      .withColumn("d2", d2)
+      .withColumn("rk", row_number().over(byDist))
+      .filter(col("rk") <= rkMax)
+      .select(col("vec_id"), col("v"), col("c_id").as("cell"), col("rk"))
+  }
+
+  /** The nprobe=2 query set: first 30 vectors probing their 2 nearest
+    * cells. */
+  private def ivfQueries(e: DataFrame, cents: DataFrame): DataFrame =
+    ivfAssign(e.filter(col("vec_id") < 30), cents, 2)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"), col("cell"))
+
+  /** Cell-keyed candidate join against ONE index side — kept separate
+    * per side (base probed on its bucket layout, delta probed
+    * broadcast) because a union BEFORE the join would erase the base's
+    * bucket distribution and force the corpus-sized shuffle the
+    * bucketed store exists to avoid. `index` rows are (n_id, n_v,
+    * cell). */
+  private def ivfCandidates(probed: DataFrame, index: DataFrame): DataFrame =
+    probed.join(index, Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("sim", Vectors.cosineRounded(col("q_v"), col("n_v")))
+      .select("q_id", "n_id", "sim")
+
+  /** Exact-cosine top-3 per query over the unioned candidates — the
+    * shared ranking tail of both IVF postures. */
+  private def ivfTop3(cands: DataFrame): DataFrame = {
+    val bySim = Window.partitionBy("q_id")
+      .orderBy(col("sim").desc, col("n_id").asc)
+    cands.withColumn("rk", row_number().over(bySim))
+      .filter(col("rk") <= 3)
+      .select("q_id", "n_id", "sim", "rk")
+  }
+
   /** PQ encode + ADC ranking, unfiltered (all candidate ranks) — shared
     * by sim_ann_pq (top-3) and sim_ann_pq_rerank (top-10 shortlist). */
   private def pqRanked(s: SparkSession, d: String): DataFrame = {
@@ -109,36 +162,41 @@ object SimilarityQueries {
     // probe never scans outside its cells.
     "sim_ann_ivf" -> ((s, d) => {
       val e = emb(s, d)
-      val cents = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("c_id"), col("v").as("c_v"))
-      // raw fixed-order fold (see pqRanked): bit-identical across
-      // engines, so the assignment rank can't flip on a rounding boundary
-      def d2 = aggregate(
-        zip_with(col("v"), col("c_v"), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x)
-      val byDist = Window.partitionBy("vec_id")
-        .orderBy(col("d2").asc, col("c_id").asc)
-      val assigned = e.crossJoin(broadcast(cents))
-        .withColumn("d2", d2)
-        .withColumn("rk", row_number().over(byDist))
-        .filter(col("rk") === 1)
-        .select(col("vec_id").as("n_id"), col("v").as("n_v"),
-          col("c_id").as("cell"))
-      val probed = e.filter(col("vec_id") < 30)
-        .crossJoin(broadcast(cents))
-        .withColumn("d2", d2)
-        .withColumn("rk", row_number().over(byDist))
-        .filter(col("rk") <= 2)
-        .select(col("vec_id").as("q_id"), col("v").as("q_v"),
-          col("c_id").as("cell"))
-      val bySim = Window.partitionBy("q_id")
-        .orderBy(col("sim").desc, col("n_id").asc)
-      probed.join(assigned, Seq("cell"))
-        .filter(col("q_id") =!= col("n_id"))
-        .withColumn("sim", Vectors.cosineRounded(col("q_v"), col("n_v")))
-        .withColumn("rk", row_number().over(bySim))
-        .filter(col("rk") <= 3)
-        .select("q_id", "n_id", "sim", "rk")
+      val cents = centroids(e)
+      val assigned = ivfAssign(e, cents, 1)
+        .select(col("vec_id").as("n_id"), col("v").as("n_v"), col("cell"))
+      ivfTop3(ivfCandidates(ivfQueries(e, cents), assigned))
+    }),
+
+    // IVF index in the DELTA posture — the gate's base+delta story
+    // applied to the similarity family: the cell-assigned index was
+    // materialized at T0 as a bucketed-by-cell on-disk table WITHOUT
+    // the late tranche (vec_id % 6 == 0); the late arrivals are
+    // assigned with the SAME frozen codebook and ride beside it as an
+    // in-memory delta. The probe joins cells against base ∪ delta —
+    // base side exchange-free (bucket layout = join layout), delta
+    // broadcast — and must return row-identical top-k to the monolithic
+    // sim_ann_ivf (same oracle SQL): how the index is physically
+    // organized must not change a neighbor. At 100 TB this is how a
+    // vector index absorbs a day's ingest without re-clustering the
+    // corpus: assignment of the delta is a broadcast-codebook
+    // projection, and the periodic compaction (fold delta into base,
+    // re-bucket) is the only corpus-sized event.
+    "sim_ivf_delta" -> ((s, d) => {
+      val e = emb(s, d)
+      val cents = centroids(e)
+      val baseRows = ivfAssign(e.filter(col("vec_id") % 6 =!= 0), cents, 1)
+        .select(col("vec_id").as("n_id"), col("v").as("n_v"), col("cell"))
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-ivfbase-${d.replace('/', '_')}").getAbsolutePath
+      Layout.bucketedStoreWrite(baseRows, "graft_ivf_base", dir, 8,
+        Seq("cell"))
+      val base = s.table("graft_ivf_base")
+      val delta = ivfAssign(e.filter(col("vec_id") % 6 === 0), cents, 1)
+        .select(col("vec_id").as("n_id"), col("v").as("n_v"), col("cell"))
+      val probed = ivfQueries(e, cents)
+      ivfTop3(ivfCandidates(probed, base)
+        .unionByName(ivfCandidates(probed, broadcast(delta))))
     }),
 
     // One Lloyd iteration of k-means (k = 8, seeds = the first 8 vectors
@@ -562,6 +620,9 @@ object SimilarityQueries {
         |FROM w, n""".stripMargin,
     "sim_ann_bruteforce" -> bruteforceSql,
     "sim_ann_ivf" -> ivfSql,
+    // identical output contract: the delta posture must not change a
+    // neighbor
+    "sim_ivf_delta" -> ivfSql,
     // Both component pipelines are independently oracle-green; the recall
     // oracle composes them verbatim as subqueries so the two engines
     // measure the identical approx-vs-exact comparison.

@@ -65,7 +65,8 @@ class ContractSpec extends SparkSpec {
     // a ≤8-row broadcast codebook / 1-row scalar frame crossed onto the
     // corpus — the documented pattern, constant-size by construction.
     val bnljAllowed = Set(
-      "sim_ann_ivf", "sim_ann_pq", "sim_ann_pq_rerank", "sim_ann_recall",
+      "sim_ann_ivf", "sim_ivf_delta", "sim_ann_pq", "sim_ann_pq_rerank",
+      "sim_ann_recall",
       "sim_kmeans_step", "dd_semdedup", "sk_kmv_overlap",
       "ta_quality_trim", "mix_curriculum", "pipe_corpus_refinery",
       "samp_temperature",

@@ -436,6 +436,25 @@ class PlanSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"))
   }
 
+  test("sim_ivf_delta: the base index is read as a bucketed scan and " +
+    "the delta rides a broadcast join — the cell-keyed probe never " +
+    "shuffles the stored index") {
+    val p = planOf(SimilarityQueries.queries("sim_ivf_delta")(spark, sf))
+    assert(p.contains("SelectedBucketsCount"),
+      s"base index read must be a bucketed scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the delta probe must broadcast the delta:\n$p")
+    // the stored index side must not re-shuffle on the bucket key: any
+    // hashpartitioning(cell…) exchange may only sit on the probe side
+    // feeding a SortMergeJoin against the bucketed scan, never below
+    // the base relation itself
+    val baseShuffled = p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning(cell") && l.contains("n_id"))
+    assert(!baseShuffled,
+      s"the stored index shuffled on cell — bucket layout ignored:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("samp_hard_negatives: dup exclusion and knn both stay keyed " +
     "bucket equi-joins — nothing all-pairs") {
     val p = planOf(
