@@ -548,6 +548,42 @@ object RelationalQueries {
         LIMIT 20""")
     }),
 
+    // TPC-H Q20 (potential part promotion, public benchmark spec,
+    // adapted to this schema: no partsupp table, so "excess stock"
+    // becomes a DOMINANT-SUPPLIER share test — suppliers providing
+    // >12% of a red part's total shipped quantity). The shape this adds
+    // over Q17/Q18/Q21: a NESTED semi-join chain (supplier IN → part
+    // IN) wrapped around a correlated scalar whose correlation key
+    // comes from a GROUPED DERIVED TABLE, not a base relation.
+    // Catalyst decorrelates the inner scalar into a per-partkey
+    // aggregate joined against the grouped frame (both aggregates
+    // partial map-side), and both IN filters become keyed LeftSemi
+    // joins with the tiny part probe broadcast — no per-row subquery
+    // re-execution anywhere at any scale. Quantities are integral so
+    // the DECIMAL sums (and the 0.12 share gate) are exact in both
+    // engines — no rounding boundary can flip a supplier in or out.
+    "sql_q20" -> ((s, d) => {
+      Tables.supplier(s, d).createOrReplaceTempView("v_supplier")
+      Tables.part(s, d).createOrReplaceTempView("v_part")
+      Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+      s.sql("""
+        SELECT s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+        FROM v_supplier
+        WHERE s_suppkey IN (
+          SELECT sp.l_suppkey
+          FROM (SELECT l_suppkey, l_partkey,
+                       sum(CAST(l_quantity AS DECIMAL(18,2))) AS part_qty
+                FROM v_lineitem
+                WHERE l_partkey IN (SELECT p_partkey FROM v_part
+                                    WHERE p_name LIKE 'red%')
+                GROUP BY l_suppkey, l_partkey) sp
+          WHERE sp.part_qty > (SELECT 0.12 * sum(CAST(l2.l_quantity
+                                 AS DECIMAL(18,2)))
+                               FROM v_lineitem l2
+                               WHERE l2.l_partkey = sp.l_partkey))
+        ORDER BY s_name""")
+    }),
+
     // T4 explode (legislation_table_update.py:80) + word-frequency agg:
     // documents text → words → counts. The classic shuffle-heavy op; at
     // scale the map-side partial agg collapses per-partition duplicates
@@ -878,6 +914,22 @@ object RelationalQueries {
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name
         |LIMIT 20""".stripMargin,
+    "sql_q20" ->
+      """SELECT s_name, s_acctbal
+        |FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT sp.l_suppkey
+        |  FROM (SELECT l_suppkey, l_partkey,
+        |               sum(CAST(l_quantity AS DECIMAL(18,2))) AS part_qty
+        |        FROM lineitem
+        |        WHERE l_partkey IN (SELECT p_partkey FROM part
+        |                            WHERE p_name LIKE 'red%')
+        |        GROUP BY l_suppkey, l_partkey) sp
+        |  WHERE sp.part_qty > (SELECT 0.12 * sum(CAST(l2.l_quantity
+        |                         AS DECIMAL(18,2)))
+        |                       FROM lineitem l2
+        |                       WHERE l2.l_partkey = sp.l_partkey))
+        |ORDER BY s_name""".stripMargin,
     "w_running_sum" ->
       """SELECT o_custkey, o_orderkey,
         |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2)))

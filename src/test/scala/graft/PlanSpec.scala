@@ -412,6 +412,26 @@ class PlanSpec extends SparkSpec {
     assert(scans <= 3, s"$scans fact scans — decorrelation failed:\n$p")
   }
 
+  test("sql_q20: nested IN chain plans as keyed semi joins and the " +
+    "grouped-derived-table correlation decorrelates into a bounded " +
+    "number of fact scans") {
+    val p = planOf(RelationalQueries.queries("sql_q20")(spark, sf))
+    assert(p.contains("LeftSemi"),
+      "both IN filters must plan as keyed semi joins")
+    assert(p.contains("partial_sum"),
+      "the per-(supp,part) and per-part sums must partial-aggregate " +
+        "map-side")
+    assert(p.contains("BroadcastHashJoin"),
+      "the red-part probe is dim-sized and must broadcast")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    // bounded: supplier + two fact scans (grouped outer, decorrelated
+    // per-part total) + the broadcast part probe under each — never a
+    // scan per outer row
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans <= 5, s"$scans scans — decorrelation failed:\n$p")
+  }
+
   test("sql_q21: EXISTS and NOT EXISTS decorrelate into keyed semi/anti " +
     "joins — never per-row subquery re-execution") {
     val p = planOf(RelationalQueries.queries("sql_q21")(spark, sf))
