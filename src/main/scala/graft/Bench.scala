@@ -27,11 +27,14 @@ object Bench {
 
   /** One timed end-to-end run: wall seconds, success, GC seconds spent
     * inside the run (all collectors, whole JVM — in local[n] the
-    * executors share this JVM so the attribution is exact), and the
+    * executors share this JVM so the attribution is exact), the
     * heap-used delta across the action (positive = the query left data
-    * resident; large values flag allocation-heavy paths). */
+    * resident; large values flag allocation-heavy paths), result
+    * cardinality, and the executed plan's Exchange count (read from the
+    * run's own frame AFTER the action — the final adaptive plan, at
+    * zero extra builder invocations). */
   private case class Meas(sec: Double, ok: Boolean, gcSec: Double,
-    heapMbDelta: Double, rows: Long)
+    heapMbDelta: Double, rows: Long, exchanges: Int)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -100,14 +103,28 @@ object Bench {
       val h0 = heapUsedMb
       val t0 = System.nanoTime()
       var rows = -1L
-      val ok = try { rows = fn(spark, sfDir).count(); true }
-        catch { case NonFatal(e) =>
-          // a failure must be LOUD: a swallowed exception times as a
-          // fast "success" and reads as a speedup in round-over-round
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          false
-        }
-      val dt = (System.nanoTime() - t0) / 1e9
+      var dt = 0.0
+      var exchanges = -1
+      val ok = try {
+        val df = fn(spark, sfDir)
+        rows = df.count()
+        dt = (System.nanoTime() - t0) / 1e9
+        // structural fingerprint off the frame just executed — the
+        // FINAL adaptive plan, captured outside the timed window and
+        // without re-invoking the builder (store-writing queries do
+        // real work at build time)
+        exchanges = try {
+          df.queryExecution.executedPlan.toString
+            .linesIterator.count(_.contains("Exchange"))
+        } catch { case NonFatal(_) => -1 }
+        true
+      } catch { case NonFatal(e) =>
+        // a failure must be LOUD: a swallowed exception times as a
+        // fast "success" and reads as a speedup in round-over-round
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        dt = (System.nanoTime() - t0) / 1e9
+        false
+      }
       val gcSec = (gcMillis - gc0) / 1e3
       val heapDelta = heapUsedMb - h0
       // Queries that persist intermediates (the self-join dedup family)
@@ -118,18 +135,8 @@ object Bench {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       System.gc()
-      Meas(dt, ok, gcSec, heapDelta, rows)
+      Meas(dt, ok, gcSec, heapDelta, rows, exchanges)
     }
-    // Structural fingerprint, measured OUTSIDE the timed runs: the
-    // physical plan's Exchange count. Wall time is noisy on a contended
-    // box; exchange count and result cardinality are not — a plan
-    // regression shows as drift here even when timings can't be trusted.
-    def exchangesOf(
-        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Int =
-      try {
-        fn(spark, sfDir).queryExecution.executedPlan.toString
-          .linesIterator.count(_.contains("Exchange"))
-      } catch { case NonFatal(_) => -1 }
     val firstPass = selected.map { case (name, fn) =>
       val m = timeOne(name, fn)
       System.err.println(
@@ -161,16 +168,12 @@ object Bench {
         name -> best
       } else name -> m1
     }
-    val byName = results.toMap
-    val exchanges = selected.map { case (name, fn) =>
-      name -> (if (byName(name).ok) exchangesOf(fn) else -1)
-    }.toMap
     val qsFlat = results.map { case (k, m) => "\"" + k + "\":" + f"${m.sec}%.3f" }
       .mkString("{", ",", "}")
     val qsRich = results.map { case (k, m) =>
       "\"" + k + "\":" + f"""{"sec":${m.sec}%.3f,"gc_sec":${m.gcSec}%.3f,""" +
         f""""heap_mb_delta":${m.heapMbDelta}%.1f,"rows":${m.rows},""" +
-        s""""exchanges":${exchanges(k)}}"""
+        s""""exchanges":${m.exchanges}}"""
     }.mkString("{", ",", "}")
     val total = results.map(_._2.sec).sum
     val gcTotal = results.map(_._2.gcSec).sum
