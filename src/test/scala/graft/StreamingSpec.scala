@@ -342,6 +342,57 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming SEMANTIC near-dup tier: sign-bucket keys through the " +
+    "band-dedup state operator — embedding near-dups collide with the " +
+    "bucket's first owner, the streaming face of dd_semdedup") {
+    import graft.functions.Vectors
+    import graft.streaming.StreamDedup
+    implicit val sqlCtx = spark.sqlContext
+    // identical sign pattern = same coarse semantic cell (the
+    // sim_ann_bucketed quantizer); the stream needs no new operator —
+    // BandDedup is generic over its key, so the semantic tier is the
+    // lexical band tier fed bucket keys instead of LSH band renders
+    val vs = Seq(
+      (10L, Seq(0.9, 0.8, -0.7, 0.6, -0.5, 0.4, 0.3, -0.2)),
+      (11L, Seq(0.8, 0.7, -0.6, 0.5, -0.4, 0.3, 0.2, -0.1)), // 10's signs
+      (12L, Seq(-0.9, 0.8, 0.7, -0.6, 0.5, -0.4, -0.3, 0.2)))
+    val bucketOf = vs.toDF("vec_id", "v")
+      .select(col("vec_id"),
+        Vectors.signBucket(col("v")).cast("string").as("bucket"))
+      .as[(Long, String)].collect().toMap
+    assert(bucketOf(10L) == bucketOf(11L) && bucketOf(10L) != bucketOf(12L),
+      "fixture: 10/11 must share a sign cell, 12 must not")
+
+    val prev =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(Long, Seq[String])]
+      val out = StreamDedup.dedupByBands(input.toDS())
+      val q = out.toDF("vec_id", "bucket", "outcome").writeStream
+        .outputMode("update").format("memory").queryName("semdedup").start()
+      input.addData((10L, Seq(bucketOf(10L))))
+      q.processAllAvailable()
+      input.addData((11L, Seq(bucketOf(11L))), (12L, Seq(bucketOf(12L))))
+      q.processAllAvailable()
+      q.stop()
+      val res = spark.table("semdedup").as[(Long, String, String)].collect()
+        .map(r => r._1 -> r._3).toMap
+      assert(res(10L) == "new")
+      assert(res(11L) == "collision:10",
+        "same-sign-cell arrival must collide with the cell's first owner")
+      assert(res(12L) == "new")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf
+          .set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf
+          .unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("dropDuplicatesWithinWatermark: dedup state is TTL'd by the " +
     "watermark — unbounded-corpus streaming dedup with bounded state") {
     // the time-windowed dedup policy FingerprintDedup's TTLConfig points
