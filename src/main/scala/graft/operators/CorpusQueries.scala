@@ -359,6 +359,40 @@ object CorpusQueries {
     // aggregate re-scanned the corpus; plan-asserted away). p_diff is
     // two divisions and a subtraction over exact integer counts —
     // bit-identical across engines, shipped raw.
+    // Release-to-release corpus diff — the change manifest a dataset
+    // release ships beside its datacard: every doc classified
+    // added / removed / changed by content fingerprint, with the
+    // unchanged mass (the overwhelming majority) dropped so the OUTPUT
+    // is diff-sized, never corpus-sized. Snapshot B is derived
+    // deterministically from A: every 11th doc dropped (removed),
+    // every 7th survivor's text mutated (changed), every 13th doc
+    // re-added under a fresh negative id (added — negative ids cannot
+    // collide with A's non-negative id space, so no max()-offset scalar
+    // attach is needed). Scale shape: fingerprints are scan-side
+    // projections; the diff is ONE keyed full-outer join on doc_id —
+    // with both snapshots bucketed on doc_id it is exchange-free, and
+    // the unchanged filter runs before anything leaves the join.
+    "dq_release_diff" -> ((s, d) => {
+      val a = Tables.documents(s, d)
+        .select(col("doc_id"), md5(col("text")).as("fp_a"))
+      val docs = Tables.documents(s, d)
+      val carried = docs.filter(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"),
+          md5(when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" [amended]")))
+            .otherwise(col("text"))).as("fp_b"))
+      val added = docs.filter(col("doc_id") % 13 === 0)
+        .select((-col("doc_id") - 1).as("doc_id"), md5(col("text")).as("fp_b"))
+      val b = carried.unionByName(added)
+      a.join(b, Seq("doc_id"), "full_outer")
+        .withColumn("change",
+          when(col("fp_b").isNull, "removed")
+            .when(col("fp_a").isNull, "added")
+            .when(col("fp_a") =!= col("fp_b"), "changed"))
+        .filter(col("change").isNotNull)
+        .select(col("doc_id"), col("change"))
+    }),
+
     "dq_drift" -> ((s, d) => {
       val wAll = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing)
@@ -662,6 +696,26 @@ object CorpusQueries {
         |UNION ALL SELECT 'orders.o_custkey.fk_violation_count',
         |  (SELECT count(*) FROM orders
         |   WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))::BIGINT"""
+        .stripMargin,
+    "dq_release_diff" ->
+      """WITH a AS (SELECT doc_id, md5(text) AS fp_a FROM documents),
+        |carried AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [amended]'
+        |             ELSE text END) AS fp_b
+        |  FROM documents WHERE doc_id % 11 <> 0),
+        |added AS (
+        |  SELECT -doc_id - 1 AS doc_id, md5(text) AS fp_b
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |b AS (SELECT * FROM carried UNION ALL SELECT * FROM added)
+        |SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+        |  CASE WHEN b.fp_b IS NULL THEN 'removed'
+        |       WHEN a.fp_a IS NULL THEN 'added'
+        |       WHEN a.fp_a <> b.fp_b THEN 'changed' END AS change
+        |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+        |WHERE (CASE WHEN b.fp_b IS NULL THEN 'removed'
+        |            WHEN a.fp_a IS NULL THEN 'added'
+        |            WHEN a.fp_a <> b.fp_b THEN 'changed' END) IS NOT NULL"""
         .stripMargin,
     "dq_drift" ->
       """WITH t AS (SELECT lang,
