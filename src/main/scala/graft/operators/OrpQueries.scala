@@ -34,6 +34,16 @@ object OrpQueries {
     scala.collection.mutable.Set.empty[(SparkSession, String)]
   private def corpusSignatures(s: SparkSession, d: String): DataFrame =
     synchronized {
+      // bound the cache: entries of STOPPED sessions pin their frames,
+      // plans, and the dead session itself for the JVM's lifetime —
+      // evict them on every access so long-lived multi-session JVMs
+      // (one session per job, per-suite test harnesses) hold at most
+      // the live sessions' entries
+      val dead = corpSigCache.keys
+        .filter(_._1.sparkContext.isStopped).toSeq
+      dead.foreach(corpSigCache.remove)
+      streamLoopInit.filter(_._1.sparkContext.isStopped)
+        .toSeq.foreach(streamLoopInit.remove)
       val sig = corpSigCache.getOrElseUpdate((s, d), {
         val docs = Tables.documents(s, d)
         MinHashPipeline.signatures(

@@ -21,20 +21,25 @@ import org.apache.spark.sql.functions._
   *                         (base_-1 is the initial store)
   *   gen_<batchId>/delta   banded rows of the batch's winners
   *   gen_<batchId>/tombs   node ids replaced or retired by this batch
+  *                         (written LAST — its _SUCCESS is the
+  *                         generation's commit marker)
   *   gen_<batchId>/outcomes the batch's classified rows (the API output)
   * }}}
-  * Current state = the highest `base_<g>` plus every `gen_<i>` with
-  * `i > g`, ordered by batchId — exactly the `generations` argument of
-  * [[DedupGate.classifyStoredDeltas]].
+  * Current state = the highest `base_<g>` plus every COMMITTED `gen_<i>`
+  * with `i > g`, ordered by batchId — exactly the `generations` argument
+  * of [[DedupGate.classifyStoredDeltas]].
   *
   * REDELIVERY SAFETY (the checkpointed foreachBatch contract — a batch
   * that failed mid-write is delivered again with the SAME batchId):
-  * artifacts land in batchId-keyed directories with overwrite mode, and
-  * a batch only probes generations STRICTLY BELOW its own id — so a
-  * half-written artifact from a failed attempt is invisible to its own
-  * re-run and simply overwritten. Replaying any prefix of batches is a
-  * pure no-op: outcomes are a function of (base, earlier generations,
-  * batch), none of which a redelivery mutates.
+  * artifacts land in batchId-keyed directories with overwrite mode; a
+  * batch only probes generations STRICTLY BELOW its own id; and
+  * in-stream compaction ([[maybeCompact]] with `upTo = batchId`) folds
+  * only generations STRICTLY BELOW the current batch — so neither a
+  * half-written artifact nor a compaction that ran before the crash can
+  * change what a re-run of the same batch observes. Replaying any prefix
+  * of batches is therefore a pure no-op: outcomes are a function of
+  * (live node set below this batch, batch contents), and every
+  * physical reorganization preserves that set.
   */
 object GateStoreLoop {
 
@@ -43,22 +48,36 @@ object GateStoreLoop {
   /** Highest COMPLETE compacted base generation under `dir` (-1 when
     * only the initial base exists, written as `base_-1`). Completeness
     * is the parquet commit marker — a fold interrupted mid-write leaves
-    * no `_SUCCESS`, so the previous base stays authoritative. */
-  private def baseGen(dir: String): Long =
-    fs(dir).listFiles().toSeq
-      .map(_.getName).filter(_.startsWith("base_"))
+    * no `_SUCCESS`, so the previous base stays authoritative. Loud when
+    * no complete base exists: [[init]] has not run (or its write never
+    * committed), and probing a nonexistent store should not look like
+    * an empty corpus. */
+  private def baseGen(dir: String): Long = {
+    val complete = Option(fs(dir).listFiles()).getOrElse(Array.empty)
+      .toSeq.map(_.getName).filter(_.startsWith("base_"))
       .map(_.stripPrefix("base_").toLong)
       .filter(g => new java.io.File(s"$dir/base_$g/_SUCCESS").exists())
-      .max
+    if (complete.isEmpty)
+      throw new IllegalStateException(
+        s"GateStoreLoop: no committed base under $dir — run init() first " +
+          "(a missing or _SUCCESS-less base means the store was never " +
+          "created, not that the corpus is empty)")
+    complete.max
+  }
+
+  /** Committed generation ids under `dir` (tombs/_SUCCESS present),
+    * ascending. */
+  private def committedGens(dir: String): Seq[Long] =
+    Option(fs(dir).listFiles()).getOrElse(Array.empty)
+      .toSeq.map(_.getName).filter(_.startsWith("gen_"))
+      .map(_.stripPrefix("gen_").toLong).sorted
+      .filter(id => new java.io.File(s"$dir/gen_$id/tombs/_SUCCESS").exists())
 
   /** (base frame, ordered open generations) as of now. */
   def state(spark: SparkSession, dir: String)
       : (DataFrame, Seq[(Long, DataFrame, DataFrame)]) = {
     val g = baseGen(dir)
-    val gens = fs(dir).listFiles().toSeq
-      .map(_.getName).filter(_.startsWith("gen_"))
-      .map(_.stripPrefix("gen_").toLong).filter(_ > g).sorted
-      .filter(id => new java.io.File(s"$dir/gen_$id/tombs/_SUCCESS").exists())
+    val gens = committedGens(dir).filter(_ > g)
     (spark.read.parquet(s"$dir/base_$g"),
       gens.map(id => (id,
         spark.read.parquet(s"$dir/gen_$id/delta"),
@@ -100,9 +119,11 @@ object GateStoreLoop {
       .limit(0)
     val (append, tombs) = DedupGate.outcomesDelta(
       b, outcomes, noFlips, numBands, rowsPerBand)
-    // tombs LAST: state() gates a generation on tombs/_SUCCESS, so a
-    // crash between writes leaves an invisible (and overwritable)
-    // half-generation, never a probe against delta-without-tombstones
+    // tombs LAST: BOTH state() and outcomes() gate a generation on
+    // tombs/_SUCCESS, so a crash anywhere between these writes leaves an
+    // invisible (and overwritable) half-generation — never a probe
+    // against delta-without-tombstones, and never queryable outcomes the
+    // store itself has not committed
     outcomes.write.mode("overwrite").parquet(s"$dir/gen_$batchId/outcomes")
     append.write.mode("overwrite").parquet(s"$dir/gen_$batchId/delta")
     tombs.write.mode("overwrite").parquet(s"$dir/gen_$batchId/tombs")
@@ -114,27 +135,39 @@ object GateStoreLoop {
     * classify, so the per-batch cost grows linearly in open
     * generations while compaction costs one corpus-sized fold —
     * bounding the count trades a periodic corpus shuffle for a bounded
-    * probe fan-out, the standard LSM posture. Call after
-    * [[handleBatch]] in the same foreachBatch (compaction is
-    * idempotent and crash-safe: an interrupted fold leaves the old
-    * base authoritative because `state` resolves to the highest
-    * COMPLETE base).
+    * probe fan-out, the standard LSM posture.
+    *
+    * When called from INSIDE the stream (after [[handleBatch]] in the
+    * same foreachBatch), pass `upTo = batchId`: the fold then excludes
+    * the current batch's own generation, whose streaming offset is not
+    * yet committed — folding it would make a redelivery of that batch
+    * classify against a base already containing its own effects (every
+    * 'new' doc would re-classify as a duplicate of itself). Generations
+    * below the current batchId are safe by the foreachBatch contract:
+    * their offsets committed before this batch was ever delivered. The
+    * default (`Long.MaxValue`) folds everything — correct only OUTSIDE
+    * the stream (terminal / offline compaction).
     */
   def maybeCompact(spark: SparkSession, dir: String,
-      maxOpenGenerations: Int): Boolean = {
+      maxOpenGenerations: Int, upTo: Long = Long.MaxValue): Boolean = {
     val (_, gens) = state(spark, dir)
-    if (gens.size >= maxOpenGenerations) { compact(spark, dir); true }
-    else false
+    if (gens.count(_._1 < upTo) >= maxOpenGenerations) {
+      compact(spark, dir, upTo); true
+    } else false
   }
 
-  /** Fold every open generation into a new compacted base — the
+  /** Fold open generations below `upTo` into a new compacted base — the
     * periodic corpus-shuffle event of the posture. Old artifacts stay on
     * disk (readers race-free: `state` always resolves to the highest
-    * base), so compaction is an append-only metadata flip; garbage
+    * COMPLETE base, so an interrupted fold leaves the previous base
+    * authoritative), and the fold itself is idempotent: re-running it
+    * over the same generations rewrites the same rows. Garbage
     * collection of superseded dirs is an offline janitor concern.
     */
-  def compact(spark: SparkSession, dir: String): Unit = {
-    val (base, gens) = state(spark, dir)
+  def compact(spark: SparkSession, dir: String,
+      upTo: Long = Long.MaxValue): Unit = {
+    val (base, gensAll) = state(spark, dir)
+    val gens = gensAll.filter(_._1 < upTo)
     if (gens.isEmpty) return
     val folded = gens.foldLeft(base) { case (s, (_, append, tombs)) =>
       s.join(broadcast(tombs), Seq("node_id"), "left_anti")
@@ -143,13 +176,30 @@ object GateStoreLoop {
     folded.write.mode("overwrite").parquet(s"$dir/base_${gens.map(_._1).max}")
   }
 
-  /** All outcomes written so far (the loop's queryable API output). */
+  /** All COMMITTED outcomes written so far (the loop's queryable API
+    * output). Gated on the same tombs/_SUCCESS marker as [[state]]:
+    * outcomes of a generation the store never committed (crash between
+    * the outcomes and tombs writes) are not queryable — a consumer must
+    * never act on classifications whose maintenance half does not
+    * exist. Empty before the first committed generation: a started
+    * stream that has produced nothing is a legitimate state, not an
+    * error (contrast [[baseGen]], where a MISSING STORE is).
+    */
   def outcomes(spark: SparkSession, dir: String): DataFrame = {
-    val ids = fs(dir).listFiles().toSeq
-      .map(_.getName).filter(_.startsWith("gen_"))
-      .map(_.stripPrefix("gen_").toLong).sorted
-      .filter(id => new java.io.File(s"$dir/gen_$id/outcomes/_SUCCESS").exists())
-    ids.map(id => spark.read.parquet(s"$dir/gen_$id/outcomes"))
+    val ids = committedGens(dir)
+      .filter(id => new java.io.File(s"$dir/gen_$id/outcomes/_SUCCESS")
+        .exists())
+    if (ids.isEmpty)
+      // schema-stable empty frame: derived from the store's own base
+      // (always present once init ran), projected to the outcome shape
+      spark.read.parquet(s"$dir/base_${baseGen(dir)}")
+        .select(col("node_id").as("uid"),
+          lit("new").as("outcome"),
+          col("node_id").as("matched_node_id"),
+          lit(0.0).as("best_sim"),
+          col("node_id").as("batch_twin"))
+        .limit(0)
+    else ids.map(id => spark.read.parquet(s"$dir/gen_$id/outcomes"))
       .reduce(_ unionByName _)
   }
 }

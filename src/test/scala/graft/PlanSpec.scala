@@ -464,14 +464,17 @@ class PlanSpec extends SparkSpec {
       s"base index read must be a bucketed scan:\n$p")
     assert(p.contains("BroadcastHashJoin"),
       s"the delta probe must broadcast the delta:\n$p")
-    // the stored index side must not re-shuffle on the bucket key: any
-    // hashpartitioning(cell…) exchange may only sit on the probe side
-    // feeding a SortMergeJoin against the bucketed scan, never below
-    // the base relation itself
-    val baseShuffled = p.linesIterator.exists(l =>
-      l.contains("Exchange hashpartitioning(cell") && l.contains("n_id"))
-    assert(!baseShuffled,
-      s"the stored index shuffled on cell — bucket layout ignored:\n$p")
+    // the stored index side must not re-shuffle on the bucket key: the
+    // ONLY cell-keyed exchange allowed in the whole plan is the probe
+    // side shuffling into the base's bucket layout for the sort-merge
+    // join (the delta join broadcasts, contributing none) — a second
+    // one means the base relation itself re-partitioned and the bucket
+    // layout was ignored
+    val cellExchanges = p.linesIterator.count(
+      _.contains("Exchange hashpartitioning(cell"))
+    assert(cellExchanges <= 1,
+      s"$cellExchanges cell-keyed exchanges — the stored index " +
+        s"re-shuffled on its own bucket key:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
 

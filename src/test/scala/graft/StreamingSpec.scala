@@ -220,6 +220,50 @@ class StreamingSpec extends SparkSpec {
     assert(compacted.filter(col("node_id") === 7L).count() == 4)
   }
 
+  test("in-stream compaction excludes the current batch (upTo): a batch " +
+    "redelivered after its predecessors were folded into the base " +
+    "reclassifies identically — never against its own effects") {
+    import graft.operators.{DedupGate, MinHashPipeline}
+    import graft.streaming.GateStoreLoop
+    val text = (i: Int) =>
+      s"compaction fixture $i words c${i}d c${i}e c${i}f tail ${i * 43}"
+    val fresh = "entirely new compaction-window submission uu vv ww"
+    val corpus = (1 to 12).map(i => (i.toLong, text(i), "en", "published"))
+      .toDF("node_id", "text", "meta_key", "status")
+    def sigged(df: org.apache.spark.sql.DataFrame, id: String, t: String) =
+      df.join(MinHashPipeline.signatures(df, id, col(t)), id)
+    val dir = java.nio.file.Files.createTempDirectory("graft-upto").toString
+    GateStoreLoop.init(
+      DedupGate.bandedSigStore(sigged(corpus, "node_id", "text"), 4, 4), dir)
+
+    def b(rows: Seq[(Long, String, String)]) =
+      sigged(rows.toDF("uid", "itext", "meta_key"), "uid", "itext")
+        .select("uid", "sig", "meta_key")
+    val b0 = b(Seq((701L, text(3), "xx"))) // version of node 3
+    val b1 = b(Seq((702L, fresh, "en")))   // new
+    GateStoreLoop.handleBatch(dir, 4, 4)(b0, 0L)
+    // the in-stream policy call for batch 1: folds ONLY generation 0
+    GateStoreLoop.handleBatch(dir, 4, 4)(b1, 1L)
+    assert(GateStoreLoop.maybeCompact(spark, dir, 1, upTo = 1L),
+      "one generation below batch 1 must trigger a threshold-1 fold")
+    val before = GateStoreLoop.outcomes(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted
+
+    // crash-before-offset-commit: batch 1 is REDELIVERED after the
+    // compaction that its own foreachBatch invocation ran. Its own
+    // generation was excluded from the fold, so the live node set it
+    // observes is unchanged and 702 must stay "new" — with an unbounded
+    // fold it would find its own signature in the base and flip to
+    // duplicate-of-self.
+    GateStoreLoop.handleBatch(dir, 4, 4)(b1, 1L)
+    val after = GateStoreLoop.outcomes(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(after.sameElements(before),
+      s"redelivery after compaction changed outcomes: " +
+        s"${before.toSeq} -> ${after.toSeq}")
+    assert(after.toMap.apply(702L) == "new")
+  }
+
   test("torn generation artifacts are invisible: a crash between the " +
     "delta write and the tombs write leaves a generation state() skips, " +
     "and redelivery of that batch heals it in place") {

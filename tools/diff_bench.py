@@ -31,12 +31,19 @@ def load(path):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    ratio = 1.5
-    for a in sys.argv[1:]:
-        if a.startswith("--time-ratio"):
-            ratio = float(a.split("=", 1)[1] if "=" in a else sys.argv[
-                sys.argv.index(a) + 1])
+    argv = sys.argv[1:]
+    args, ratio, skip_next = [], 1.5, False
+    for i, a in enumerate(argv):
+        if skip_next:
+            skip_next = False
+        elif a.startswith("--time-ratio"):
+            if "=" in a:
+                ratio = float(a.split("=", 1)[1])
+            else:
+                ratio = float(argv[i + 1])
+                skip_next = True  # the value is consumed, not positional
+        else:
+            args.append(a)
     if len(args) != 2:
         print(__doc__)
         sys.exit(2)
