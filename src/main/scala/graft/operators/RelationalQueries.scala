@@ -584,6 +584,165 @@ object RelationalQueries {
         ORDER BY s_name""")
     }),
 
+    // TPC-H Q7 (volume shipping, public benchmark spec) — the
+    // DISJUNCTIVE-JOIN-RESIDUAL shape none of Q3/Q5/Q17/Q18/Q20/Q21
+    // cover: the nation-pair predicate is an OR across TWO broadcast
+    // dims, so it cannot ride either dim's scan filter alone — it must
+    // evaluate as a residual after both nation attaches. What must hold
+    // at 100 TB: both nation joins are broadcast (25-row dim), the
+    // date band prunes lineitem at the scan, and the OR never forces a
+    // cartesian — each branch is still keyed on the same equi-keys.
+    // year() is evaluated post-join on the surviving sliver only.
+    "sql_q7" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("v_orders")
+      Tables.customer(s, d).createOrReplaceTempView("v_customer")
+      Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+      Tables.supplier(s, d).createOrReplaceTempView("v_supplier")
+      Tables.nation(s, d).createOrReplaceTempView("v_nation")
+      s.sql("""
+        SELECT supp_nation, cust_nation, l_year,
+               CAST(round(sum(vol), 2) AS DOUBLE) AS revenue
+        FROM (
+          SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 year(l_shipdate) AS l_year,
+                 CAST(l_extendedprice * (1.0 - l_discount)
+                   AS DECIMAL(18,4)) AS vol
+          FROM v_supplier
+          JOIN v_lineitem ON s_suppkey = l_suppkey
+          JOIN v_orders ON o_orderkey = l_orderkey
+          JOIN v_customer ON c_custkey = o_custkey
+          JOIN v_nation n1 ON s_nationkey = n1.n_nationkey
+          JOIN v_nation n2 ON c_nationkey = n2.n_nationkey
+          WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+              OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+            AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00') shipping
+        GROUP BY supp_nation, cust_nation, l_year""")
+    }),
+
+    // TPC-H Q8 (national market share, public benchmark spec) — the
+    // RATIO-OF-CONDITIONAL-SUMS shape: one 7-way join feeds TWO
+    // aggregates over the same rows (a CASE-gated numerator and an
+    // unconditioned denominator), so the share computes in a SINGLE
+    // grouped pass — never two scans joined back. Both sums accumulate
+    // in DECIMAL (exact, order-insensitive); the division happens once
+    // per group AFTER casting the exact sums to DOUBLE, so both engines
+    // divide identical IEEE values and the round(…,6) cannot straddle
+    // an engine-dependent boundary. At 100 TB the dims (nation ×2,
+    // region, part-filtered, supplier) all broadcast; the only wide
+    // exchanges are the fact joins.
+    "sql_q8" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("v_orders")
+      Tables.customer(s, d).createOrReplaceTempView("v_customer")
+      Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+      Tables.supplier(s, d).createOrReplaceTempView("v_supplier")
+      Tables.nation(s, d).createOrReplaceTempView("v_nation")
+      Tables.region(s, d).createOrReplaceTempView("v_region")
+      Tables.part(s, d).createOrReplaceTempView("v_part")
+      s.sql("""
+        SELECT o_year,
+               CAST(round(CAST(sum(CASE WHEN supp_nation = 'NATION_5'
+                        THEN vol ELSE CAST(0 AS DECIMAL(18,4)) END)
+                      AS DOUBLE)
+                 / CAST(sum(vol) AS DOUBLE), 6) AS DOUBLE) AS mkt_share
+        FROM (
+          SELECT year(o_orderdate) AS o_year,
+                 CAST(l_extendedprice * (1.0 - l_discount)
+                   AS DECIMAL(18,4)) AS vol,
+                 n2.n_name AS supp_nation
+          FROM v_part
+          JOIN v_lineitem ON p_partkey = l_partkey
+          JOIN v_supplier ON s_suppkey = l_suppkey
+          JOIN v_orders ON l_orderkey = o_orderkey
+          JOIN v_customer ON o_custkey = c_custkey
+          JOIN v_nation n1 ON c_nationkey = n1.n_nationkey
+          JOIN v_region ON n1.n_regionkey = r_regionkey
+          JOIN v_nation n2 ON s_nationkey = n2.n_nationkey
+          WHERE r_name = 'EUROPE' AND p_type = 'PROMO') all_nations
+        GROUP BY o_year""")
+    }),
+
+    // TPC-H Q13 (customer distribution, public benchmark spec; the
+    // original's o_comment NOT LIKE residual adapted to this schema as
+    // an o_orderpriority exclusion) — the AGGREGATE-OF-AGGREGATE shape
+    // with an OUTER join: customers with zero qualifying orders MUST
+    // survive as c_count = 0, so the residual predicate lives in the
+    // JOIN CONDITION, not a WHERE (a WHERE would silently turn the
+    // outer join inner and drop the zero bucket). Two grouped passes:
+    // per-customer count (keyed exchange on the join key it already
+    // has), then a histogram over group sizes — the second input is
+    // customer-sized, not fact-sized, so the agg-of-agg adds no
+    // corpus-scale exchange at 100 TB.
+    "sql_q13" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("v_orders")
+      Tables.customer(s, d).createOrReplaceTempView("v_customer")
+      s.sql("""
+        SELECT c_count, count(*) AS custdist
+        FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM v_customer LEFT OUTER JOIN v_orders
+                ON c_custkey = o_custkey
+                AND o_orderpriority <> '1-URGENT'
+              GROUP BY c_custkey) c_orders
+        GROUP BY c_count""")
+    }),
+
+    // TPC-H Q19 (discounted revenue, public benchmark spec; the
+    // original's container/shipmode clauses adapted to this schema's
+    // p_size) — the MULTI-CLAUSE-DISJUNCTION shape: three OR branches,
+    // each spanning BOTH join sides (part attrs AND lineitem attrs).
+    // Catalyst keeps the equi-key join (p_partkey = l_partkey) and
+    // evaluates the disjunction as a post-join residual — the shape to
+    // verify is that the OR never degrades the join to a nested loop.
+    // At 100 TB the part side reduces to the three brands' rows before
+    // broadcast; lineitem streams through one BHJ with zero exchanges.
+    "sql_q19" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+      Tables.part(s, d).createOrReplaceTempView("v_part")
+      s.sql("""
+        SELECT CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                 AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+               count(*) AS n_rows
+        FROM v_lineitem JOIN v_part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 25
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#14' AND p_size BETWEEN 20 AND 40
+               AND l_quantity BETWEEN 20 AND 30)""")
+    }),
+
+    // TPC-H Q22 (global sales opportunity, public benchmark spec; the
+    // original's phone-prefix grouping adapted to nation, "no orders
+    // ever" adapted to "no orders since 1999" — this synthetic corpus
+    // gives every customer at least one lifetime order). Two shapes
+    // the other sql_* entries don't exercise together: an UNCORRELATED
+    // scalar subquery pair (computed once, broadcast to every row —
+    // never per-row re-execution) and a date-filtered NOT EXISTS that
+    // lowers to a LeftAnti keyed on o_custkey. The threshold compare
+    // is multiplied through (bal × n > Σbal) instead of divided, so
+    // the whole gate is exact DECIMAL×BIGINT integer arithmetic —
+    // no engine-specific decimal-division scale rule can flip a
+    // boundary customer in or out.
+    "sql_q22" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("v_orders")
+      Tables.customer(s, d).createOrReplaceTempView("v_customer")
+      Tables.nation(s, d).createOrReplaceTempView("v_nation")
+      s.sql("""
+        SELECT n_name, count(*) AS numcust,
+               CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2)
+                 AS DOUBLE) AS totacctbal
+        FROM v_customer JOIN v_nation ON c_nationkey = n_nationkey
+        WHERE CAST(c_acctbal AS DECIMAL(18,2))
+                * (SELECT count(*) FROM v_customer WHERE c_acctbal > 0.0)
+              > (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2)))
+                 FROM v_customer WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM v_orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >=
+                              TIMESTAMP '1999-01-01 00:00:00')
+        GROUP BY n_name""")
+    }),
+
     // T4 explode (legislation_table_update.py:80) + word-frequency agg:
     // documents text → words → counts. The classic shuffle-heavy op; at
     // scale the map-side partial agg collapses per-partition duplicates
@@ -930,6 +1089,78 @@ object RelationalQueries {
         |                       FROM lineitem l2
         |                       WHERE l2.l_partkey = sp.l_partkey))
         |ORDER BY s_name""".stripMargin,
+    "sql_q7" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |       CAST(round(sum(vol), 2) AS DOUBLE) AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |         CAST(year(l_shipdate) AS INT) AS l_year,
+        |         CAST(l_extendedprice * (1.0 - l_discount)
+        |           AS DECIMAL(18,4)) AS vol
+        |  FROM supplier
+        |  JOIN lineitem ON s_suppkey = l_suppkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        |      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00') shipping
+        |GROUP BY supp_nation, cust_nation, l_year""".stripMargin,
+    "sql_q8" ->
+      """SELECT o_year,
+        |  CAST(round(CAST(sum(CASE WHEN supp_nation = 'NATION_5'
+        |           THEN vol ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+        |    / CAST(sum(vol) AS DOUBLE), 6) AS DOUBLE) AS mkt_share
+        |FROM (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |         CAST(l_extendedprice * (1.0 - l_discount)
+        |           AS DECIMAL(18,4)) AS vol,
+        |         n2.n_name AS supp_nation
+        |  FROM part
+        |  JOIN lineitem ON p_partkey = l_partkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE r_name = 'EUROPE' AND p_type = 'PROMO') all_nations
+        |GROUP BY o_year""".stripMargin,
+    "sql_q13" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+        |      FROM customer LEFT OUTER JOIN orders
+        |        ON c_custkey = o_custkey
+        |        AND o_orderpriority <> '1-URGENT'
+        |      GROUP BY c_custkey) c_orders
+        |GROUP BY c_count""".stripMargin,
+    "sql_q19" ->
+      """SELECT CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |         AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+        |       count(*) AS n_rows
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 25
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#14' AND p_size BETWEEN 20 AND 40
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "sql_q22" ->
+      """SELECT n_name, count(*) AS numcust,
+        |       CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2)
+        |         AS DOUBLE) AS totacctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2))
+        |        * (SELECT count(*) FROM customer WHERE c_acctbal > 0.0)
+        |      > (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2)))
+        |         FROM customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >=
+        |                      TIMESTAMP '1999-01-01 00:00:00')
+        |GROUP BY n_name""".stripMargin,
     "w_running_sum" ->
       """SELECT o_custkey, o_orderkey,
         |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2)))

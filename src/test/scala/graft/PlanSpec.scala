@@ -445,6 +445,64 @@ class PlanSpec extends SparkSpec {
         "condition, not force a nested loop")
   }
 
+  test("sql_q7: the cross-dim nation-pair disjunction stays a residual " +
+    "on keyed joins — broadcast dims, never a nested loop") {
+    val p = planOf(RelationalQueries.queries("sql_q7")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      "the 25-row nation dims must broadcast")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "the OR across both nation attaches must evaluate as a post-join " +
+        "residual, not degrade the join to a nested loop")
+  }
+
+  test("sql_q8: the market-share ratio computes in ONE grouped pass — " +
+    "the fact table is scanned once, both sums partial-aggregate") {
+    val p = planOf(RelationalQueries.queries("sql_q8")(spark, sf))
+    assert(p.contains("partial_sum"),
+      "numerator and denominator must map-side combine together")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    val liScans = p.linesIterator.count(l =>
+      l.contains("FileScan") && l.contains("lineitem"))
+    assert(liScans == 1,
+      s"$liScans lineitem scans — the CASE-gated numerator and the " +
+        s"denominator must share one pass, never two scans joined back")
+  }
+
+  test("sql_q13: the zero-order bucket survives — the priority residual " +
+    "rides the OUTER join condition, and both aggs partial-combine") {
+    val p = planOf(RelationalQueries.queries("sql_q13")(spark, sf))
+    assert(p.contains("LeftOuter"),
+      "the residual predicate must live in the join condition — a " +
+        "WHERE would turn the outer join inner and drop c_count = 0")
+    assert(p.contains("partial_count"),
+      "the per-customer count must map-side combine")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("sql_q19: the three-branch disjunction spanning both join sides " +
+    "keeps the keyed equi-join — one BHJ, no nested loop") {
+    val p = planOf(RelationalQueries.queries("sql_q19")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      "part reduces to three brands before broadcast")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "the disjunction must stay a residual on p_partkey = l_partkey")
+  }
+
+  test("sql_q22: the no-recent-orders probe is a keyed anti join and " +
+    "the balance thresholds are uncorrelated one-row subqueries") {
+    val p = planOf(RelationalQueries.queries("sql_q22")(spark, sf))
+    assert(p.contains("LeftAnti"),
+      "NOT EXISTS must plan as a keyed anti join on o_custkey")
+    assert(p.contains("Subquery"),
+      "the Σbal and count thresholds must compute once as scalar " +
+        "subqueries, broadcast to every customer row")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("mix_curriculum: cut-points broadcast back as scan-side " +
     "arithmetic — the corpus branch never sorts or shuffles globally") {
     val p = planOf(MixQueries.queries("mix_curriculum")(spark, sf))
