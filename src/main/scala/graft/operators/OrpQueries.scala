@@ -185,6 +185,38 @@ object OrpQueries {
         .select(col("node_id"), coalesce(col("rank"), lit(0.15)).as("rank"))
     }),
 
+    // One synchronous label-propagation step over the publication graph
+    // (community detection's inner loop; Raghavan et al. 2007): each
+    // node adopts the most frequent label among its neighbors, ties
+    // broken by smallest label so a synchronous sweep is deterministic
+    // and reproducible across partitionings. Labels are seeded coarse
+    // (node_id mod 64) so votes actually collide — identity seeding
+    // would make every count 1 and the mode degenerate to min(id).
+    // Scale shape, the whole story at 100 TB: undirected edges via a
+    // row-local union + distinct (one keyed exchange), votes as ONE
+    // keyed (node,label) count with map-side partials — a hub's votes
+    // pre-collapse per partition — and the per-node winner via the
+    // rank-1 window, which compiles to WindowGroupLimit and truncates
+    // each node's candidate run map-side. No driver-side state, no
+    // global sort; iteration = re-run with new_label as the seed.
+    "g_label_prop_step" -> ((s, d) => {
+      val (_, links) = StreamPipeline.extractElements(Tables.events(s, d))
+      val e = links.select(col("src_id"), col("dst_id"))
+      val und = e.unionByName(
+          e.select(col("dst_id").as("src_id"), col("src_id").as("dst_id")))
+        .distinct()
+      val votes = und
+        .select(col("src_id").as("node_id"),
+          pmod(col("dst_id"), lit(64L)).as("label"))
+        .groupBy("node_id", "label").agg(count(lit(1)).as("cnt"))
+      val win = Window.partitionBy("node_id")
+        .orderBy(col("cnt").desc, col("label").asc)
+      votes.withColumn("rn", row_number().over(win))
+        .filter(col("rn") === 1)
+        .select(col("node_id"), col("label").as("new_label"),
+          col("cnt").as("votes"))
+    }),
+
     // Inverted-index construction — the posting-list build behind the
     // search surface (P1/orp_search query it; this materializes it):
     // term → document frequency, total term frequency, and a capped
@@ -650,6 +682,28 @@ object OrpQueries {
         |  UNION SELECT dst_id FROM e)
         |SELECT n.node_id, coalesce(c.rank, 0.15) AS rank
         |FROM nodes n LEFT JOIN contrib c USING (node_id)""".stripMargin,
+    "g_label_prop_step" ->
+      """WITH e AS (
+        |  SELECT ('0x' || substr(md5('user_' || user_id), 1, 15))::BIGINT
+        |           AS src_id,
+        |         ('0x' || substr(md5('event_' || event_id), 1, 15))::BIGINT
+        |           AS dst_id
+        |  FROM events),
+        |und AS (
+        |  SELECT DISTINCT src_id, dst_id FROM (
+        |    SELECT src_id, dst_id FROM e
+        |    UNION ALL
+        |    SELECT dst_id AS src_id, src_id AS dst_id FROM e) u),
+        |votes AS (
+        |  SELECT src_id AS node_id, dst_id % 64 AS label, count(*) AS cnt
+        |  FROM und GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT node_id, label, cnt,
+        |    row_number() OVER (PARTITION BY node_id
+        |                       ORDER BY cnt DESC, label ASC) AS rn
+        |  FROM votes)
+        |SELECT node_id, label AS new_label, cnt AS votes
+        |FROM ranked WHERE rn = 1""".stripMargin,
     "ix_postings" ->
       """WITH t AS (
         |  SELECT doc_id,

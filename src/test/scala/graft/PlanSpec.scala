@@ -544,6 +544,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("g_label_prop_step: votes partial-aggregate map-side and the " +
+    "per-node winner gets the rank-limit pushdown — a hub's candidate " +
+    "run truncates before the exchange") {
+    val p = planOf(OrpQueries.queries("g_label_prop_step")(spark, sf))
+    assert(p.contains("partial_count"),
+      "the (node,label) vote count must map-side combine")
+    assert(p.contains("WindowGroupLimit"),
+      "rn = 1 must push down as a rank limit, truncating each node's " +
+        "vote run map-side instead of sorting full runs on reducers")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("g_triangle_count: every enumeration join is keyed on node ids") {
     val p = planOf(SimilarityQueries.queries("g_triangle_count")(spark, sf))
     assert(!p.contains("BroadcastNestedLoopJoin"))
