@@ -743,6 +743,292 @@ object RelationalQueries {
         GROUP BY n_name""")
     }),
 
+    // TPC-H Q1 (pricing summary, public benchmark spec) — the full
+    // multi-aggregate form (q1_agg is the reference-derived minimal
+    // roll-up; this adds the 4 sums, 2 avgs, and count of the
+    // published query). Float discipline for the avgs: every mean is
+    // the exact DECIMAL sum cast to DOUBLE once, divided by the exact
+    // count — never a running double mean, whose value depends on
+    // partition order. All 7 aggregates compute in ONE map-side-partial
+    // pass over one scan; at 100 TB this query is pure scan bandwidth.
+    "sql_q1" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_qty,
+          CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2)
+            AS DOUBLE) AS sum_base_price,
+          CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount)
+            AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_disc_price,
+          CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount)
+            * (1.0 + l_tax) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
+          CAST(round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+            AS DOUBLE) / count(*), 4) AS DOUBLE) AS avg_qty,
+          CAST(round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+            AS DOUBLE) / count(*), 4) AS DOUBLE) AS avg_price,
+          count(*) AS count_order
+        FROM v_lineitem
+        WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus""")
+    }),
+
+    // TPC-H Q2 (minimum-cost supplier, public benchmark spec; no
+    // partsupp table in this schema, so supply cost derives as each
+    // supplier's minimum shipped price per part — a grouped DERIVED
+    // relation both the outer query and the correlated min share).
+    // The shape: an argmin-by-correlated-subquery where the
+    // correlation reaches through a 3-dim join chain (supplier →
+    // nation → region) INSIDE the subquery. Catalyst decorrelates it
+    // into one region-filtered per-part min joined back on
+    // (partkey, cost) — cost is exact DECIMAL so the equality can
+    // never miss by a ulp. At 100 TB: sp aggregates map-side off one
+    // lineitem scan per CTE use, dims broadcast, top-100 is
+    // TakeOrdered.
+    "sql_q2" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+      Tables.supplier(s, d).createOrReplaceTempView("v_supplier")
+      Tables.nation(s, d).createOrReplaceTempView("v_nation")
+      Tables.region(s, d).createOrReplaceTempView("v_region")
+      Tables.part(s, d).createOrReplaceTempView("v_part")
+      s.sql("""
+        WITH sp AS (
+          SELECT l_suppkey, l_partkey,
+                 min(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
+          FROM v_lineitem GROUP BY l_suppkey, l_partkey)
+        SELECT s_acctbal_d AS s_acctbal, s_name, n_name, p_partkey,
+               p_name, cost_d AS cost
+        FROM (
+          SELECT CAST(s_acctbal AS DOUBLE) AS s_acctbal_d, s_name,
+                 n_name, p_partkey, p_name,
+                 CAST(sp.cost AS DOUBLE) AS cost_d, sp.cost AS cost0,
+                 sp.l_partkey AS pk
+          FROM v_part
+          JOIN sp ON p_partkey = sp.l_partkey
+          JOIN v_supplier ON s_suppkey = sp.l_suppkey
+          JOIN v_nation ON s_nationkey = n_nationkey
+          JOIN v_region ON n_regionkey = r_regionkey
+          WHERE p_size = 15 AND p_type = 'STANDARD'
+            AND r_name = 'EUROPE') t
+        WHERE cost0 = (
+          SELECT min(sp2.cost) FROM sp sp2
+          JOIN v_supplier s2 ON s2.s_suppkey = sp2.l_suppkey
+          JOIN v_nation n2 ON s2.s_nationkey = n2.n_nationkey
+          JOIN v_region r2 ON n2.n_regionkey = r2.r_regionkey
+          WHERE sp2.l_partkey = pk AND r2.r_name = 'EUROPE')
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100""")
+    }),
+
+    // TPC-H Q4 (order-priority checking, public benchmark spec;
+    // "commitdate < receiptdate" adapted as shipped > 30 days after
+    // order) — the simplest correlated-EXISTS family member: the
+    // quarter's orders semi-join lineitem on l_orderkey with the
+    // lateness test as a residual referencing BOTH sides. At 100 TB
+    // the date band prunes orders at the scan and the LeftSemi
+    // short-circuits per orderkey — lineitem never aggregates.
+    "sql_q4" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("v_orders")
+      Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+      s.sql("""
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM v_orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM v_lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        GROUP BY o_orderpriority""")
+    }),
+
+    // TPC-H Q9 (product-type profit, public benchmark spec; supply
+    // cost adapted to 0.8 × retail price — partsupp-free, still a
+    // per-row two-term DECIMAL difference). The shape Q5/Q8 leave
+    // uncovered: a SUBSTRING-match dim filter (p_name LIKE '%gear%' —
+    // not sargable, evaluated on the broadcast dim rows, which is
+    // exactly where a non-pushable predicate belongs at scale) and a
+    // signed amount whose NEGATIVE values make float-order effects
+    // fatal — hence exact DECIMAL summation, rounded once at the end.
+    "sql_q9" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("v_orders")
+      Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+      Tables.supplier(s, d).createOrReplaceTempView("v_supplier")
+      Tables.nation(s, d).createOrReplaceTempView("v_nation")
+      Tables.part(s, d).createOrReplaceTempView("v_part")
+      s.sql("""
+        SELECT nation, o_year,
+               CAST(round(sum(amount), 2) AS DOUBLE) AS sum_profit
+        FROM (
+          SELECT n_name AS nation,
+                 year(o_orderdate) AS o_year,
+                 CAST(l_extendedprice * (1.0 - l_discount)
+                   AS DECIMAL(18,4))
+                 - CAST(p_retailprice * l_quantity * 0.8
+                     AS DECIMAL(18,4)) AS amount
+          FROM v_part
+          JOIN v_lineitem ON p_partkey = l_partkey
+          JOIN v_supplier ON s_suppkey = l_suppkey
+          JOIN v_orders ON o_orderkey = l_orderkey
+          JOIN v_nation ON s_nationkey = n_nationkey
+          WHERE p_name LIKE '%gear%') profit
+        GROUP BY nation, o_year""")
+    }),
+
+    // TPC-H Q10 (returned items, public benchmark spec) — grouped
+    // revenue over a quarter's returns with a top-20 cut. The scale
+    // point this adds to the Q3 family: the group key carries FOUR
+    // passthrough attributes (name, acctbal, nation) — at 100 TB you
+    // group by the KEY and carry attributes through the aggregate
+    // (they're functionally dependent), never join-back after — and
+    // the top-20 fuses into TakeOrderedAndProject, no global sort.
+    "sql_q10" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("v_orders")
+      Tables.customer(s, d).createOrReplaceTempView("v_customer")
+      Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+      Tables.nation(s, d).createOrReplaceTempView("v_nation")
+      s.sql("""
+        SELECT c_custkey, c_name,
+          CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount)
+            AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+          CAST(c_acctbal AS DOUBLE) AS c_acctbal, n_name
+        FROM v_customer
+        JOIN v_orders ON c_custkey = o_custkey
+        JOIN v_lineitem ON l_orderkey = o_orderkey
+        JOIN v_nation ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 20""")
+    }),
+
+    // TPC-H Q11 (important stock, public benchmark spec; partsupp
+    // value adapted to shipped-price totals for one nation's
+    // suppliers) — the HAVING-against-global-scalar shape: each
+    // group's exact DECIMAL total compares against a fraction of the
+    // whole relation's total. The same grouped CTE feeds both sides;
+    // the global total is a one-row broadcast, so the filter is
+    // scan-side arithmetic — never a self-join on the full grouping.
+    "sql_q11" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+      Tables.supplier(s, d).createOrReplaceTempView("v_supplier")
+      Tables.nation(s, d).createOrReplaceTempView("v_nation")
+      s.sql("""
+        WITH sp AS (
+          SELECT l_partkey,
+                 sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS value
+          FROM v_lineitem
+          JOIN v_supplier ON s_suppkey = l_suppkey
+          JOIN v_nation ON s_nationkey = n_nationkey
+          WHERE n_name = 'NATION_5'
+          GROUP BY l_partkey)
+        SELECT l_partkey AS p_key, CAST(value AS DOUBLE) AS value
+        FROM sp
+        WHERE value > (SELECT sum(value) * 0.001 FROM sp)
+        ORDER BY value DESC, p_key ASC""")
+    }),
+
+    // TPC-H Q12 (shipping modes, public benchmark spec; no shipmode
+    // column, so the class axis is l_returnflag and the CASE buckets
+    // split on order priority) — the PIVOTED-CONDITIONAL-COUNT shape:
+    // both buckets compute in one grouped pass as CASE sums (the
+    // degenerate form of t5_pivot's declared-values rule), cast to
+    // BIGINT so both engines agree on the integer type.
+    "sql_q12" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("v_orders")
+      Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+      s.sql("""
+        SELECT l_returnflag AS ship_class,
+          CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+          CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM v_orders JOIN v_lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_returnflag""")
+    }),
+
+    // TPC-H Q14 (promotion effect, public benchmark spec) — the
+    // single-row ratio variant of Q8's family: numerator CASE-gated on
+    // a broadcast dim attribute, denominator unconditioned, one
+    // grouped pass, division once on exact-DECIMAL-sums-cast-to-DOUBLE.
+    "sql_q14" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+      Tables.part(s, d).createOrReplaceTempView("v_part")
+      s.sql("""
+        SELECT CAST(round(100.00 *
+            CAST(sum(CASE WHEN p_type = 'PROMO'
+                THEN CAST(l_extendedprice * (1.0 - l_discount)
+                  AS DECIMAL(18,4))
+                ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+            / CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                AS DECIMAL(18,4))) AS DOUBLE),
+            4) AS DOUBLE) AS promo_revenue
+        FROM v_lineitem JOIN v_part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""")
+    }),
+
+    // TPC-H Q15 (top supplier, public benchmark spec) — the
+    // ARGMAX-BY-AGGREGATE-EQUALITY shape: a grouped revenue view, an
+    // uncorrelated scalar max over it, and an equality join-back on
+    // the aggregated value itself. The revenue is exact DECIMAL, so
+    // "= max" selects exactly the winners in both engines — with a
+    // double it could select zero rows. Catalyst inlines the CTE into
+    // two bounded aggregates (winner set + scalar), both map-side
+    // partial; ties (multiple top suppliers) surface as multiple rows,
+    // which is why the equality form beats LIMIT 1 semantically.
+    "sql_q15" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+      Tables.supplier(s, d).createOrReplaceTempView("v_supplier")
+      s.sql("""
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 sum(CAST(l_extendedprice * (1.0 - l_discount)
+                   AS DECIMAL(18,4))) AS total_revenue
+          FROM v_lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name,
+               CAST(round(total_revenue, 2) AS DOUBLE) AS total_revenue
+        FROM v_supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        ORDER BY s_suppkey""")
+    }),
+
+    // TPC-H Q16 (supplier relationship, public benchmark spec;
+    // partsupp adapted to the distinct (part, supplier) pairs actually
+    // shipped; the complaints NOT IN adapted to negative-balance
+    // suppliers AS a NOT EXISTS). Two deliberate scale choices: the
+    // exclusion is NOT EXISTS rather than the spec's NOT IN because
+    // null-aware NOT IN forces a BroadcastNestedLoopJoin in Spark (the
+    // classic silent scale cliff when the subquery column is nullable;
+    // with non-null keys the semantics are identical and the plan is a
+    // keyed LeftAnti) — and supplier_cnt is a count(DISTINCT) whose
+    // input was ALREADY deduplicated by the sp CTE, so the distinct
+    // aggregation's expand stays proportional to real pairs.
+    "sql_q16" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+      Tables.supplier(s, d).createOrReplaceTempView("v_supplier")
+      Tables.part(s, d).createOrReplaceTempView("v_part")
+      s.sql("""
+        WITH sp AS (SELECT DISTINCT l_partkey, l_suppkey
+                    FROM v_lineitem)
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM sp JOIN v_part ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#23'
+          AND p_type <> 'PROMO'
+          AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+          AND NOT EXISTS (SELECT 1 FROM v_supplier
+                          WHERE s_suppkey = l_suppkey
+                            AND s_acctbal < 0.0)
+        GROUP BY p_brand, p_type, p_size""")
+    }),
+
     // T4 explode (legislation_table_update.py:80) + word-frequency agg:
     // documents text → words → counts. The classic shuffle-heavy op; at
     // scale the map-side partial agg collapses per-partition duplicates
@@ -1089,6 +1375,154 @@ object RelationalQueries {
         |                       FROM lineitem l2
         |                       WHERE l2.l_partkey = sp.l_partkey))
         |ORDER BY s_name""".stripMargin,
+    "sql_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_qty,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2)
+        |    AS DOUBLE) AS sum_base_price,
+        |  CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_disc_price,
+        |  CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |    * (1.0 + l_tax) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
+        |  CAST(round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+        |    AS DOUBLE) / count(*), 4) AS DOUBLE) AS avg_qty,
+        |  CAST(round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+        |    AS DOUBLE) / count(*), 4) AS DOUBLE) AS avg_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "sql_q2" ->
+      """WITH sp AS (
+        |  SELECT l_suppkey, l_partkey,
+        |         min(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
+        |  FROM lineitem GROUP BY l_suppkey, l_partkey)
+        |SELECT s_acctbal_d AS s_acctbal, s_name, n_name, p_partkey,
+        |       p_name, cost_d AS cost
+        |FROM (
+        |  SELECT CAST(s_acctbal AS DOUBLE) AS s_acctbal_d, s_name,
+        |         n_name, p_partkey, p_name,
+        |         CAST(sp.cost AS DOUBLE) AS cost_d, sp.cost AS cost0,
+        |         sp.l_partkey AS pk
+        |  FROM part
+        |  JOIN sp ON p_partkey = sp.l_partkey
+        |  JOIN supplier ON s_suppkey = sp.l_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE p_size = 15 AND p_type = 'STANDARD'
+        |    AND r_name = 'EUROPE') t
+        |WHERE cost0 = (
+        |  SELECT min(sp2.cost) FROM sp sp2
+        |  JOIN supplier s2 ON s2.s_suppkey = sp2.l_suppkey
+        |  JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        |  JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        |  WHERE sp2.l_partkey = pk AND r2.r_name = 'EUROPE')
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+    "sql_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "sql_q9" ->
+      """SELECT nation, o_year,
+        |       CAST(round(sum(amount), 2) AS DOUBLE) AS sum_profit
+        |FROM (
+        |  SELECT n_name AS nation,
+        |         CAST(year(o_orderdate) AS INT) AS o_year,
+        |         CAST(l_extendedprice * (1.0 - l_discount)
+        |           AS DECIMAL(18,4))
+        |         - CAST(p_retailprice * l_quantity * 0.8
+        |             AS DECIMAL(18,4)) AS amount
+        |  FROM part
+        |  JOIN lineitem ON p_partkey = l_partkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE p_name LIKE '%gear%') profit
+        |GROUP BY nation, o_year""".stripMargin,
+    "sql_q10" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+        |  CAST(c_acctbal AS DOUBLE) AS c_acctbal, n_name
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey ASC
+        |LIMIT 20""".stripMargin,
+    "sql_q11" ->
+      """WITH sp AS (
+        |  SELECT l_partkey,
+        |         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS value
+        |  FROM lineitem
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_5'
+        |  GROUP BY l_partkey)
+        |SELECT l_partkey AS p_key, CAST(value AS DOUBLE) AS value
+        |FROM sp
+        |WHERE value > (SELECT sum(value) * 0.001 FROM sp)
+        |ORDER BY value DESC, p_key ASC""".stripMargin,
+    "sql_q12" ->
+      """SELECT l_returnflag AS ship_class,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_returnflag""".stripMargin,
+    "sql_q14" ->
+      """SELECT CAST(round(100.00 *
+        |    CAST(sum(CASE WHEN p_type = 'PROMO'
+        |        THEN CAST(l_extendedprice * (1.0 - l_discount)
+        |          AS DECIMAL(18,4))
+        |        ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+        |    / CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |        AS DECIMAL(18,4))) AS DOUBLE),
+        |    4) AS DOUBLE) AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""".stripMargin,
+    "sql_q15" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |         sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |           AS DECIMAL(18,4))) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name,
+        |       CAST(round(total_revenue, 2) AS DOUBLE) AS total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+    "sql_q16" ->
+      """WITH sp AS (SELECT DISTINCT l_partkey, l_suppkey
+        |            FROM lineitem)
+        |SELECT p_brand, p_type, p_size,
+        |       count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM sp JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#23'
+        |  AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+        |  AND NOT EXISTS (SELECT 1 FROM supplier
+        |                  WHERE s_suppkey = l_suppkey
+        |                    AND s_acctbal < 0.0)
+        |GROUP BY p_brand, p_type, p_size""".stripMargin,
     "sql_q7" ->
       """SELECT supp_nation, cust_nation, l_year,
         |       CAST(round(sum(vol), 2) AS DOUBLE) AS revenue

@@ -503,6 +503,91 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("sql_q1: seven aggregates in ONE map-side-partial pass over one " +
+    "scan — no join, no second pass for the averages") {
+    val p = planOf(RelationalQueries.queries("sql_q1")(spark, sf))
+    assert(p.contains("partial"), "all aggregates must map-side combine")
+    assert(!p.contains("Join"), "Q1 is pure scan bandwidth — no join")
+    val scans = p.linesIterator.count(l =>
+      l.contains("FileScan") && l.contains("lineitem"))
+    assert(scans == 1, s"$scans lineitem scans — the avgs must reuse " +
+      s"the sums' pass, never rescan")
+  }
+
+  test("sql_q2: the region-constrained correlated min decorrelates — " +
+    "bounded fact scans, broadcast dims, no nested loop") {
+    val p = planOf(RelationalQueries.queries("sql_q2")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    val scans = p.linesIterator.count(l =>
+      l.contains("FileScan") && l.contains("lineitem"))
+    assert(scans <= 2, s"$scans lineitem scans — the sp CTE feeds the " +
+      s"outer join and the decorrelated per-part min; more means the " +
+      s"correlation re-executed per row")
+  }
+
+  test("sql_q4 and sql_q16: EXISTS probes as LeftSemi and the NOT " +
+    "EXISTS exclusion as LeftAnti — never the null-aware nested loop " +
+    "that NOT IN would force") {
+    val p4 = planOf(RelationalQueries.queries("sql_q4")(spark, sf))
+    assert(p4.contains("LeftSemi"))
+    assert(!p4.contains("BroadcastNestedLoopJoin"),
+      "the lateness residual referencing both sides must ride the " +
+        "keyed semi join")
+    val p16 = planOf(RelationalQueries.queries("sql_q16")(spark, sf))
+    assert(p16.contains("LeftAnti"))
+    assert(!p16.contains("BroadcastNestedLoopJoin"),
+      "the negative-balance exclusion must stay a keyed anti join — " +
+        "the null-aware NOT IN form degrades to a nested loop")
+    assert(p16.contains("Expand") || p16.contains("distinct"),
+      "count(DISTINCT) plans through its expand/distinct machinery")
+  }
+
+  test("sql_q10: the top-20 cut fuses into TakeOrderedAndProject — no " +
+    "global sort of the grouped revenue") {
+    val p = planOf(RelationalQueries.queries("sql_q10")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("partial_sum"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("sql_q11 and sql_q15: the global-total / global-max thresholds " +
+    "are one-row scalar subqueries over bounded re-aggregations — " +
+    "never a self-join of the grouped relation") {
+    val p11 = planOf(RelationalQueries.queries("sql_q11")(spark, sf))
+    assert(p11.contains("Subquery"))
+    assert(p11.linesIterator.count(l =>
+      l.contains("FileScan") && l.contains("lineitem")) <= 2,
+      "sp feeds the winner set and the global total — two bounded " +
+        "scans, not one per group")
+    val p15 = planOf(RelationalQueries.queries("sql_q15")(spark, sf))
+    assert(p15.contains("Subquery"))
+    assert(p15.contains("partial_sum"))
+    assert(!p15.contains("CartesianProduct"))
+  }
+
+  test("sql_q12 and sql_q14: CASE-bucketed aggregates compute in one " +
+    "pass over one fact scan") {
+    for (q <- Seq("sql_q12", "sql_q14")) {
+      val p = planOf(RelationalQueries.queries(q)(spark, sf))
+      assert(p.contains("partial"), s"$q buckets must map-side combine")
+      val scans = p.linesIterator.count(l =>
+        l.contains("FileScan") && l.contains("lineitem"))
+      assert(scans == 1,
+        s"$q: $scans lineitem scans — conditional buckets must share " +
+          s"one pass")
+    }
+  }
+
+  test("sql_q9: the non-sargable substring dim filter evaluates on the " +
+    "broadcast part rows — fact joins stay keyed") {
+    val p = planOf(RelationalQueries.queries("sql_q9")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("mix_curriculum: cut-points broadcast back as scan-side " +
     "arithmetic — the corpus branch never sorts or shuffles globally") {
     val p = planOf(MixQueries.queries("mix_curriculum")(spark, sf))

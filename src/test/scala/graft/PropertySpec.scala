@@ -96,6 +96,34 @@ class PropertySpec extends SparkSpec {
         s"uid $uid: gate said ${got(uid)}, brute-force reference $exp")
   }
 
+  test("g_label_prop_step equals a driver-side brute-force sweep on the " +
+    "sf0.001 graph (mode-of-neighbors with smallest-label tie-break, " +
+    "undirected, seeded mod 64)") {
+    import graft.operators.OrpQueries
+    val sf = "/root/testdata/sf0.001"
+    val got = OrpQueries.queries("g_label_prop_step")(spark, sf)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .toMap
+    // independent recomputation: directed edges → undirected distinct
+    // neighbor sets → vote count → (cnt desc, label asc) winner
+    val (_, links) =
+      graft.streaming.StreamPipeline.extractElements(Tables.events(spark, sf))
+    val directed = links.select("src_id", "dst_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val und = (directed ++ directed.map(_.swap)).distinct
+    val expected = und.groupBy(_._1).map { case (node, nbrs) =>
+      val votes = nbrs.map(e => java.lang.Math.floorMod(e._2, 64L))
+        .groupBy(identity).map { case (l, v) => (l, v.size.toLong) }
+      node -> votes.toSeq.sortBy { case (l, c) => (-c, l) }.head
+    }
+    assert(got.size == expected.size,
+      s"node census drifted: ${got.size} vs ${expected.size}")
+    expected.foreach { case (node, (lbl, cnt)) =>
+      assert(got(node) == ((lbl, cnt)),
+        s"node $node: got ${got(node)}, expected ($lbl, $cnt)")
+    }
+  }
+
   test("cleanText is idempotent over random printable strings") {
     val chars = ('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9') ++
       Seq(' ', ' ', ' ', '.', ',', '!', '?', ';', ':', '<', '>', '/', 'é')
