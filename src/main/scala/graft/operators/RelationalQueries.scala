@@ -1069,6 +1069,27 @@ object RelationalQueries {
         .filter(col("n").isNotNull)
     }),
 
+    // Relational INTERSECT / EXCEPT — the set-op family T1 (UNION) and
+    // T3 (array-level set ops) leave uncovered: customers seen in BOTH
+    // 1997-Q1 and 1998-Q1 order flows, and those seen ONLY in 1997-Q1,
+    // tagged and unioned into one frame. Catalyst lowers INTERSECT to
+    // a distinct LeftSemi and EXCEPT to a distinct LeftAnti — keyed
+    // joins plus one dedup exchange each, never a full materialized
+    // sort-merge of both inputs. At 100 TB the quarter filters prune
+    // both scans first, so the set ops run over slivers.
+    "t8_intersect_except" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      def q(y: Int) = o.filter(
+          col("o_orderdate") >= lit(f"$y%d-01-01 00:00:00").cast("timestamp")
+            && col("o_orderdate") < lit(f"$y%d-04-01 00:00:00").cast("timestamp"))
+        .select(col("o_custkey"))
+      val both = q(1997).intersect(q(1998))
+        .select(col("o_custkey"), lit("both").as("cohort"))
+      val only97 = q(1997).except(q(1998))
+        .select(col("o_custkey"), lit("only_1997q1").as("cohort"))
+      both.unionByName(only97)
+    }),
+
     // §2.6 time-range rolling window: per-customer trailing-30-day order
     // count and spend. RANGE frame over an integer day index (identical
     // frame semantics in both engines); the money sum runs in DECIMAL so
@@ -1595,6 +1616,18 @@ object RelationalQueries {
         |                    AND o_orderdate >=
         |                      TIMESTAMP '1999-01-01 00:00:00')
         |GROUP BY n_name""".stripMargin,
+    "t8_intersect_except" ->
+      """WITH q97 AS (SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'),
+        |q98 AS (SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1998-04-01 00:00:00')
+        |SELECT o_custkey, 'both' AS cohort
+        |FROM (SELECT o_custkey FROM q97 INTERSECT SELECT o_custkey FROM q98) a
+        |UNION ALL
+        |SELECT o_custkey, 'only_1997q1' AS cohort
+        |FROM (SELECT o_custkey FROM q97 EXCEPT SELECT o_custkey FROM q98) b""".stripMargin,
     "w_running_sum" ->
       """SELECT o_custkey, o_orderkey,
         |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2)))

@@ -580,6 +580,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("t8_intersect_except: INTERSECT lowers to a distinct LeftSemi " +
+    "and EXCEPT to a distinct LeftAnti — keyed joins over pre-pruned " +
+    "quarter slivers, never a materialized sort-merge of both inputs") {
+    val p = planOf(RelationalQueries.queries("t8_intersect_except")(spark, sf))
+    assert(p.contains("LeftSemi"), "INTERSECT must plan as a semi join")
+    assert(p.contains("LeftAnti"), "EXCEPT must plan as an anti join")
+    assert(p.contains("PushedFilters"),
+      "the quarter date bands must prune at the parquet scan")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("sql_q9: the non-sargable substring dim filter evaluates on the " +
     "broadcast part rows — fact joins stay keyed") {
     val p = planOf(RelationalQueries.queries("sql_q9")(spark, sf))
