@@ -745,12 +745,14 @@ object RelationalQueries {
 
     // TPC-H Q1 (pricing summary, public benchmark spec) — the full
     // multi-aggregate form (q1_agg is the reference-derived minimal
-    // roll-up; this adds the 4 sums, 2 avgs, and count of the
+    // roll-up; this adds the 4 sums, all 3 avgs, and count of the
     // published query). Float discipline for the avgs: every mean is
     // the exact DECIMAL sum cast to DOUBLE once, divided by the exact
     // count — never a running double mean, whose value depends on
-    // partition order. All 7 aggregates compute in ONE map-side-partial
-    // pass over one scan; at 100 TB this query is pure scan bandwidth.
+    // partition order (discounts are 2-dp values, so their DECIMAL(18,4)
+    // cast is exact in both engines). All 8 aggregates compute in ONE
+    // map-side-partial pass over one scan; at 100 TB this query is pure
+    // scan bandwidth.
     "sql_q1" -> ((s, d) => {
       Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
       s.sql("""
@@ -767,6 +769,8 @@ object RelationalQueries {
             AS DOUBLE) / count(*), 4) AS DOUBLE) AS avg_qty,
           CAST(round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
             AS DOUBLE) / count(*), 4) AS DOUBLE) AS avg_price,
+          CAST(round(CAST(sum(CAST(l_discount AS DECIMAL(18,4)))
+            AS DOUBLE) / count(*), 6) AS DOUBLE) AS avg_disc,
           count(*) AS count_order
         FROM v_lineitem
         WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
@@ -906,10 +910,17 @@ object RelationalQueries {
     // TPC-H Q11 (important stock, public benchmark spec; partsupp
     // value adapted to shipped-price totals for one nation's
     // suppliers) — the HAVING-against-global-scalar shape: each
-    // group's exact DECIMAL total compares against a fraction of the
-    // whole relation's total. The same grouped CTE feeds both sides;
-    // the global total is a one-row broadcast, so the filter is
-    // scan-side arithmetic — never a self-join on the full grouping.
+    // group's exact DECIMAL total compares against a multiple of the
+    // whole relation's MEAN. The spec's fixed fraction must scale as
+    // 1/SF or the result empties as part count grows (the spec says
+    // so itself); a mean-relative threshold is scale-invariant by
+    // construction (~8.5% of parts survive at every tested SF), and
+    // multiplying through (value·n > 2·Σ) keeps the gate exact
+    // DECIMAL×BIGINT — no engine-specific decimal-division scale rule
+    // near the boundary. (n, Σ) ride ONE one-row aggregate attached by
+    // a broadcast cross join — the sp CTE instantiates twice (winner
+    // set + totals), never once per scalar — so the filter is
+    // scan-side arithmetic, never a self-join on the full grouping.
     "sql_q11" -> ((s, d) => {
       Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
       Tables.supplier(s, d).createOrReplaceTempView("v_supplier")
@@ -924,8 +935,8 @@ object RelationalQueries {
           WHERE n_name = 'NATION_5'
           GROUP BY l_partkey)
         SELECT l_partkey AS p_key, CAST(value AS DOUBLE) AS value
-        FROM sp
-        WHERE value > (SELECT sum(value) * 0.001 FROM sp)
+        FROM sp, (SELECT count(*) AS n, sum(value) AS tot FROM sp) g
+        WHERE value * g.n > g.tot * 2
         ORDER BY value DESC, p_key ASC""")
     }),
 
@@ -1410,6 +1421,8 @@ object RelationalQueries {
         |    AS DOUBLE) / count(*), 4) AS DOUBLE) AS avg_qty,
         |  CAST(round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
         |    AS DOUBLE) / count(*), 4) AS DOUBLE) AS avg_price,
+        |  CAST(round(CAST(sum(CAST(l_discount AS DECIMAL(18,4)))
+        |    AS DOUBLE) / count(*), 6) AS DOUBLE) AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
@@ -1492,8 +1505,8 @@ object RelationalQueries {
         |  WHERE n_name = 'NATION_5'
         |  GROUP BY l_partkey)
         |SELECT l_partkey AS p_key, CAST(value AS DOUBLE) AS value
-        |FROM sp
-        |WHERE value > (SELECT sum(value) * 0.001 FROM sp)
+        |FROM sp, (SELECT count(*) AS n, sum(value) AS tot FROM sp) g
+        |WHERE value * g.n > g.tot * 2
         |ORDER BY value DESC, p_key ASC""".stripMargin,
     "sql_q12" ->
       """SELECT l_returnflag AS ship_class,

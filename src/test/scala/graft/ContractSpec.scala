@@ -86,7 +86,10 @@ class ContractSpec extends SparkSpec {
       "m5_doc_type",
       // 1-row max(doc_id)+1 ghost-offset scalar attach (the planted
       // near-dup ids derive from the corpus, never a fixed constant)
-      "mm_phash_dedup", "pipe_mm_refinery")
+      "mm_phash_dedup", "pipe_mm_refinery",
+      // 1-row (n, Σvalue) totals frame crossed onto the per-part
+      // values — TPC-H Q11's mean-relative threshold attach
+      "sql_q11")
     // Constructing some frames triggers eager driver-side scalar jobs
     // (cluster_cc loop, bloom build) — sf0.001 keeps the sweep cheap.
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

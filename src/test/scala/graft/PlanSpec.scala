@@ -503,7 +503,7 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
-  test("sql_q1: seven aggregates in ONE map-side-partial pass over one " +
+  test("sql_q1: eight aggregates in ONE map-side-partial pass over one " +
     "scan — no join, no second pass for the averages") {
     val p = planOf(RelationalQueries.queries("sql_q1")(spark, sf))
     assert(p.contains("partial"), "all aggregates must map-side combine")
@@ -552,15 +552,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("sql_q11 and sql_q15: the global-total / global-max thresholds " +
-    "are one-row scalar subqueries over bounded re-aggregations — " +
-    "never a self-join of the grouped relation") {
+  test("sql_q11 and sql_q15: the global thresholds are bounded " +
+    "re-aggregations — a one-row (n, total) broadcast attach for q11, " +
+    "a scalar max subquery for q15 — never a self-join of the grouped " +
+    "relation or a per-group re-scan") {
     val p11 = planOf(RelationalQueries.queries("sql_q11")(spark, sf))
-    assert(p11.contains("Subquery"))
     assert(p11.linesIterator.count(l =>
       l.contains("FileScan") && l.contains("lineitem")) <= 2,
-      "sp feeds the winner set and the global total — two bounded " +
-        "scans, not one per group")
+      "sp feeds the winner set and the one-row totals attach — two " +
+        "bounded scans, not one per group or per scalar")
+    assert(!p11.contains("CartesianProduct"),
+      "the totals attach must broadcast its single row")
     val p15 = planOf(RelationalQueries.queries("sql_q15")(spark, sf))
     assert(p15.contains("Subquery"))
     assert(p15.contains("partial_sum"))

@@ -100,7 +100,6 @@ class PropertySpec extends SparkSpec {
     "sf0.001 graph (mode-of-neighbors with smallest-label tie-break, " +
     "undirected, seeded mod 64)") {
     import graft.operators.OrpQueries
-    val sf = "/root/testdata/sf0.001"
     val got = OrpQueries.queries("g_label_prop_step")(spark, sf)
       .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
       .toMap
