@@ -206,6 +206,194 @@ object DedupQueries {
       .filter(col("est_jac") >= threshold)
   }
 
+
+  /** Dedicated child session for the CC fixed-point machinery: shares
+    * the SparkContext (so caches and localCheckpoints are shared) but
+    * has an ISOLATED SQLConf, so the rule exclusion below never leaks
+    * to queries running concurrently on the caller's session, and the
+    * returned lazy frames — optimized only when the caller acts on
+    * them — still see the exclusion.
+    * InferFiltersFromConstraints mis-resolves plans that reference the
+    * same checkpointed relation on both sides of a join-under-union
+    * (NoSuchElementException: key not found on the duplicated side).
+    * The rule is an optimization, never a correctness dependency. */
+  private[graft] def ccSession(s0: SparkSession): SparkSession = {
+    val s = s0.newSession()
+    s.conf.set("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromConstraints")
+    s
+  }
+
+  /** Lineage truncation with a recovery posture: localCheckpoint blocks
+    * live only on executors, so on a real cluster one lost executor
+    * kills the whole job mid-loop. When the context has a RELIABLE
+    * checkpoint dir configured (sc.setCheckpointDir onto fault-tolerant
+    * storage), truncate through checkpoint() instead — every frame we
+    * truncate is contraction-residue-sized, so the per-round write is
+    * tiny next to the shuffles it protects. Locally (no dir) fall back
+    * to executor-local checkpoints, which are faster and fine in a
+    * single-JVM test run. */
+  private[graft] def truncatedDf(df: DataFrame, eager: Boolean): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager)
+    else df.localCheckpoint(eager)
+
+  /** Fresh attribute ids for re-referenced checkpointed frames: a
+    * checkpoint keeps its exprIds, and joining the same relation twice
+    * in one plan trips InferFiltersFromConstraints (observed
+    * NoSuchElementException on the duplicate-side key). Rebinding
+    * through createDataFrame(rdd, schema) is free when the RDD is
+    * already materialized — only call this on truncated frames. */
+  private[graft] def reidDf(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(df.rdd, df.schema)
+
+  /** The base+delta composition behind dd_cluster_cc_delta, split out so
+    * the bridge-merge case (a delta vertex joining two previously
+    * separate base components) is pinnable on a synthetic graph
+    * (CorpusSpec). `edges` must be materialized; `isBase` partitions
+    * vertices into the T0 tranche and the late arrivals. */
+  private[graft] def ccDeltaCompose(s: SparkSession, edges: DataFrame,
+      isBase: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : DataFrame = {
+    val baseEdges = edges.filter(isBase(col("a_id")) && isBase(col("b_id")))
+    val deltaEdges = edges
+      .filter(!(isBase(col("a_id")) && isBase(col("b_id"))))
+    // the stored assignment, as written at T0 (before the delta tranche):
+    // materialized because three consumers below reference it
+    val baseAssign = truncatedDf(ccAssignments(s, baseEdges), eager = true)
+    val bmap = baseAssign
+      .select(col("doc_id").as("v"), col("canonical_id").as("c"))
+    // contract delta-edge endpoints onto stored canonicals (self where
+    // the endpoint is new or was base-isolated at T0)
+    val contraction = deltaEdges
+      .join(bmap.withColumnRenamed("v", "a_id")
+        .withColumnRenamed("c", "ca"), Seq("a_id"), "left")
+      .join(reidDf(bmap).withColumnRenamed("v", "b_id")
+        .withColumnRenamed("c", "cb"), Seq("b_id"), "left")
+      .select(coalesce(col("ca"), col("a_id")).as("a_id"),
+        coalesce(col("cb"), col("b_id")).as("b_id"))
+      .filter(col("a_id") =!= col("b_id"))
+      .distinct()
+    val cAssign = ccAssignments(s, truncatedDf(contraction, eager = true))
+      .select(col("doc_id").as("cnode"), col("canonical_id").as("fin"))
+    // every vertex of the full graph: its contraction node is its
+    // stored canonical (base) or itself (delta / base-isolated)
+    val verts = edges.select(col("a_id").as("v"))
+      .unionByName(edges.select(col("b_id").as("v"))).distinct()
+    verts
+      .join(reidDf(reidDf(bmap)), Seq("v"), "left")
+      .select(col("v"), coalesce(col("c"), col("v")).as("cnode"))
+      .join(cAssign, Seq("cnode"), "left")
+      .select(col("v").as("doc_id"),
+        coalesce(col("fin"), col("cnode")).as("canonical_id"))
+  }
+
+  /** Min-label connected components over an undirected pair list — the
+    * Boruvka-style contraction + fixed-point loop shared by
+    * dd_cluster_cc (one-shot) and dd_cluster_cc_delta (per-batch
+    * contraction-graph resolve). `pairs` must be (a_id, b_id) edges
+    * ALREADY materialized (truncatedDf(_, eager = true)) — the
+    * symmetric union below references it on both sides. Session `s`
+    * must come from ccSession. Returns (doc_id, canonical_id) for
+    * every vertex incident to at least one pair, canonical = component
+    * min. */
+  private[graft] def ccAssignments(s: SparkSession, edges: DataFrame): DataFrame = {
+    implicit class Truncated(df: DataFrame) {
+      def truncated(eager: Boolean): DataFrame = truncatedDf(df, eager)
+    }
+      // Symmetric edge list, pre-shuffled on the probe key and CACHED in
+      // that layout: every round's hop join reads the cached hash-
+      // partitioned blocks and only exchanges the (vertex-sized) label
+      // side — the edge list, the big side at 100 TB, crosses the wire
+      // exactly once for the whole fixed-point loop.
+      val sym = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .unionByName(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
+        .repartition(col("src"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+      // Borůvka-style contraction FIRST: collapse every vertex onto the
+      // min of its closed neighborhood (one edge-sized aggregation), then
+      // rebuild the edge list between those representatives. Dense LSH
+      // clusters — the bulk of the near-dup graph — vanish entirely in
+      // this step; only the chain-y residue (a tiny fraction of vertices)
+      // enters the fixed-point loop, so every loop round shuffles a
+      // contracted graph orders of magnitude smaller than the raw one.
+      val labels0 = sym.groupBy("src")
+        .agg(min("dst").as("mn"))
+        .select(col("src").as("id"), least(col("src"), col("mn")).as("comp"))
+        .truncated(true)
+      // Fresh attribute ids for re-referenced checkpointed frames: a
+      // checkpoint keeps its exprIds, and joining the same relation
+      // twice in one plan trips InferFiltersFromConstraints (observed
+      // NoSuchElementException on the duplicate-side key). Rebinding
+      // through createDataFrame(rdd, schema) is free — the RDD is
+      // already materialized — and gives the optimizer distinct ids.
+      def reid(df: org.apache.spark.sql.DataFrame) =
+        s.createDataFrame(df.rdd, df.schema)
+      // LAZY checkpoints from here down: every materialization below is
+      // fused with the checksum aggregate that immediately follows it —
+      // one Spark job per round (materialize + sum in the same action)
+      // instead of the former two (eager checkpoint, then a separate
+      // agg). The loop is all fixed per-round job overhead at test scale,
+      // so halving the job count halves the loop's wall time.
+      val cEdges = sym
+        .join(labels0.select(col("id").as("src"), col("comp").as("csrc")), "src")
+        .join(reid(labels0).select(col("id").as("dst"), col("comp").as("cdst")),
+          "dst")
+        .select(col("csrc").as("src"), col("cdst").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+        .truncated(false)
+
+      var labels = cEdges.groupBy("src")
+        .agg(min("dst").as("mn"))
+        .select(col("src").as("id"), least(col("src"), col("mn")).as("comp"))
+        .truncated(false)
+      var converged = false
+      var rounds = 0
+      // Convergence via a monotone checksum: every per-vertex comp is
+      // non-increasing under min-propagation, so sum(comp) is unchanged
+      // iff NO vertex changed — one cached-scan aggregate per round in
+      // place of a vertex-sized prev-labels join. (This action also
+      // materializes cEdges and labels — the lazy-checkpoint fusion.)
+      var checksum = labels.agg(coalesce(sum("comp"), lit(0L))).head.getLong(0)
+      // Early exit on an empty contracted residue: doc ids are positive,
+      // so checksum 0 ⇔ no labels ⇔ every cluster was a dense clique
+      // that vanished in the contraction — the common LSH-dup corpus
+      // shape, and the loop would only burn rounds proving it.
+      converged = checksum == 0L
+      while (!converged && rounds < 20) {
+        def hop(ls: org.apache.spark.sql.DataFrame) =
+          ls.unionByName(cEdges
+              .join(ls.withColumnRenamed("id", "src"), "src")
+              .select(col("dst").as("id"), col("comp")))
+            .groupBy("id").agg(min("comp").as("comp"))
+        // one hop plus one pointer jump (comp <- comp(comp)) per round,
+        // all over the contracted residue graph
+        def jump(ls: org.apache.spark.sql.DataFrame) =
+          ls.alias("x")
+            .join(ls.select(col("id").as("comp"),
+              col("comp").as("comp2")).alias("y"), Seq("comp"), "left")
+            .select(col("id"),
+              least(col("comp"), coalesce(col("comp2"), col("comp"))).as("comp"))
+        val next = jump(hop(labels)).truncated(false)
+        val nextSum = next.agg(coalesce(sum("comp"), lit(0L))).head.getLong(0)
+        labels = next
+        converged = nextSum == checksum
+        checksum = nextSum
+        rounds += 1
+      }
+      // Compose: original vertex → its contraction representative → that
+      // representative's final component (identity where the loop never
+      // saw the representative, i.e. fully-contracted clusters). Both
+      // sides are materialized checkpoints with disjoint exprIds.
+      labels0.alias("v")
+        .join(reid(labels).select(col("id").as("comp"), col("comp").as("fin"))
+          .alias("r"), Seq("comp"), "left")
+        .select(col("id").as("doc_id"),
+          coalesce(col("fin"), col("comp")).as("canonical_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact dedup by content fingerprint: hash-groupBy, keep the minimum
     // id as canonical (drop_duplicates semantics, T2).
@@ -637,133 +825,46 @@ object DedupQueries {
     // the only driver-side value. LSH dup clusters are near-cliques, so
     // the fixed point lands in 2-3 rounds regardless of corpus size.
     "dd_cluster_cc" -> ((s0, d) => {
-      // Dedicated child session: shares the SparkContext (so caches and
-      // localCheckpoints are shared) but has an ISOLATED SQLConf, so the
-      // rule exclusion below never leaks to queries running concurrently
-      // on the caller's session, and the returned lazy frame — optimized
-      // only when the caller acts on it — still sees the exclusion.
-      val s = s0.newSession()
-      // InferFiltersFromConstraints mis-resolves plans that reference the
-      // same checkpointed relation on both sides of a join-under-union
-      // (NoSuchElementException: key not found on the duplicated side).
-      // The rule is an optimization, never a correctness dependency.
-      s.conf.set("spark.sql.optimizer.excludedRules",
-        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromConstraints")
-      // Recovery posture: localCheckpoint blocks live only on executors,
-      // so on a real cluster one lost executor kills the whole job
-      // mid-loop. When the context has a RELIABLE checkpoint dir
-      // configured (sc.setCheckpointDir onto fault-tolerant storage),
-      // truncate lineage through checkpoint() instead — every frame we
-      // truncate is contraction-residue-sized, so the per-round write is
-      // tiny next to the shuffles it protects. Locally (no dir) fall
-      // back to executor-local checkpoints, which are faster and fine
-      // in a single-JVM test run.
-      implicit class Truncated(df: org.apache.spark.sql.DataFrame) {
-        def truncated(eager: Boolean): org.apache.spark.sql.DataFrame =
-          if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager)
-          else df.localCheckpoint(eager)
-      }
-      // Eagerly materialize the edge list ONCE: the symmetric union below
-      // references `edges` on both sides, and only the signature table is
-      // persisted inside the LSH pipeline — without this checkpoint the
-      // band join + verify stages would execute twice (once per union
-      // side) in the first job that touches `sym`. Checkpointing also
-      // truncates the deep LSH lineage out of every loop-round plan.
-      val edges = queries("dd_minhash_lsh")(s, d)
+      val s = ccSession(s0)
+      // Eagerly materialize the edge list ONCE: ccAssignments references
+      // its input on both sides of a union, and only the signature table
+      // is persisted inside the LSH pipeline — without this checkpoint
+      // the band join + verify stages would execute twice (once per
+      // union side) in the first job that touches the symmetric list.
+      // Checkpointing also truncates the deep LSH lineage out of every
+      // loop-round plan.
+      val edges = truncatedDf(queries("dd_minhash_lsh")(s, d)
         .filter(col("est_jac") >= 0.75) // high-confidence cluster edges
-        .select(col("a_id"), col("b_id"))
-        .truncated(true)
-      // Symmetric edge list, pre-shuffled on the probe key and CACHED in
-      // that layout: every round's hop join reads the cached hash-
-      // partitioned blocks and only exchanges the (vertex-sized) label
-      // side — the edge list, the big side at 100 TB, crosses the wire
-      // exactly once for the whole fixed-point loop.
-      val sym = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
-        .unionByName(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
-        .repartition(col("src"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .select(col("a_id"), col("b_id")), eager = true)
+      ccAssignments(s, edges)
+    }),
 
-      // Borůvka-style contraction FIRST: collapse every vertex onto the
-      // min of its closed neighborhood (one edge-sized aggregation), then
-      // rebuild the edge list between those representatives. Dense LSH
-      // clusters — the bulk of the near-dup graph — vanish entirely in
-      // this step; only the chain-y residue (a tiny fraction of vertices)
-      // enters the fixed-point loop, so every loop round shuffles a
-      // contracted graph orders of magnitude smaller than the raw one.
-      val labels0 = sym.groupBy("src")
-        .agg(min("dst").as("mn"))
-        .select(col("src").as("id"), least(col("src"), col("mn")).as("comp"))
-        .truncated(true)
-      // Fresh attribute ids for re-referenced checkpointed frames: a
-      // checkpoint keeps its exprIds, and joining the same relation
-      // twice in one plan trips InferFiltersFromConstraints (observed
-      // NoSuchElementException on the duplicate-side key). Rebinding
-      // through createDataFrame(rdd, schema) is free — the RDD is
-      // already materialized — and gives the optimizer distinct ids.
-      def reid(df: org.apache.spark.sql.DataFrame) =
-        s.createDataFrame(df.rdd, df.schema)
-      // LAZY checkpoints from here down: every materialization below is
-      // fused with the checksum aggregate that immediately follows it —
-      // one Spark job per round (materialize + sum in the same action)
-      // instead of the former two (eager checkpoint, then a separate
-      // agg). The loop is all fixed per-round job overhead at test scale,
-      // so halving the job count halves the loop's wall time.
-      val cEdges = sym
-        .join(labels0.select(col("id").as("src"), col("comp").as("csrc")), "src")
-        .join(reid(labels0).select(col("id").as("dst"), col("comp").as("cdst")),
-          "dst")
-        .select(col("csrc").as("src"), col("cdst").as("dst"))
-        .filter(col("src") =!= col("dst"))
-        .distinct()
-        .truncated(false)
-
-      var labels = cEdges.groupBy("src")
-        .agg(min("dst").as("mn"))
-        .select(col("src").as("id"), least(col("src"), col("mn")).as("comp"))
-        .truncated(false)
-      var converged = false
-      var rounds = 0
-      // Convergence via a monotone checksum: every per-vertex comp is
-      // non-increasing under min-propagation, so sum(comp) is unchanged
-      // iff NO vertex changed — one cached-scan aggregate per round in
-      // place of a vertex-sized prev-labels join. (This action also
-      // materializes cEdges and labels — the lazy-checkpoint fusion.)
-      var checksum = labels.agg(coalesce(sum("comp"), lit(0L))).head.getLong(0)
-      // Early exit on an empty contracted residue: doc ids are positive,
-      // so checksum 0 ⇔ no labels ⇔ every cluster was a dense clique
-      // that vanished in the contraction — the common LSH-dup corpus
-      // shape, and the loop would only burn rounds proving it.
-      converged = checksum == 0L
-      while (!converged && rounds < 20) {
-        def hop(ls: org.apache.spark.sql.DataFrame) =
-          ls.unionByName(cEdges
-              .join(ls.withColumnRenamed("id", "src"), "src")
-              .select(col("dst").as("id"), col("comp")))
-            .groupBy("id").agg(min("comp").as("comp"))
-        // one hop plus one pointer jump (comp <- comp(comp)) per round,
-        // all over the contracted residue graph
-        def jump(ls: org.apache.spark.sql.DataFrame) =
-          ls.alias("x")
-            .join(ls.select(col("id").as("comp"),
-              col("comp").as("comp2")).alias("y"), Seq("comp"), "left")
-            .select(col("id"),
-              least(col("comp"), coalesce(col("comp2"), col("comp"))).as("comp"))
-        val next = jump(hop(labels)).truncated(false)
-        val nextSum = next.agg(coalesce(sum("comp"), lit(0L))).head.getLong(0)
-        labels = next
-        converged = nextSum == checksum
-        checksum = nextSum
-        rounds += 1
-      }
-      // Compose: original vertex → its contraction representative → that
-      // representative's final component (identity where the loop never
-      // saw the representative, i.e. fully-contracted clusters). Both
-      // sides are materialized checkpoints with disjoint exprIds.
-      labels0.alias("v")
-        .join(reid(labels).select(col("id").as("comp"), col("comp").as("fin"))
-          .alias("r"), Seq("comp"), "left")
-        .select(col("id").as("doc_id"),
-          coalesce(col("fin"), col("comp")).as("canonical_id"))
+    // Connected components in the BASE+DELTA posture — the graph-family
+    // echo of dg_gate_delta: the component assignment was computed
+    // BEFORE the %7 tranche of the corpus arrived, and the batch update
+    // touches only the CONTRACTION graph (base components incident to a
+    // delta edge, plus the delta vertices) — the corpus-sized CC never
+    // re-runs. Mechanics: delta-edge endpoints map onto their stored
+    // component's canonical id (left join against the base assignment —
+    // a base vertex whose only near-dup is a delta doc maps to itself),
+    // the mapped pairs form a delta-edge-sized contraction graph, the
+    // SAME fixed-point machinery resolves it, and the final label
+    // composes base → contraction-final with untouched components
+    // passing through the left join unchanged. Canonical ids stay the
+    // global min because a base component's canonical IS its min vertex:
+    // min over {base canonicals, delta ids} = min over the merged
+    // vertex set. The oracle is dd_cluster_cc's SQL VERBATIM — how the
+    // assignment is physically maintained (one-shot or base+delta) must
+    // not change a single row. At 100 TB the per-batch cost is
+    // O(delta edges + touched components); the only corpus-scale event
+    // is the base build, amortized across batches exactly like the
+    // signature store's compaction.
+    "dd_cluster_cc_delta" -> ((s0, d) => {
+      val s = ccSession(s0)
+      val edges = truncatedDf(queries("dd_minhash_lsh")(s, d)
+        .filter(col("est_jac") >= 0.75)
+        .select(col("a_id"), col("b_id")), eager = true)
+      ccDeltaCompose(s, edges, c => c % 7 =!= 0)
     }),
 
     // Native 64-bit SimHash clusters (rows-only; murmur3 not portable).
@@ -1078,6 +1179,19 @@ object DedupQueries {
          |  ON b.band_id = o.band_id AND b.band_key = o.band_key
          |GROUP BY b.doc_id""".stripMargin,
     "dd_cluster_cc" ->
+      s"""WITH RECURSIVE $lshPairsCtes,
+         |edges AS (SELECT a_id, b_id FROM pairs WHERE est_jac >= 0.75),
+         |sym AS (SELECT a_id AS src, b_id AS dst FROM edges
+         |        UNION ALL SELECT b_id, a_id FROM edges),
+         |verts AS (SELECT DISTINCT src AS id FROM sym),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM verts
+         |  UNION
+         |  SELECT s.dst, reach.r FROM reach JOIN sym s ON reach.id = s.src)
+         |SELECT id AS doc_id, min(r) AS canonical_id FROM reach GROUP BY id""".stripMargin,
+    // Physical-posture invariance: the base+delta maintained assignment
+    // must equal the one-shot recompute row-for-row — same SQL verbatim.
+    "dd_cluster_cc_delta" ->
       s"""WITH RECURSIVE $lshPairsCtes,
          |edges AS (SELECT a_id, b_id FROM pairs WHERE est_jac >= 0.75),
          |sym AS (SELECT a_id AS src, b_id AS dst FROM edges

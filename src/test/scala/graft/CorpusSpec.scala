@@ -86,4 +86,34 @@ class CorpusSpec extends SparkSpec {
     assert((above + cntHi) * 20 > total)
     kept.unpersist(); docs.unpersist()
   }
+
+  test("ccDeltaCompose: a delta vertex bridging two separate base " +
+    "components merges them to the global-min canonical, and the " +
+    "composition equals the one-shot recompute on every posture case") {
+    import graft.operators.DedupQueries
+    // build the fixture ON the cc child session — frames execute under
+    // their own session's conf, and the loop machinery requires the
+    // InferFiltersFromConstraints exclusion ccSession installs
+    val s = DedupQueries.ccSession(spark)
+    import s.implicits._
+    // base comps at T0: {1,2}, {3,4}, {5,6} (canonicals 1, 3, 5).
+    // delta vertex 7 bridges {1,2} and {3,4}; delta pair (14, 21) forms
+    // a brand-new component; {5,6} is untouched; base vertex 8's ONLY
+    // edge arrives with the delta (base-isolated at T0).
+    val edges = DedupQueries.truncatedDf(
+      Seq((1L, 2L), (3L, 4L), (5L, 6L),
+        (2L, 7L), (7L, 3L), (14L, 21L), (8L, 14L))
+        .toDF("a_id", "b_id"), eager = true)
+    val got = DedupQueries.ccDeltaCompose(s, edges, c => c % 7 =!= 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val oneShot = DedupQueries.ccAssignments(s, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expected = Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 1L, // bridged merge
+      5L -> 5L, 6L -> 5L,                               // untouched
+      8L -> 8L, 14L -> 8L, 21L -> 8L)                   // new + isolated
+    assert(got == expected, s"delta composition drifted: $got")
+    assert(got == oneShot,
+      "base+delta must equal the one-shot recompute row-for-row")
+  }
 }
