@@ -281,7 +281,7 @@ object DedupQueries {
     val verts = edges.select(col("a_id").as("v"))
       .unionByName(edges.select(col("b_id").as("v"))).distinct()
     verts
-      .join(reidDf(reidDf(bmap)), Seq("v"), "left")
+      .join(reidDf(bmap), Seq("v"), "left")
       .select(col("v"), coalesce(col("c"), col("v")).as("cnode"))
       .join(cAssign, Seq("cnode"), "left")
       .select(col("v").as("doc_id"),
@@ -322,14 +322,8 @@ object DedupQueries {
         .agg(min("dst").as("mn"))
         .select(col("src").as("id"), least(col("src"), col("mn")).as("comp"))
         .truncated(true)
-      // Fresh attribute ids for re-referenced checkpointed frames: a
-      // checkpoint keeps its exprIds, and joining the same relation
-      // twice in one plan trips InferFiltersFromConstraints (observed
-      // NoSuchElementException on the duplicate-side key). Rebinding
-      // through createDataFrame(rdd, schema) is free — the RDD is
-      // already materialized — and gives the optimizer distinct ids.
-      def reid(df: org.apache.spark.sql.DataFrame) =
-        s.createDataFrame(df.rdd, df.schema)
+      // (exprId rebinding rationale lives on reidDf)
+      def reid(df: org.apache.spark.sql.DataFrame) = reidDf(df)
       // LAZY checkpoints from here down: every materialization below is
       // fused with the checksum aggregate that immediately follows it —
       // one Spark job per round (materialize + sum in the same action)
@@ -383,6 +377,13 @@ object DedupQueries {
         checksum = nextSum
         rounds += 1
       }
+      // sym's cached blocks have served their purpose: every frame the
+      // returned plan references (labels0, labels) is a materialized
+      // checkpoint by the time the checksum loop exits, so release the
+      // corpus-scale edge cache here instead of leaking one pinned RDD
+      // per invocation (two per delta composition) into the shared
+      // context for the rest of the session.
+      sym.unpersist(false)
       // Compose: original vertex → its contraction representative → that
       // representative's final component (identity where the loop never
       // saw the representative, i.e. fully-contracted clusters). Both
