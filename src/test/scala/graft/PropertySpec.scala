@@ -123,6 +123,38 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("ccDeltaCompose equals the one-shot recompute on random graphs " +
+    "under random base/delta partitions (chains force multi-round " +
+    "convergence; modulus varies which vertices are late arrivals)") {
+    import graft.operators.DedupQueries
+    val s = DedupQueries.ccSession(spark)
+    val sq = s.sqlContext; import sq.implicits._
+    // sparse random graph: ~1.2 edges/vertex keeps long chains likely
+    // (the contraction residue that actually loops), plus a planted
+    // 12-cycle so a delta tranche must bridge base fragments
+    val n = 60
+    val random = Seq.fill(72)(
+      (rnd.nextInt(n).toLong + 1, rnd.nextInt(n).toLong + 1))
+    val cycle = (0 until 12).map(i =>
+      ((n + i).toLong + 1, (n + (i + 1) % 12).toLong + 1))
+    val pairs = (random ++ cycle).filter(e => e._1 != e._2).distinct
+    val edges = DedupQueries.truncatedDf(
+      pairs.toDF("a_id", "b_id"), eager = true)
+    val oneShot = DedupQueries.ccAssignments(s, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSortedMap
+    for (m <- Seq(2L, 3L, 5L)) {
+      val got = DedupQueries.ccDeltaCompose(s, edges, c => c % m =!= 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSortedMap
+      assert(got == oneShot,
+        s"mod-$m delta composition diverged from one-shot: " +
+          s"${got.toSeq.diff(oneShot.toSeq).take(5)}")
+    }
+  }
+
+  private implicit class ToSorted(a: Array[(Long, Long)]) {
+    def toSortedMap: Seq[(Long, Long)] = a.toSeq.sortBy(_._1)
+  }
+
   test("cleanText is idempotent over random printable strings") {
     val chars = ('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9') ++
       Seq(' ', ' ', ' ', '.', ',', '!', '?', ';', ':', '<', '>', '/', 'é')
