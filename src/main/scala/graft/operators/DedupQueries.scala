@@ -261,6 +261,23 @@ object DedupQueries {
     // the stored assignment, as written at T0 (before the delta tranche):
     // materialized because three consumers below reference it
     val baseAssign = truncatedDf(ccAssignments(s, baseEdges), eager = true)
+    ccApplyDelta(s, baseAssign, deltaEdges)
+  }
+
+  /** One maintenance step of a STORED component assignment: fold an
+    * edge batch into `baseAssign` (doc_id, canonical_id — canonical
+    * must be each component's min vertex, which ccAssignments and this
+    * function both guarantee, so steps CHAIN: the output is the next
+    * step's base). The batch's endpoints contract onto stored
+    * canonicals, the fixed-point loop resolves only the batch-sized
+    * contraction graph, untouched components pass through. Re-applying
+    * an already-folded batch is a no-op: both endpoints of every edge
+    * map to the same canonical, the contraction empties, and the vertex
+    * union adds nothing — redelivery-idempotent by construction
+    * (StoreLoopSpec pins this and the multi-batch fold).
+    * `baseAssign` must be materialized (three consumers below). */
+  private[graft] def ccApplyDelta(s: SparkSession, baseAssign: DataFrame,
+      deltaEdges: DataFrame): DataFrame = {
     val bmap = baseAssign
       .select(col("doc_id").as("v"), col("canonical_id").as("c"))
     // contract delta-edge endpoints onto stored canonicals (self where
@@ -276,10 +293,12 @@ object DedupQueries {
       .distinct()
     val cAssign = ccAssignments(s, truncatedDf(contraction, eager = true))
       .select(col("doc_id").as("cnode"), col("canonical_id").as("fin"))
-    // every vertex of the full graph: its contraction node is its
-    // stored canonical (base) or itself (delta / base-isolated)
-    val verts = edges.select(col("a_id").as("v"))
-      .unionByName(edges.select(col("b_id").as("v"))).distinct()
+    // every vertex of the merged graph: its contraction node is its
+    // stored canonical (base) or itself (new / base-isolated)
+    val verts = baseAssign.select(col("doc_id").as("v"))
+      .unionByName(deltaEdges.select(col("a_id").as("v")))
+      .unionByName(deltaEdges.select(col("b_id").as("v")))
+      .distinct()
     verts
       .join(reidDf(bmap), Seq("v"), "left")
       .select(col("v"), coalesce(col("c"), col("v")).as("cnode"))

@@ -384,4 +384,41 @@ class StoreLoopSpec extends SparkSpec {
       s0.except(afterFlip).count() == 4, // node 7 carried 4 band rows
       "nothing but the flipped node may change")
   }
+
+  test("ccApplyDelta maintains a stored component assignment across " +
+    "chained edge batches: the fold equals one-shot CC on the union, " +
+    "and redelivering a folded batch is a no-op") {
+    import graft.operators.DedupQueries
+    val s = DedupQueries.ccSession(spark)
+    val sq = s.sqlContext; import sq.implicits._
+    def frame(pairs: Seq[(Long, Long)]) =
+      DedupQueries.truncatedDf(pairs.toDF("a_id", "b_id"), eager = true)
+    def collectAssign(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    // T0 build: comps {1,2,3}, {10,11}, {20,21}
+    val b0 = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+    // batch 1: new vertex 30 bridges {10,11} and {20,21}; isolated pair
+    val b1 = Seq((11L, 30L), (30L, 20L), (40L, 41L))
+    // batch 2: chains THROUGH batch-1's merge (31 joins the merged comp
+    // via 30) and merges a batch-1-born comp with a T0 comp
+    val b2 = Seq((30L, 31L), (41L, 3L))
+    var assign = DedupQueries.truncatedDf(
+      DedupQueries.ccAssignments(s, frame(b0)), eager = true)
+    for (b <- Seq(b1, b2))
+      assign = DedupQueries.truncatedDf(
+        DedupQueries.ccApplyDelta(s, assign, frame(b)), eager = true)
+    val folded = collectAssign(assign)
+    val oneShot = collectAssign(
+      DedupQueries.ccAssignments(s, frame(b0 ++ b1 ++ b2)))
+    assert(folded == oneShot,
+      s"chained fold diverged from one-shot: $folded vs $oneShot")
+    // canonical invariant spot-checks: 40-41 now rides {1,2,3} via 3
+    val m = folded.toMap
+    assert(m(41L) == 1L && m(40L) == 1L && m(31L) == 10L)
+    // redelivery: folding batch 2 AGAIN must change nothing — every
+    // endpoint already maps to one canonical, the contraction empties
+    val redelivered = collectAssign(DedupQueries.truncatedDf(
+      DedupQueries.ccApplyDelta(s, assign, frame(b2)), eager = true))
+    assert(redelivered == folded, "redelivered batch mutated the store")
+  }
 }
