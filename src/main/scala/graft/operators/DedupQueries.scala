@@ -275,9 +275,15 @@ object DedupQueries {
     * map to the same canonical, the contraction empties, and the vertex
     * union adds nothing — redelivery-idempotent by construction
     * (StoreLoopSpec pins this and the multi-batch fold).
+    * `deltaOnly = true` returns ONLY the rows the batch changed (new
+    * vertices + vertices whose canonical moved) — the ingest-sized
+    * artifact a streaming store loop appends instead of rewriting the
+    * corpus-sized assignment (CcStoreLoop); the filter is a null-safe
+    * compare against the stored canonical already riding the compose
+    * join, never a full-table except.
     * `baseAssign` must be materialized (three consumers below). */
   private[graft] def ccApplyDelta(s: SparkSession, baseAssign: DataFrame,
-      deltaEdges: DataFrame): DataFrame = {
+      deltaEdges: DataFrame, deltaOnly: Boolean = false): DataFrame = {
     val bmap = baseAssign
       .select(col("doc_id").as("v"), col("canonical_id").as("c"))
     // contract delta-edge endpoints onto stored canonicals (self where
@@ -299,12 +305,17 @@ object DedupQueries {
       .unionByName(deltaEdges.select(col("a_id").as("v")))
       .unionByName(deltaEdges.select(col("b_id").as("v")))
       .distinct()
-    verts
+    val composed = verts
       .join(reidDf(bmap), Seq("v"), "left")
-      .select(col("v"), coalesce(col("c"), col("v")).as("cnode"))
+      .select(col("v"), col("c"), coalesce(col("c"), col("v")).as("cnode"))
       .join(cAssign, Seq("cnode"), "left")
-      .select(col("v").as("doc_id"),
+      .select(col("v").as("doc_id"), col("c"),
         coalesce(col("fin"), col("cnode")).as("canonical_id"))
+    // delta rows: stored canonical (c, null for new vertices) differs
+    // from the computed one — null-safe so new vertices always emit
+    (if (deltaOnly) composed.filter(!(col("c") <=> col("canonical_id")))
+     else composed)
+      .select("doc_id", "canonical_id")
   }
 
   /** Min-label connected components over an undirected pair list — the

@@ -1,0 +1,131 @@
+package graft.streaming
+
+import graft.operators.DedupQueries
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The component-assignment store maintained under Structured
+  * Streaming — the CC analogue of [[GateStoreLoop]] (reference
+  * contract: the dedup gate's stream loop clusters what it gates;
+  * `lambdas/check_duplicate/check_duplicate.py:183-289` classifies at
+  * ingest and `misc/stream_update_process/record_handler.py:103-147`
+  * lands the maintenance): each micro-batch of near-dup EDGES folds
+  * into the stored assignment via
+  * [[graft.operators.DedupQueries.ccApplyDelta]], and what lands on
+  * disk per batch is the INGEST-SIZED changed-row set (new vertices +
+  * vertices whose canonical moved — bounded by touched components),
+  * never the corpus-sized assignment.
+  *
+  * On-disk layout under `dir`:
+  * {{{
+  *   assign_-1/        the initial full assignment (base build)
+  *   gen_<batchId>/    the batch's changed rows (doc_id, canonical_id)
+  * }}}
+  * Current assignment = assign_-1 overlaid by every COMMITTED
+  * generation in batchId order (later generation wins per doc_id) —
+  * an LSM overlay where each layer is batch-sized, so reads pay one
+  * broadcast anti-join per open generation and [[maybeCompact]]
+  * bounds that fan-out by folding layers into a new full assignment
+  * (the posture's only corpus-sized write).
+  *
+  * REDELIVERY SAFETY (checkpointed foreachBatch: a batch that failed
+  * mid-write is re-delivered with the SAME batchId): a batch folds
+  * against generations STRICTLY BELOW its own id, writes its artifact
+  * with overwrite into its own batchId-keyed dir, and parquet's
+  * _SUCCESS is the commit marker — a half-written generation is
+  * invisible to [[state]] and simply overwritten on re-run, and a
+  * COMMITTED generation re-derives bit-stably because its inputs
+  * (generations below) cannot have changed. On top of the layout
+  * discipline, the fold itself is idempotent (ccApplyDelta on
+  * already-merged edges yields an EMPTY changed-row set), so even an
+  * out-of-contract duplicate delivery under a fresh id is a no-op
+  * layer. StreamingSpec drives all of this end-to-end.
+  */
+object CcStoreLoop {
+
+  private def fs(dir: String) = new java.io.File(dir)
+
+  private def committed(dir: String, prefix: String): Seq[Long] =
+    Option(fs(dir).listFiles()).getOrElse(Array.empty)
+      .toSeq.map(_.getName).filter(_.startsWith(prefix))
+      .map(_.stripPrefix(prefix).toLong).sorted
+      .filter(g => new java.io.File(s"$dir/$prefix$g/_SUCCESS").exists())
+
+  /** Highest COMPLETE full-assignment generation (-1 = initial build).
+    * Loud when none exists: [[init]] never ran or never committed. */
+  private def baseGen(dir: String): Long = {
+    val gens = committed(dir, "assign_")
+    if (gens.isEmpty)
+      throw new IllegalStateException(
+        s"CcStoreLoop: no committed assignment under $dir — run init() " +
+          "first (a missing base is an absent store, not an empty graph)")
+    gens.max
+  }
+
+  /** Write the initial assignment from the base edge list. */
+  def init(spark: SparkSession, baseEdges: DataFrame, dir: String): Unit = {
+    fs(dir).mkdirs()
+    val s = DedupQueries.ccSession(spark)
+    DedupQueries.ccAssignments(s,
+        DedupQueries.truncatedDf(onSession(s, baseEdges), eager = true))
+      .write.mode("overwrite").parquet(s"$dir/assign_-1")
+  }
+
+  /** The stored assignment as of generations strictly below `below`
+    * (default: everything committed) — base overlaid by each committed
+    * generation in order, later layer winning per doc_id. Each overlay
+    * is a broadcast anti-join: the generation layers are batch-sized
+    * by construction. */
+  def state(spark: SparkSession, dir: String,
+      below: Long = Long.MaxValue): DataFrame = {
+    val g = baseGen(dir)
+    val gens = committed(dir, "gen_").filter(id => id > g && id < below)
+    gens.foldLeft(spark.read.parquet(s"$dir/assign_$g")) { (acc, id) =>
+      val layer = spark.read.parquet(s"$dir/gen_$id")
+      acc.join(broadcast(layer.select("doc_id")), Seq("doc_id"), "left_anti")
+        .unionByName(layer)
+    }
+  }
+
+  /** The foreachBatch handler: fold the batch's edges into the stored
+    * assignment, land ONLY the changed rows as this batch's
+    * generation. Pass to
+    * `StreamPipeline.run(source, cp)(CcStoreLoop.handleBatch(dir))`;
+    * the batch frame must carry (a_id, b_id). */
+  def handleBatch(dir: String)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val b = batch.localCheckpoint(true)
+    if (b.isEmpty) return
+    val s = DedupQueries.ccSession(spark)
+    // probe state BELOW this batch id: a redelivered batch must fold
+    // against exactly what it saw the first time, never its own layer
+    val base = DedupQueries.truncatedDf(
+      onSession(s, state(spark, dir, below = batchId)), eager = true)
+    DedupQueries.ccApplyDelta(s, base, onSession(s, b), deltaOnly = true)
+      .write.mode("overwrite").parquet(s"$dir/gen_$batchId")
+  }
+
+  /** Fold committed generations below `upTo` into a new full
+    * assignment — the posture's only corpus-sized write. From INSIDE
+    * the stream pass `upTo = batchId` (the current batch's offset is
+    * uncommitted; folding its layer would make a redelivery fold
+    * against its own effects — same contract as
+    * [[GateStoreLoop.maybeCompact]]). */
+  def maybeCompact(spark: SparkSession, dir: String, maxOpenGenerations: Int,
+      upTo: Long = Long.MaxValue): Boolean = {
+    val g = baseGen(dir)
+    val open = committed(dir, "gen_").filter(id => id > g && id < upTo)
+    if (open.size >= maxOpenGenerations) {
+      state(spark, dir, below = upTo)
+        .write.mode("overwrite").parquet(s"$dir/assign_${open.max}")
+      true
+    } else false
+  }
+
+  /** Frames built on the caller's session re-bind onto the cc child
+    * session so every plan they feed executes under ccSession's rule
+    * exclusion (a frame runs under the session it belongs to, not the
+    * one passed alongside it). */
+  private def onSession(s: SparkSession, df: DataFrame): DataFrame =
+    s.createDataFrame(df.rdd, df.schema)
+}

@@ -654,4 +654,77 @@ class StreamingSpec extends SparkSpec {
       (1L, "2024-01-01 10:30:00", 1L),
       (2L, "2024-01-01 10:00:00", 1L)))
   }
+
+  test("CC store loop through checkpointed foreachBatch: edge batches " +
+    "fold as ingest-sized changed-row generations, redelivery is " +
+    "bit-stable, and the overlay equals one-shot CC on the union") {
+    import graft.operators.DedupQueries
+    import graft.streaming.CcStoreLoop
+    implicit val sqlCtx = spark.sqlContext
+
+    // T0 comps: {1,2,3}, {10,11}, {20,21}
+    val b0 = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+    // batch 0 bridges {10,11}+{20,21} via 30 and births {40,41};
+    // batch 1 chains through the bridge (31) and merges {40,41} into
+    // the {1,2,3} component via vertex 3
+    val batch0 = Seq((11L, 30L), (30L, 20L), (40L, 41L))
+    val batch1 = Seq((30L, 31L), (41L, 3L))
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-ccloop").toString
+    CcStoreLoop.init(spark, b0.toDF("a_id", "b_id"), dir)
+
+    val input = MemoryStream[(Long, Long)]
+    val edges = input.toDF().toDF("a_id", "b_id")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ccckpt").toString
+    def runOnce(): Unit = {
+      val q = StreamPipeline.run(edges, ckpt)(CcStoreLoop.handleBatch(dir))
+      q.awaitTermination()
+    }
+    input.addData(batch0: _*)
+    runOnce()
+    input.addData(batch1: _*)
+    runOnce()
+
+    def assignOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val streamed = assignOf(CcStoreLoop.state(spark, dir))
+    // one-shot reference: the edge frame must BELONG to the cc child
+    // session (plans run under their frame's session, and the loop
+    // machinery needs ccSession's rule exclusion) — rebind it
+    val sOne = DedupQueries.ccSession(spark)
+    val outerEdges = (b0 ++ batch0 ++ batch1).toDF("a_id", "b_id")
+    val oneShot = assignOf(DedupQueries.ccAssignments(sOne,
+      DedupQueries.truncatedDf(
+        sOne.createDataFrame(outerEdges.rdd, outerEdges.schema),
+        eager = true)))
+    assert(streamed == oneShot,
+      s"streamed overlay diverged from one-shot CC: $streamed vs $oneShot")
+
+    // generation layers are the CHANGED-ROW sets, not snapshots:
+    // batch 0 remaps {20,21} onto canonical 10 and adds {30,40,41} —
+    // 10 and 11 already carried canonical 10, so they do NOT re-land;
+    // batch 1 remaps the batch-0 component's tail and {40,41}, adds 31
+    val gen0 = assignOf(spark.read.parquet(s"$dir/gen_0"))
+    assert(gen0 == Seq(20L, 21L, 30L, 40L, 41L).map(v =>
+      (v, if (v == 40L || v == 41L) 40L else 10L)).sortBy(_._1),
+      s"gen_0 changed-row set drifted: $gen0")
+    val gen1 = assignOf(spark.read.parquet(s"$dir/gen_1"))
+    assert(gen1.map(_._1) == Seq(31L, 40L, 41L) && gen1.forall(r =>
+      (r._1 == 31L && r._2 == 10L) || r._2 == 1L),
+      s"gen_1 changed-row set drifted: $gen1")
+
+    // REDELIVERY with original batchIds: artifacts rewrite bit-stably
+    CcStoreLoop.handleBatch(dir)(batch0.toDF("a_id", "b_id"), 0L)
+    CcStoreLoop.handleBatch(dir)(batch1.toDF("a_id", "b_id"), 1L)
+    assert(assignOf(CcStoreLoop.state(spark, dir)) == oneShot,
+      "redelivered batches mutated the assignment")
+
+    // compaction folds the layers into a full assignment; the overlay
+    // read and the compacted read agree
+    assert(!CcStoreLoop.maybeCompact(spark, dir, 3),
+      "2 open generations must not trigger a threshold-3 fold")
+    assert(CcStoreLoop.maybeCompact(spark, dir, 2))
+    assert(assignOf(CcStoreLoop.state(spark, dir)) == oneShot,
+      "compaction changed the assignment")
+  }
 }
