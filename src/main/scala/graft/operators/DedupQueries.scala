@@ -893,8 +893,11 @@ object DedupQueries {
       val isBase = (c: org.apache.spark.sql.Column) => c % 7 =!= 0
       val baseEdges = edges.filter(isBase(col("a_id")) && isBase(col("b_id")))
       val rest = edges.filter(!(isBase(col("a_id")) && isBase(col("b_id"))))
+      // pid-keyed dir: the init-once guard set is JVM-local, so two
+      // JVMs sharing tmpdir would otherwise wipe each other's store
       val dir = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft-ccstream-${d.replace('/', '_')}").getAbsolutePath
+        s"graft-ccstream-${java.lang.ProcessHandle.current.pid}-" +
+          d.replace('/', '_')).getAbsolutePath
       // deterministic re-runs (bench min-of-N, repeated sweeps): the
       // base assignment — the corpus-sized build — lands once per JVM
       // session; re-invocations wipe generation artifacts (and any
@@ -904,6 +907,10 @@ object DedupQueries {
         if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
         f.delete(); ()
       }
+      // the WHOLE wipe→init→fold→read sequence holds the lock, and the
+      // returned frame is materialized before release — a concurrent
+      // same-d invocation in this JVM can then never wipe files a
+      // not-yet-acted-on lazy frame still depends on
       ccStreamInit.synchronized {
         ccStreamInit.filter(_._1.sparkContext.isStopped)
           .toSeq.foreach(ccStreamInit.remove)
@@ -915,14 +922,14 @@ object DedupQueries {
           _.filter(f => f.getName.startsWith("gen_") ||
               (f.getName.startsWith("assign_") && f.getName != "assign_-1"))
             .foreach(rm))
+        // two micro-batches, deterministically split by edge parity
+        val par = pmod(col("a_id") + col("b_id"), lit(2L))
+        graft.streaming.CcStoreLoop.handleBatch(dir)(
+          rest.filter(par === 0L), 0L)
+        graft.streaming.CcStoreLoop.handleBatch(dir)(
+          rest.filter(par === 1L), 1L)
+        graft.streaming.CcStoreLoop.state(s0, dir).localCheckpoint(true)
       }
-      // two micro-batches, deterministically split by edge parity
-      val par = pmod(col("a_id") + col("b_id"), lit(2L))
-      graft.streaming.CcStoreLoop.handleBatch(dir)(
-        rest.filter(par === 0L), 0L)
-      graft.streaming.CcStoreLoop.handleBatch(dir)(
-        rest.filter(par === 1L), 1L)
-      graft.streaming.CcStoreLoop.state(s0, dir)
     }),
 
     // Connected components in the BASE+DELTA posture — the graph-family

@@ -98,9 +98,13 @@ object CcStoreLoop {
     if (b.isEmpty) return
     val s = DedupQueries.ccSession(spark)
     // probe state BELOW this batch id: a redelivered batch must fold
-    // against exactly what it saw the first time, never its own layer
+    // against exactly what it saw the first time, never its own layer.
+    // Built directly ON the cc session (state takes the session) — only
+    // the externally supplied batch frame needs the onSession rebind;
+    // round-tripping the corpus-sized overlay through RDD rows would
+    // pay a full decode/re-encode per micro-batch for nothing.
     val base = DedupQueries.truncatedDf(
-      onSession(s, state(spark, dir, below = batchId)), eager = true)
+      state(s, dir, below = batchId), eager = true)
     DedupQueries.ccApplyDelta(s, base, onSession(s, b), deltaOnly = true)
       .write.mode("overwrite").parquet(s"$dir/gen_$batchId")
   }
@@ -115,7 +119,10 @@ object CcStoreLoop {
       upTo: Long = Long.MaxValue): Boolean = {
     val g = baseGen(dir)
     val open = committed(dir, "gen_").filter(id => id > g && id < upTo)
-    if (open.size >= maxOpenGenerations) {
+    // nonEmpty guard: a degenerate threshold (<= 0) with nothing open
+    // must no-op, not crash on open.max — same contract as the gate
+    // loop's compact
+    if (open.nonEmpty && open.size >= maxOpenGenerations) {
       state(spark, dir, below = upTo)
         .write.mode("overwrite").parquet(s"$dir/assign_${open.max}")
       true
