@@ -308,6 +308,32 @@ class StreamingSpec extends SparkSpec {
     assert(om(502L)._1 == "version" && om(502L)._2 == Some(6L))
   }
 
+  test("CC store loop torn generation: a layer without its _SUCCESS " +
+    "commit marker is invisible to state(), and redelivering the batch " +
+    "heals it in place") {
+    import graft.operators.DedupQueries
+    import graft.streaming.CcStoreLoop
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-cctorn").toString
+    CcStoreLoop.init(spark, Seq((1L, 2L), (3L, 4L)).toDF("a_id", "b_id"), dir)
+    def assignOf() = CcStoreLoop.state(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val t0 = assignOf()
+    assert(t0 == Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L)))
+    val bridge = Seq((2L, 3L)).toDF("a_id", "b_id")
+    CcStoreLoop.handleBatch(dir)(bridge, 0L)
+    val healthy = assignOf()
+    assert(healthy == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L)))
+    // crash window: the layer's files exist but the commit marker
+    // does not — the overlay must resolve WITHOUT it
+    assert(new java.io.File(s"$dir/gen_0/_SUCCESS").delete())
+    assert(assignOf() == t0,
+      "a generation without _SUCCESS must be invisible to the overlay")
+    // redelivery with the original batchId overwrites and commits
+    CcStoreLoop.handleBatch(dir)(bridge, 0L)
+    assert(assignOf() == healthy, "redelivery must heal the torn layer")
+  }
+
   test("transformWithState fingerprint dedup: first arrival new, " +
     "re-arrivals duplicate across micro-batches (RocksDB state)") {
     import graft.streaming.StreamDedup
