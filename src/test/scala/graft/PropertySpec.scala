@@ -148,6 +148,26 @@ class PropertySpec extends SparkSpec {
       assert(got == oneShot,
         s"mod-$m delta composition diverged from one-shot: " +
           s"${got.toSeq.diff(oneShot.toSeq).take(5)}")
+      // the deltaOnly projection must reconstruct the same result when
+      // overlaid on the stored base (CcStoreLoop's read path): base
+      // rows not re-landed + changed rows = the full apply
+      val isBase = (c: org.apache.spark.sql.Column) => c % m =!= 0
+      val baseEdges = edges.filter(isBase(col("a_id")) && isBase(col("b_id")))
+      val deltaEdges = edges
+        .filter(!(isBase(col("a_id")) && isBase(col("b_id"))))
+      val baseAssign = DedupQueries.truncatedDf(
+        DedupQueries.ccAssignments(s, baseEdges), eager = true)
+      val baseMap = baseAssign.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      val layer = DedupQueries
+        .ccApplyDelta(s, baseAssign, deltaEdges, deltaOnly = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(layer.keySet.intersect(baseMap.keySet)
+          .forall(k => layer(k) != baseMap(k)),
+        s"mod-$m deltaOnly re-landed unchanged base rows")
+      val overlaid = (baseMap ++ layer).toSeq.sortBy(_._1)
+      assert(overlaid == oneShot,
+        s"mod-$m base+deltaOnly overlay diverged from one-shot")
     }
   }
 
