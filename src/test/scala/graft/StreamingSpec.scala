@@ -334,6 +334,28 @@ class StreamingSpec extends SparkSpec {
     assert(assignOf() == healthy, "redelivery must heal the torn layer")
   }
 
+  test("CC store loop failure modes: a missing store is loud (never an " +
+    "empty graph), and an empty batch leaves no generation behind") {
+    import graft.streaming.CcStoreLoop
+    implicit val sqlCtx = spark.sqlContext
+    val ghost = java.nio.file.Files
+      .createTempDirectory("graft-ccghost").toString
+    val e = intercept[IllegalStateException] {
+      CcStoreLoop.state(spark, ghost).collect()
+    }
+    assert(e.getMessage.contains("run init() first"),
+      "probing an uninitialized store must fail loudly, not read as empty")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ccempty").toString
+    CcStoreLoop.init(spark, Seq((1L, 2L)).toDF("a_id", "b_id"), dir)
+    CcStoreLoop.handleBatch(dir)(
+      Seq.empty[(Long, Long)].toDF("a_id", "b_id"), 0L)
+    assert(!new java.io.File(s"$dir/gen_0").exists(),
+      "an empty micro-batch must not write an (empty) generation layer")
+    assert(CcStoreLoop.state(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      == Seq((1L, 1L), (2L, 1L)))
+  }
+
   test("transformWithState fingerprint dedup: first arrival new, " +
     "re-arrivals duplicate across micro-batches (RocksDB state)") {
     import graft.streaming.StreamDedup
