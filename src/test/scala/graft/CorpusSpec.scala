@@ -99,10 +99,13 @@ class CorpusSpec extends SparkSpec {
     // base comps at T0: {1,2}, {3,4}, {5,6} (canonicals 1, 3, 5).
     // delta vertex 7 bridges {1,2} and {3,4}; delta pair (14, 21) forms
     // a brand-new component; {5,6} is untouched; base vertex 8's ONLY
-    // edge arrives with the delta (base-isolated at T0).
+    // edge arrives with the delta (base-isolated at T0). Degenerate
+    // inputs ride along and must change nothing: (2,1) duplicates an
+    // edge reversed, (7,7) is a delta self-loop, (21,14) re-delivers a
+    // delta pair reversed.
     val edges = DedupQueries.truncatedDf(
-      Seq((1L, 2L), (3L, 4L), (5L, 6L),
-        (2L, 7L), (7L, 3L), (14L, 21L), (8L, 14L))
+      Seq((1L, 2L), (3L, 4L), (5L, 6L), (2L, 1L),
+        (2L, 7L), (7L, 3L), (14L, 21L), (8L, 14L), (7L, 7L), (21L, 14L))
         .toDF("a_id", "b_id"), eager = true)
     val got = DedupQueries.ccDeltaCompose(s, edges, c => c % 7 =!= 0)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
