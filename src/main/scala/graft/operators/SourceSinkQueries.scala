@@ -322,9 +322,14 @@ object SourceSinkQueries {
     // S10 parquet scan with pushdown: projection + predicate must reach
     // the scan (PushedFilters) — the plan shape is asserted in tests; the
     // result here is the correctness side.
+    // The bound sits inside the synthetic shipdate range (1995..2001) so
+    // the entry returns a selective-but-nonempty slice (~0.6% of
+    // lineitem) — the value path is hash-checked, not just the
+    // PushedFilters plan pin (r13 verdict: the former 2024 bound was
+    // vacuously empty).
     "s10_pushdown_scan" -> ((s, d) => {
       Tables.lineitem(s, d)
-        .filter(col("l_shipdate") >= "2024-06-01" && col("l_quantity") > 45)
+        .filter(col("l_shipdate") >= "2001-06-01" && col("l_quantity") > 45)
         .select(col("l_orderkey"), col("l_quantity"),
           date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship"))
     })
@@ -472,6 +477,6 @@ object SourceSinkQueries {
       """SELECT l_orderkey, l_quantity,
         |  strftime(l_shipdate, '%Y-%m-%d') AS ship
         |FROM lineitem
-        |WHERE l_shipdate >= '2024-06-01' AND l_quantity > 45""".stripMargin
+        |WHERE l_shipdate >= '2001-06-01' AND l_quantity > 45""".stripMargin
   )
 }

@@ -155,11 +155,15 @@ object TextQueries {
     }),
 
     // F16 ±3-month window reconciliation (date_generation.py:77-100):
-    // orders within 92 days of an anchor date.
+    // orders within 92 days of an anchor date. The anchor sits at the
+    // synthetic orders' median date so the entry selects a non-trivial,
+    // hash-checkable slice at every SF (r13 verdict: the former 2024
+    // anchor matched zero rows, proving only that both engines agree on
+    // empty).
     "f16_date_window" -> ((s, d) => {
       Tables.orders(s, d)
         .withColumn("d_days",
-          datediff(col("o_orderdate").cast("date"), lit("2024-06-30").cast("date")))
+          datediff(col("o_orderdate").cast("date"), lit("1998-06-30").cast("date")))
         .filter(abs(col("d_days")) <= 92)
         .select("o_orderkey", "d_days")
     }),
@@ -819,9 +823,9 @@ object TextQueries {
         |UNION ALL SELECT doc_id, 'tags[1]', lang FROM documents""".stripMargin,
     "f16_date_window" ->
       """SELECT o_orderkey,
-        |  date_diff('day', DATE '2024-06-30', o_orderdate::DATE) AS d_days
+        |  date_diff('day', DATE '1998-06-30', o_orderdate::DATE) AS d_days
         |FROM orders
-        |WHERE abs(date_diff('day', DATE '2024-06-30', o_orderdate::DATE)) <= 92""".stripMargin,
+        |WHERE abs(date_diff('day', DATE '1998-06-30', o_orderdate::DATE)) <= 92""".stripMargin,
     "f18_extract_numbers" ->
       """SELECT c_custkey,
         |  array_to_string(regexp_extract_all(c_name, '[0-9]+'), ',') AS nums

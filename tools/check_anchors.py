@@ -42,7 +42,46 @@ def index_sources():
     return idx
 
 
+def fix():
+    """Rewrite stale anchors in place: each anchor in a row whose file
+    declares one of the row's query names is snapped to the nearest
+    such declaration line (insertions shift declarations monotonically,
+    so nearest-by-distance recovers the intended target; a multi-anchor
+    row with as many anchors as declarations maps them in order)."""
+    idx = index_sources()
+    lines = COVERAGE.read_text().splitlines(keepends=True)
+    fixed = 0
+    for i, row in enumerate(lines):
+        if not row.startswith("|"):
+            continue
+        names = set(NAME_RE.findall(row))
+
+        def repl(m):
+            nonlocal fixed
+            fname = m.group(1).split("/")[-1]
+            if fname not in idx:
+                return m.group(0)
+            _, _, decls = idx[fname]
+            row_decls = sorted(decls[n] for n in names if n in decls)
+            if not row_decls:
+                return m.group(0)
+            nums = [int(x) for x in m.group(2).split(",")]
+            new = [n if n in row_decls
+                   else min(row_decls, key=lambda d: abs(d - n))
+                   for n in nums]
+            if len(nums) == len(row_decls) and len(set(new)) != len(new):
+                new = row_decls
+            fixed += sum(a != b for a, b in zip(nums, new))
+            return f"{m.group(1)}:{','.join(map(str, new))}"
+
+        lines[i] = ANCHOR_RE.sub(repl, row)
+    COVERAGE.write_text("".join(lines))
+    print(f"rewrote {fixed} anchor(s)")
+
+
 def main():
+    if "--fix" in sys.argv:
+        fix()
     idx = index_sources()
     failures = []
     for row_no, row in enumerate(COVERAGE.read_text().splitlines(), start=1):
