@@ -16,6 +16,34 @@ import scala.util.control.NonFatal
   */
 object Bench {
 
+  /** Whole-run IO tally from task-end events: shuffle bytes written /
+    * read and memory+disk spill. In local[n] every task lands on this
+    * JVM's bus, so per-query deltas (snapshot before/after each timed
+    * run, bus drained in between via Bridge.drainListenerBus) attribute
+    * exactly. These are the discriminators the r13 verdict asked for:
+    * the residual gate-family drift hypothesis is IO contention
+    * (SCALE.md's suspect — the affected queries are the heaviest
+    * persist + shuffle-file users), and with shuffle/spill recorded
+    * in-band an IO-contended run self-identifies from the artifact
+    * alone, the way a GC-contended one already does. */
+  private object IoTally extends org.apache.spark.scheduler.SparkListener {
+    import java.util.concurrent.atomic.AtomicLong
+    val shuffleWrite = new AtomicLong
+    val shuffleRead = new AtomicLong
+    val spill = new AtomicLong
+    override def onTaskEnd(
+        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+      }
+    }
+    def snapshot: (Long, Long, Long) =
+      (shuffleWrite.get, shuffleRead.get, spill.get)
+  }
+
   private def gcMillis: Long = {
     import scala.jdk.CollectionConverters._
     java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
@@ -34,7 +62,8 @@ object Bench {
     * run's own frame AFTER the action — the final adaptive plan, at
     * zero extra builder invocations). */
   private case class Meas(sec: Double, ok: Boolean, gcSec: Double,
-    heapMbDelta: Double, rows: Long, exchanges: Int)
+    heapMbDelta: Double, rows: Long, exchanges: Int,
+    shuffleWriteMb: Double, shuffleReadMb: Double, spillMb: Double)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -97,8 +126,14 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    spark.sparkContext.addSparkListener(IoTally)
+    import org.apache.spark.sql.graftbridge.Bridge
     def timeOne(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Meas = {
+      // the previous query's task-end events must be consumed before we
+      // snapshot, or its tail IO lands in this query's delta
+      Bridge.drainListenerBus(spark.sparkContext)
+      val (sw0, sr0, sp0) = IoTally.snapshot
       val gc0 = gcMillis
       val h0 = heapUsedMb
       val t0 = System.nanoTime()
@@ -127,6 +162,8 @@ object Bench {
       }
       val gcSec = (gcMillis - gc0) / 1e3
       val heapDelta = heapUsedMb - h0
+      Bridge.drainListenerBus(spark.sparkContext)
+      val (sw1, sr1, sp1) = IoTally.snapshot
       // Queries that persist intermediates (the self-join dedup family)
       // would otherwise accumulate storage across the run and skew later
       // timings with eviction/GC pressure. Unpersist BLOCKING so the
@@ -135,7 +172,8 @@ object Bench {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       System.gc()
-      Meas(dt, ok, gcSec, heapDelta, rows, exchanges)
+      Meas(dt, ok, gcSec, heapDelta, rows, exchanges,
+        (sw1 - sw0) / 1e6, (sr1 - sr0) / 1e6, (sp1 - sp0) / 1e6)
     }
     val firstPass = selected.map { case (name, fn) =>
       val m = timeOne(name, fn)
@@ -173,10 +211,17 @@ object Bench {
     val qsRich = results.map { case (k, m) =>
       "\"" + k + "\":" + f"""{"sec":${m.sec}%.3f,"gc_sec":${m.gcSec}%.3f,""" +
         f""""heap_mb_delta":${m.heapMbDelta}%.1f,"rows":${m.rows},""" +
-        s""""exchanges":${m.exchanges}}"""
+        s""""exchanges":${m.exchanges},""" +
+        f""""shuffle_write_mb":${m.shuffleWriteMb}%.1f,""" +
+        f""""shuffle_read_mb":${m.shuffleReadMb}%.1f,""" +
+        f""""spill_mb":${m.spillMb}%.1f}"""
     }.mkString("{", ",", "}")
     val total = results.map(_._2.sec).sum
     val gcTotal = results.map(_._2.gcSec).sum
+    // run-level IO canaries follow the kept (fastest) run of each query,
+    // consistent with gc_sec_total
+    val swTotal = results.map(_._2.shuffleWriteMb).sum
+    val spillTotal = results.map(_._2.spillMb).sum
     val failed = firstPass.collect { case (n, _, m) if !m.ok => n }
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val commonFields =
@@ -186,6 +231,8 @@ object Bench {
         f""""canary_loadavg_at_start":$loadavg%.2f,""" +
         f""""canary_max_heap_mb":$maxHeapMb%.0f,""" +
         f""""gc_sec_total":$gcTotal%.3f,""" +
+        f""""shuffle_write_mb_total":$swTotal%.1f,""" +
+        f""""spill_mb_total":$spillTotal%.1f,""" +
         s""""n_errors":${failed.size},"errors":$failedJson"""
     val line = s"""{$commonFields,"queries":$qsFlat,"sf":"$sfDir"}"""
     val rich = s"""{$commonFields,"queries":$qsRich,"sf":"$sfDir"}"""

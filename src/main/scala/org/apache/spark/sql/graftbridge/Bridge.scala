@@ -13,4 +13,16 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Block until the async listener bus has delivered all queued events.
+    * `SparkContext.listenerBus` is `private[spark]`, so the accessor
+    * lives here (same shim technique as the Column bridge above). Used
+    * by Bench's per-query IO tally: task-end events arrive on an async
+    * queue, and without a drain the last tasks of query N would be
+    * charged to query N+1. A timeout degrades to slightly-fuzzy
+    * attribution, never to a hang or a crash.
+    */
+  def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    try sc.listenerBus.waitUntilEmpty()
+    catch { case _: java.util.concurrent.TimeoutException => () }
 }

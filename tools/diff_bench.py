@@ -51,11 +51,13 @@ def main():
 
     print(f"== canaries ==")
     for key in ("canary_loadavg_at_start", "canary_warmup_sec",
-                "canary_max_heap_mb", "gc_sec_total", "value", "n_errors"):
+                "canary_max_heap_mb", "gc_sec_total",
+                "shuffle_write_mb_total", "spill_mb_total",
+                "value", "n_errors"):
         print(f"  {key:28s} {da.get(key, '-'):>10} -> {db.get(key, '-'):>10}")
 
     names = sorted(set(qa) | set(qb))
-    structure, time_moves = [], []
+    structure, time_moves, io_moves = [], [], []
     for n in names:
         a, b = qa.get(n), qb.get(n)
         if a is None or b is None:
@@ -64,12 +66,28 @@ def main():
         for field in ("rows", "exchanges"):
             if field in a and field in b and a[field] != b[field]:
                 structure.append((n, field, a[field], b[field]))
+        # shuffle bytes written are plan-determined (same data, same plan
+        # -> same bytes modulo compression jitter), so a real move is a
+        # plan/volume change; spill is environmental (memory pressure)
+        # and reads with the wall-time section instead.
+        swa, swb = a.get("shuffle_write_mb"), b.get("shuffle_write_mb")
+        if swa is not None and swb is not None and max(swa, swb) >= 10.0 \
+                and (swa == 0 or swb == 0 or swb / swa >= 1.3
+                     or swa / swb >= 1.3):
+            io_moves.append((n, "shuffle_write_mb", swa, swb))
         sa, sb = a["sec"], b["sec"]
         if sa > 0 and (sb / sa >= ratio or (sb > 0 and sa / sb >= ratio)) \
                 and max(sa, sb) >= 1.0:
-            gc_note = ""
+            notes = []
             if "gc_sec" in b and sb > 0:
-                gc_note = f"  (new gc share {b['gc_sec'] / sb:.0%})"
+                notes.append(f"new gc share {b['gc_sec'] / sb:.0%}")
+            if "spill_mb" in b:
+                notes.append(f"spill {a.get('spill_mb', 0):.0f}->"
+                             f"{b['spill_mb']:.0f}MB")
+            if "shuffle_read_mb" in b:
+                notes.append(f"shufR {a.get('shuffle_read_mb', 0):.0f}->"
+                             f"{b['shuffle_read_mb']:.0f}MB")
+            gc_note = ("  (" + ", ".join(notes) + ")") if notes else ""
             time_moves.append((n, sa, sb, gc_note))
 
     print(f"\n== structure drift ({len(structure)}) — "
@@ -78,6 +96,13 @@ def main():
         print(f"  {n:32s} {field:10s} {va} -> {vb}")
     if not structure:
         print("  none — plans produce identical cardinality and shuffles")
+
+    print(f"\n== IO drift ({len(io_moves)}) — shuffle-write moves are "
+          "plan/volume changes, not noise ==")
+    for n, field, va, vb in io_moves:
+        print(f"  {n:32s} {field:18s} {va:10.1f} -> {vb:10.1f} MB")
+    if not io_moves:
+        print("  none")
 
     print(f"\n== wall-time moves >= {ratio}x on queries >= 1s "
           f"({len(time_moves)}) — read against canaries/gc first ==")
