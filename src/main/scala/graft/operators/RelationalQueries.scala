@@ -787,15 +787,19 @@ object RelationalQueries {
     // TPC-H Q2 (minimum-cost supplier, public benchmark spec; no
     // partsupp table in this schema, so supply cost derives as each
     // supplier's minimum shipped price per part — a grouped DERIVED
-    // relation both the outer query and the correlated min share).
-    // The shape: an argmin-by-correlated-subquery where the
-    // correlation reaches through a 3-dim join chain (supplier →
-    // nation → region) INSIDE the subquery. Catalyst decorrelates it
-    // into one region-filtered per-part min joined back on
-    // (partkey, cost) — cost is exact DECIMAL so the equality can
-    // never miss by a ulp. At 100 TB: sp aggregates map-side off one
-    // lineitem scan per CTE use, dims broadcast, top-100 is
-    // TakeOrdered.
+    // relation). The spec's argmin-by-correlated-subquery is expressed
+    // as a WINDOW min instead: for a surviving part, the region-filtered
+    // joined frame contains exactly the EUROPE suppliers of that part —
+    // the same set the correlated subquery would range over (the p_size/
+    // p_type filters are per-part attributes, constant within a
+    // partition) — so `min(cost) OVER (PARTITION BY p_partkey)` equals
+    // the correlated min, with ONE lineitem aggregation instead of the
+    // r13 shape's two (the shared sp CTE aggregated once per use; at
+    // 100× the doubled dominant aggregation was the cost — r13 verdict
+    // item 3). cost is exact DECIMAL so the equality can never miss by
+    // a ulp. At 100 TB: sp aggregates map-side off one lineitem scan,
+    // dims broadcast, the window shuffles only the filtered sliver on
+    // p_partkey, top-100 is TakeOrdered.
     "sql_q2" -> ((s, d) => {
       Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
       Tables.supplier(s, d).createOrReplaceTempView("v_supplier")
@@ -813,7 +817,7 @@ object RelationalQueries {
           SELECT CAST(s_acctbal AS DOUBLE) AS s_acctbal_d, s_name,
                  n_name, p_partkey, p_name,
                  CAST(sp.cost AS DOUBLE) AS cost_d, sp.cost AS cost0,
-                 sp.l_partkey AS pk
+                 min(sp.cost) OVER (PARTITION BY p_partkey) AS min_cost
           FROM v_part
           JOIN sp ON p_partkey = sp.l_partkey
           JOIN v_supplier ON s_suppkey = sp.l_suppkey
@@ -821,12 +825,7 @@ object RelationalQueries {
           JOIN v_region ON n_regionkey = r_regionkey
           WHERE p_size = 15 AND p_type = 'STANDARD'
             AND r_name = 'EUROPE') t
-        WHERE cost0 = (
-          SELECT min(sp2.cost) FROM sp sp2
-          JOIN v_supplier s2 ON s2.s_suppkey = sp2.l_suppkey
-          JOIN v_nation n2 ON s2.s_nationkey = n2.n_nationkey
-          JOIN v_region r2 ON n2.n_regionkey = r2.r_regionkey
-          WHERE sp2.l_partkey = pk AND r2.r_name = 'EUROPE')
+        WHERE cost0 = min_cost
         ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
         LIMIT 100""")
     }),

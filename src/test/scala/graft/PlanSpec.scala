@@ -514,17 +514,19 @@ class PlanSpec extends SparkSpec {
       s"the sums' pass, never rescan")
   }
 
-  test("sql_q2: the region-constrained correlated min decorrelates — " +
-    "bounded fact scans, broadcast dims, no nested loop") {
+  test("sql_q2: the per-part min is a window over the joined sliver — " +
+    "exactly ONE lineitem aggregation, broadcast dims, no nested loop") {
     val p = planOf(RelationalQueries.queries("sql_q2")(spark, sf))
     assert(p.contains("BroadcastHashJoin"))
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("Window"),
+      "the correlated min must be a window min on the filtered frame")
     val scans = p.linesIterator.count(l =>
       l.contains("FileScan") && l.contains("lineitem"))
-    assert(scans <= 2, s"$scans lineitem scans — the sp CTE feeds the " +
-      s"outer join and the decorrelated per-part min; more means the " +
-      s"correlation re-executed per row")
+    assert(scans == 1, s"$scans lineitem scans — the window rewrite " +
+      s"must aggregate lineitem exactly once (the r13 shape paid the " +
+      s"dominant sp aggregation twice, once per CTE use)")
   }
 
   test("sql_q4 and sql_q16: EXISTS probes as LeftSemi and the NOT " +
