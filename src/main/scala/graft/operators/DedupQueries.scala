@@ -23,10 +23,16 @@ object DedupQueries {
   /** Unique memory-sink names for the streaming drain (bench runs a
     * query more than once in a session). */
   private val streamSeq = new java.util.concurrent.atomic.AtomicInteger
-  /** (session, sfDir) pairs whose dd_cluster_cc_stream base assignment
-    * is already on disk for this JVM — see the query's rebuild note. */
+  /** (sparkContext, sfDir) pairs whose dd_cluster_cc_stream base
+    * assignment is already on disk for this JVM — see the query's
+    * rebuild note. Keyed by the CONTEXT, not the session: the store dir
+    * itself is (pid, dataset)-scoped, so two sessions over one context
+    * alternating on the same dataset share one store, and a
+    * session-keyed guard would wipe and rebuild the corpus-sized base
+    * on every alternation (ADVICE r13 — correctness survived via the
+    * lock, but the once-per-JVM amortization claim didn't). */
   private val ccStreamInit =
-    scala.collection.mutable.Set.empty[(org.apache.spark.sql.SparkSession, String)]
+    scala.collection.mutable.Set.empty[(org.apache.spark.SparkContext, String)]
 
   /** Block key for the fuzzy-title join: (first two tokens, 16-char
     * length bucket). Exposed so the skew guard in SkewSessionSpec pins
@@ -264,7 +270,7 @@ object DedupQueries {
       .filter(!(isBase(col("a_id")) && isBase(col("b_id"))))
     // the stored assignment, as written at T0 (before the delta tranche):
     // materialized because three consumers below reference it
-    val baseAssign = truncatedDf(ccAssignments(s, baseEdges), eager = true)
+    val baseAssign = truncatedDf(ccAssignments(baseEdges), eager = true)
     ccApplyDelta(s, baseAssign, deltaEdges)
   }
 
@@ -301,7 +307,7 @@ object DedupQueries {
         coalesce(col("cb"), col("b_id")).as("b_id"))
       .filter(col("a_id") =!= col("b_id"))
       .distinct()
-    val cAssign = ccAssignments(s, truncatedDf(contraction, eager = true))
+    val cAssign = ccAssignments(truncatedDf(contraction, eager = true))
       .select(col("doc_id").as("cnode"), col("canonical_id").as("fin"))
     // every vertex of the merged graph: its contraction node is its
     // stored canonical (base) or itself (new / base-isolated)
@@ -327,11 +333,21 @@ object DedupQueries {
     * dd_cluster_cc (one-shot) and dd_cluster_cc_delta (per-batch
     * contraction-graph resolve). `pairs` must be (a_id, b_id) edges
     * ALREADY materialized (truncatedDf(_, eager = true)) — the
-    * symmetric union below references it on both sides. Session `s`
-    * must come from ccSession. Returns (doc_id, canonical_id) for
-    * every vertex incident to at least one pair, canonical = component
-    * min. */
-  private[graft] def ccAssignments(s: SparkSession, edges: DataFrame): DataFrame = {
+    * symmetric union below references it on both sides. `edges` must
+    * BELONG to a ccSession (plans execute under the session a frame was
+    * built on, so passing a session alongside the frame could not
+    * enforce anything — ADVICE r13); the require below makes the
+    * contract loud instead of silently losing the
+    * InferFiltersFromConstraints exclusion. Returns
+    * (doc_id, canonical_id) for every vertex incident to at least one
+    * pair, canonical = component min. */
+  private[graft] def ccAssignments(edges: DataFrame): DataFrame = {
+    require(edges.sparkSession.conf
+        .getOption("spark.sql.optimizer.excludedRules")
+        .exists(_.contains("InferFiltersFromConstraints")),
+      "ccAssignments: edges must be built on a ccSession frame — the " +
+        "caller's session lacks the InferFiltersFromConstraints " +
+        "exclusion this loop's checkpoint reuse depends on")
     implicit class Truncated(df: DataFrame) {
       def truncated(eager: Boolean): DataFrame = truncatedDf(df, eager)
     }
@@ -411,6 +427,19 @@ object DedupQueries {
         checksum = nextSum
         rounds += 1
       }
+      // A round-cap exit is a WRONG assignment, and this function now
+      // also feeds the stored-state loops (CcStoreLoop), where a
+      // truncated fixed point would persist and every later batch would
+      // chain off it permanently — so non-convergence must be fatal,
+      // never a silent truncation (ADVICE r13). The cap is generous:
+      // contraction plus hop+pointer-jump resolves any residue whose
+      // component diameter fits in ~2^20 — unreachable for real dup
+      // graphs, so tripping this means a logic regression, not data.
+      if (!converged)
+        throw new IllegalStateException(
+          s"ccAssignments: fixed point not reached after $rounds rounds " +
+            s"(checksum still moving) — refusing to return a truncated " +
+            s"assignment that stored-state consumers would chain off")
       // sym's cached blocks have served their purpose: every frame the
       // returned plan references (labels0, labels) is a materialized
       // checkpoint by the time the checksum loop exits, so release the
@@ -871,7 +900,7 @@ object DedupQueries {
       val edges = truncatedDf(queries("dd_minhash_lsh")(s, d)
         .filter(col("est_jac") >= 0.75) // high-confidence cluster edges
         .select(col("a_id"), col("b_id")), eager = true)
-      ccAssignments(s, edges)
+      ccAssignments(edges)
     }),
 
     // Connected components in the STREAMING store-loop posture — the
@@ -912,12 +941,12 @@ object DedupQueries {
       // same-d invocation in this JVM can then never wipe files a
       // not-yet-acted-on lazy frame still depends on
       ccStreamInit.synchronized {
-        ccStreamInit.filter(_._1.sparkContext.isStopped)
+        ccStreamInit.filter(_._1.isStopped)
           .toSeq.foreach(ccStreamInit.remove)
-        if (!ccStreamInit.contains((s0, d))) {
+        if (!ccStreamInit.contains((s0.sparkContext, d))) {
           rm(new java.io.File(dir))
           graft.streaming.CcStoreLoop.init(s0, baseEdges, dir)
-          ccStreamInit += ((s0, d))
+          ccStreamInit += ((s0.sparkContext, d))
         } else Option(new java.io.File(dir).listFiles()).foreach(
           _.filter(f => f.getName.startsWith("gen_") ||
               (f.getName.startsWith("assign_") && f.getName != "assign_-1"))

@@ -62,13 +62,27 @@ object CcStoreLoop {
     gens.max
   }
 
-  /** Write the initial assignment from the base edge list. */
+  /** Write the initial assignment from the base edge list. Clears any
+    * pre-existing committed layers first: re-initializing a previously
+    * used store dir must yield a FRESH store, not a fresh base that
+    * [[state]] silently overlays with stale generations (id > -1) from
+    * the dir's earlier life (ADVICE r13 — callers previously had to
+    * remember to wipe the dir themselves). */
   def init(spark: SparkSession, baseEdges: DataFrame, dir: String): Unit = {
     fs(dir).mkdirs()
+    Option(fs(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("gen_") ||
+        f.getName.startsWith("assign_"))
+      .foreach(deleteRecursively)
     val s = DedupQueries.ccSession(spark)
-    DedupQueries.ccAssignments(s,
+    DedupQueries.ccAssignments(
         DedupQueries.truncatedDf(onSession(s, baseEdges), eager = true))
       .write.mode("overwrite").parquet(s"$dir/assign_-1")
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
   }
 
   /** The stored assignment as of generations strictly below `below`

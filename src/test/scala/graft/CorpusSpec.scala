@@ -109,7 +109,7 @@ class CorpusSpec extends SparkSpec {
         .toDF("a_id", "b_id"), eager = true)
     val got = DedupQueries.ccDeltaCompose(s, edges, c => c % 7 =!= 0)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    val oneShot = DedupQueries.ccAssignments(s, edges)
+    val oneShot = DedupQueries.ccAssignments(edges)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     val expected = Map(
       1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 1L, // bridged merge

@@ -140,7 +140,7 @@ class PropertySpec extends SparkSpec {
     val pairs = (random ++ cycle).filter(e => e._1 != e._2).distinct
     val edges = DedupQueries.truncatedDf(
       pairs.toDF("a_id", "b_id"), eager = true)
-    val oneShot = DedupQueries.ccAssignments(s, edges)
+    val oneShot = DedupQueries.ccAssignments(edges)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSortedMap
     for (m <- Seq(2L, 3L, 5L)) {
       val got = DedupQueries.ccDeltaCompose(s, edges, c => c % m =!= 0)
@@ -156,7 +156,7 @@ class PropertySpec extends SparkSpec {
       val deltaEdges = edges
         .filter(!(isBase(col("a_id")) && isBase(col("b_id"))))
       val baseAssign = DedupQueries.truncatedDf(
-        DedupQueries.ccAssignments(s, baseEdges), eager = true)
+        DedupQueries.ccAssignments(baseEdges), eager = true)
       val baseMap = baseAssign.collect()
         .map(r => (r.getLong(0), r.getLong(1))).toMap
       val layer = DedupQueries

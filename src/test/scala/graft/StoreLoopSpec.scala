@@ -403,13 +403,13 @@ class StoreLoopSpec extends SparkSpec {
     // via 30) and merges a batch-1-born comp with a T0 comp
     val b2 = Seq((30L, 31L), (41L, 3L))
     var assign = DedupQueries.truncatedDf(
-      DedupQueries.ccAssignments(s, frame(b0)), eager = true)
+      DedupQueries.ccAssignments(frame(b0)), eager = true)
     for (b <- Seq(b1, b2))
       assign = DedupQueries.truncatedDf(
         DedupQueries.ccApplyDelta(s, assign, frame(b)), eager = true)
     val folded = collectAssign(assign)
     val oneShot = collectAssign(
-      DedupQueries.ccAssignments(s, frame(b0 ++ b1 ++ b2)))
+      DedupQueries.ccAssignments(frame(b0 ++ b1 ++ b2)))
     assert(folded == oneShot,
       s"chained fold diverged from one-shot: $folded vs $oneShot")
     // canonical invariant spot-checks: 40-41 now rides {1,2,3} via 3

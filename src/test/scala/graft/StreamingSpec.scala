@@ -741,7 +741,7 @@ class StreamingSpec extends SparkSpec {
     // machinery needs ccSession's rule exclusion) — rebind it
     val sOne = DedupQueries.ccSession(spark)
     val outerEdges = (b0 ++ batch0 ++ batch1).toDF("a_id", "b_id")
-    val oneShot = assignOf(DedupQueries.ccAssignments(sOne,
+    val oneShot = assignOf(DedupQueries.ccAssignments(
       DedupQueries.truncatedDf(
         sOne.createDataFrame(outerEdges.rdd, outerEdges.schema),
         eager = true)))
