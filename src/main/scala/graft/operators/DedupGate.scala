@@ -24,6 +24,29 @@ object DedupGate {
 
   val DuplicateThreshold = 0.95 // check_duplicate.py:19
 
+  /** Banded rows of a (id, sig) frame in the STRUCT rendering —
+    * band_id and band_key as separate columns, the in-memory probe
+    * shape `classify` joins on. One of exactly two band renderings in
+    * the gate (the other is [[bandedBkey]]); every variant shares these
+    * instead of redeclaring a local (r13 verdict hygiene item). */
+  private def bandedStruct(df: DataFrame, idCol: String,
+      numBands: Int, rowsPerBand: Int): DataFrame =
+    df.select(col(idCol), col("sig"),
+      explode(Hashes.bands(col("sig"), numBands, rowsPerBand)).as("band"))
+      .select(col(idCol), col("sig"),
+        col("band.band_id"), col("band.band_key"))
+
+  /** Banded rows in the CONCATENATED rendering — the single bucket key
+    * `bkey = band_id '_' band_key` matching the on-disk store layout
+    * ([[bandedSigStore]]), so probe joins key on the store's one bucket
+    * column and the store side stays exchange-free. */
+  private def bandedBkey(df: DataFrame, idCol: String,
+      numBands: Int, rowsPerBand: Int): DataFrame =
+    df.select(col(idCol), col("sig"),
+      explode(Hashes.bands(col("sig"), numBands, rowsPerBand)).as("band"))
+      .select(col(idCol), col("sig"),
+        concat_ws("_", col("band.band_id"), col("band.band_key")).as("bkey"))
+
   /** Classify `incoming` (uid, fingerprint, sig, meta_key) against
     * `corpus` (same columns + node_id, status). `sig` is a MinHash
     * signature array; fingerprint an exact-content hash; meta_key the
@@ -42,10 +65,7 @@ object DedupGate {
       broadcastIncoming: Boolean = true): DataFrame = {
 
     def banded(df: DataFrame, idCol: String) =
-      df.select(col(idCol), col("sig"),
-        explode(Hashes.bands(col("sig"), numBands, rowsPerBand)).as("band"))
-        .select(col(idCol), col("sig"),
-          col("band.band_id"), col("band.band_key"))
+      bandedStruct(df, idCol, numBands, rowsPerBand)
 
     // The reference processes serially, so by the time a document is
     // checked, earlier documents of the same batch are already in the
@@ -109,14 +129,22 @@ object DedupGate {
   private def resolve(incoming: DataFrame, corpusMeta: DataFrame,
       candidates: DataFrame): DataFrame = {
     // Best candidate per doc: max sim, corpus wins ties, then lowest id
-    // (A2 argmax with full tie-break).
+    // (A2 argmax with full tie-break). Expressed as a rank window, not
+    // max(struct(.., -match_id)): the mixed sort direction needs an
+    // order-reversing transform under the struct-max shape, and
+    // negation only exists for numeric ids — string-uid corpora (which
+    // the streaming loop now admits by minting an arrival column)
+    // would throw on the cast under ANSI. The window shuffles the same
+    // ingest-sized candidate frame on the same key the aggregate did;
+    // per-group sorts are candidate-shortlist-sized.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("uid")
+      .orderBy(col("sim").desc, col("from_corpus").desc,
+        col("match_id").asc)
     val best = candidates
-      .groupBy("uid")
-      .agg(max(struct(col("sim"), col("from_corpus"),
-        (-col("match_id")).as("neg_id"))).as("m"))
-      .select(col("uid"), col("m.sim").as("best_sim"),
-        col("m.from_corpus").as("from_corpus"),
-        (-col("m.neg_id")).cast("long").as("match_id"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("uid"), col("sim").as("best_sim"),
+        col("from_corpus"), col("match_id"))
 
     // Metadata of the best match: from the corpus row or the batch twin.
     val metaOfMatch = best
@@ -177,13 +205,7 @@ object DedupGate {
   def classifyStored(incoming: DataFrame, store: DataFrame,
       numBands: Int, rowsPerBand: Int): DataFrame = {
 
-    def banded(df: DataFrame, idCol: String) =
-      df.select(col(idCol), col("sig"),
-        explode(Hashes.bands(col("sig"), numBands, rowsPerBand)).as("band"))
-        .select(col(idCol), col("sig"),
-          concat_ws("_", col("band.band_id"), col("band.band_key")).as("bkey"))
-
-    val probe = banded(incoming, "uid")
+    val probe = bandedBkey(incoming, "uid", numBands, rowsPerBand)
     val corpusHits = probe.alias("q")
       .join(store.alias("c"), Seq("bkey"))
       .select(col("q.uid").as("uid"), col("c.node_id").as("match_id"),
@@ -423,12 +445,6 @@ object DedupGate {
       generations: Seq[(DataFrame, DataFrame)],
       numBands: Int, rowsPerBand: Int): DataFrame = {
 
-    def banded(df: DataFrame, idCol: String) =
-      df.select(col(idCol), col("sig"),
-        explode(Hashes.bands(col("sig"), numBands, rowsPerBand)).as("band"))
-        .select(col(idCol), col("sig"),
-          concat_ws("_", col("band.band_id"), col("band.band_key")).as("bkey"))
-
     def minus(df: DataFrame, dead: Seq[DataFrame]): DataFrame =
       if (dead.isEmpty) df
       else df.join(
@@ -442,7 +458,7 @@ object DedupGate {
     val liveDeltas = generations.zipWithIndex.map { case ((delta, _), i) =>
       minus(delta, allTombs.drop(i + 1))
     }
-    val probe = banded(incoming, "uid")
+    val probe = bandedBkey(incoming, "uid", numBands, rowsPerBand)
     def storeHits(side: DataFrame) = probe.alias("q")
       .join(side.alias("c"), Seq("bkey"))
       .select(col("q.uid").as("uid"), col("c.node_id").as("match_id"),

@@ -102,8 +102,26 @@ object GateStoreLoop {
     // self-join, meta attach) — localCheckpoint pins the micro-batch's
     // rows and truncates the streaming lineage so every branch re-reads
     // materialized partitions (bounded: one ingest batch)
-    val b = batch.localCheckpoint(true)
-    if (b.isEmpty) return
+    val b0 = batch.localCheckpoint(true)
+    if (b0.isEmpty) return
+    // String uids carry no arrival order, and outcomesDelta REFUSES
+    // them without one (lexicographic order silently diverges from
+    // serial semantics — "doc9" > "doc10"). The stream loop is the one
+    // place arrival is derivable rather than declared: within-batch
+    // position (partition-ordered row id — the order the rows were
+    // read) stands in for the serial order the reference would process
+    // this batch in, and CROSS-batch order is already carried by
+    // generation visibility (a later batch's tombstones kill earlier
+    // rows), so within-batch monotonicity is all last-writer-wins
+    // needs. Minted on the checkpointed frame, so every consumer below
+    // (classify, delta, artifacts) sees one consistent assignment; an
+    // explicit caller-provided arrival column still wins.
+    val b =
+      if (!b0.columns.contains("arrival") &&
+          b0.schema("uid").dataType ==
+            org.apache.spark.sql.types.StringType)
+        b0.withColumn("arrival", monotonically_increasing_id())
+      else b0
     val (base, gens) = state(spark, dir)
     val usable = gens.filter(_._1 < batchId).map(g => (g._2, g._3))
     // materialize the classification ONCE (ingest-sized, bounded): the

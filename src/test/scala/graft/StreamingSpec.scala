@@ -775,4 +775,222 @@ class StreamingSpec extends SparkSpec {
     assert(assignOf(CcStoreLoop.state(spark, dir)) == oneShot,
       "compaction changed the assignment")
   }
+
+  test("string uids through the gate store loop: handleBatch mints an " +
+    "arrival order from within-batch position, last-writer-wins follows " +
+    "ARRIVAL (not lexicographic uid order), and outcomes + delta match " +
+    "the explicit-arrival batch path") {
+    import graft.operators.{DedupGate, MinHashPipeline}
+    import graft.streaming.GateStoreLoop
+
+    val text = (i: Int) =>
+      s"string uid fixture $i words u${i}a u${i}b u${i}c tail ${i * 31}"
+    val corpus = (1 to 12).map(i => (f"n$i%02d", text(i), "en", "published"))
+      .toDF("node_id", "text", "meta_key", "status")
+    def sigged(df: org.apache.spark.sql.DataFrame, id: String,
+        tcol: String) =
+      df.join(MinHashPipeline.signatures(df, id, col(tcol)), id)
+    val base = DedupGate.bandedSigStore(
+      sigged(corpus, "node_id", "text"), 4, 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-suid").toString
+    GateStoreLoop.init(base, dir)
+
+    // doc9 arrives FIRST, doc10 second; both are versions of node n07.
+    // Lexicographically "doc9" > "doc10", so a uid-ordered last-writer
+    // pick (the ordering outcomesDelta REFUSES for bare string uids)
+    // would keep doc9's meta — arrival order must keep doc10's.
+    val raw = Seq(("doc9", text(7), "xx"), ("doc10", text(7), "yy"))
+      .toDF("uid", "itext", "meta_key")
+    val sigOf = sigged(raw, "uid", "itext").select("uid", "sig").collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    // arrival-ordered frame WITHOUT an arrival column — what a stream
+    // delivers; Seq order is row order, which the loop's minted
+    // monotonically-increasing id renders monotone
+    val batch = Seq(("doc9", sigOf("doc9"), "xx"),
+      ("doc10", sigOf("doc10"), "yy")).toDF("uid", "sig", "meta_key")
+    GateStoreLoop.handleBatch(dir, 4, 4)(batch, 0L)
+
+    // the refusal contract still stands OUTSIDE the loop: the pure-batch
+    // path takes an EXPLICIT arrival column for string uids
+    val explicit = Seq(("doc9", sigOf("doc9"), "xx", 0L),
+      ("doc10", sigOf("doc10"), "yy", 1L))
+      .toDF("uid", "sig", "meta_key", "arrival")
+    val o = DedupGate.classifyStoredDeltas(explicit, base, Seq(), 4, 4)
+    val none = Seq.empty[String].toDF("node_id")
+    val (a1, t1) = DedupGate.outcomesDelta(explicit, o, none, 4, 4)
+
+    val keyed =
+      Seq("uid", "outcome", "matched_node_id", "best_sim", "batch_twin")
+    val loopO = GateStoreLoop.outcomes(spark, dir)
+      .select(keyed.head, keyed.tail: _*)
+    val refO = o.select(keyed.head, keyed.tail: _*)
+    assert(loopO.except(refO).isEmpty && refO.except(loopO).isEmpty,
+      "string-uid loop outcomes diverged from the explicit-arrival " +
+        "batch path")
+    // both docs version n07 (corpus wins the twin tie)
+    val om = loopO.collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(om("doc9") == ("version", "n07"))
+    assert(om("doc10") == ("version", "n07"))
+
+    // delta artifacts identical to the batch path's
+    val (b2, gens) = GateStoreLoop.state(spark, dir)
+    assert(gens.map(_._1) == Seq(0L))
+    val (_, delta, tombs) = gens.head
+    assert(delta.except(a1).isEmpty && a1.except(delta).isEmpty,
+      "loop delta diverged from batch-path append")
+    assert(tombs.except(t1).isEmpty && t1.except(tombs).isEmpty,
+      "loop tombstones diverged from batch-path tombstones")
+
+    // the LIVE store carries doc10's meta under n07 — the ARRIVAL
+    // winner; lexicographic last-writer would have kept doc9's "xx"
+    val merged = gens.foldLeft(b2) { case (s, (_, ap, tb)) =>
+      s.join(broadcast(tb), Seq("node_id"), "left_anti").unionByName(ap)
+    }
+    val n07meta = merged
+      .filter(col("node_id") === "n07" && col("band_id") === 0)
+      .select("meta_key").collect().map(_.getString(0)).toSeq
+    assert(n07meta == Seq("yy"),
+      s"n07 should carry the arrival winner doc10's meta, got $n07meta")
+  }
+
+  test("gate store loop SOAK: many batches with in-stream compaction — " +
+    "open generations stay bounded by maxOpenGenerations, the base " +
+    "advances, and outcomes + final store equal the never-compacted " +
+    "batch path") {
+    import graft.operators.{DedupGate, MinHashPipeline}
+    import graft.streaming.GateStoreLoop
+
+    val text = (i: Int) =>
+      s"soak fixture $i words k${i}a k${i}b k${i}c tail ${i * 37}"
+    val fresh = (i: Int) =>
+      s"soak fresh document $i unique tokens z${i}q z${i}r z${i}s"
+    val corpus = (1 to 12).map(i => (i.toLong, text(i), "en", "published"))
+      .toDF("node_id", "text", "meta_key", "status")
+    def sigged(df: org.apache.spark.sql.DataFrame, id: String,
+        tcol: String) =
+      df.join(MinHashPipeline.signatures(df, id, col(tcol)), id)
+    val base = DedupGate.bandedSigStore(
+      sigged(corpus, "node_id", "text"), 4, 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-soak").toString
+    GateStoreLoop.init(base, dir)
+
+    val maxOpen = 3
+    val nBatches = 8
+    // batch i: one genuinely new doc, one re-version of node (i%12)+1,
+    // one probe of that node's ORIGINAL content+meta (duplicate until a
+    // version retires the meta, then a version — the reference path
+    // computes the same, which is the point)
+    def mkBatch(i: Int) = Seq(
+      (1000L + i, fresh(i), s"f$i"),
+      (2000L + i, text(i % 12 + 1), s"m$i"),
+      (3000L + i, text(i % 12 + 1), "en"))
+    def b(rows: Seq[(Long, String, String)]) =
+      sigged(rows.toDF("uid", "itext", "meta_key"), "uid", "itext")
+        .select("uid", "sig", "meta_key")
+
+    var compactions = 0
+    (0 until nBatches).foreach { i =>
+      GateStoreLoop.handleBatch(dir, 4, 4)(b(mkBatch(i)), i.toLong)
+      if (GateStoreLoop.maybeCompact(spark, dir, maxOpen, upTo = i.toLong))
+        compactions += 1
+      // READ-AMPLIFICATION BOUND: after the in-stream compaction hook,
+      // a later batch's classify pays one broadcast probe per open
+      // generation — never more than maxOpen of them (+ its own)
+      val open = GateStoreLoop.state(spark, dir)._2.size
+      assert(open <= maxOpen + 1,
+        s"after batch $i: $open open generations exceed the " +
+          s"maxOpen=$maxOpen bound the compaction cadence promises")
+    }
+    assert(compactions >= 2,
+      s"$nBatches batches at threshold $maxOpen should compact >= 2 " +
+        s"times, saw $compactions")
+
+    // never-compacted reference: the pure dg_gate_delta iteration
+    val none = Seq.empty[Long].toDF("node_id")
+    var gens = Seq.empty[(org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame)]
+    var refOutcomes = Seq.empty[org.apache.spark.sql.DataFrame]
+    (0 until nBatches).foreach { i =>
+      val bi = b(mkBatch(i)).localCheckpoint(true)
+      val oi = DedupGate.classifyStoredDeltas(bi, base, gens, 4, 4)
+        .localCheckpoint(true)
+      val (ai, ti) = DedupGate.outcomesDelta(bi, oi, none, 4, 4)
+      gens = gens :+ ((ai.localCheckpoint(true), ti.localCheckpoint(true)))
+      refOutcomes = refOutcomes :+ oi
+    }
+    val keyed =
+      Seq("uid", "outcome", "matched_node_id", "best_sim", "batch_twin")
+    val loopO = GateStoreLoop.outcomes(spark, dir)
+      .select(keyed.head, keyed.tail: _*)
+    val refO = refOutcomes.reduce(_ unionByName _)
+      .select(keyed.head, keyed.tail: _*)
+    assert(loopO.except(refO).isEmpty && refO.except(loopO).isEmpty,
+      "soak outcomes diverged from the never-compacted batch path — " +
+        "a compaction boundary changed classification")
+
+    // final store: loop state (compacted base + open gens) vs the
+    // reference fold of every generation over the original base
+    val (loopBase, loopGens) = GateStoreLoop.state(spark, dir)
+    val loopStore = loopGens.foldLeft(loopBase) { case (s, (_, ap, tb)) =>
+      s.join(broadcast(tb), Seq("node_id"), "left_anti").unionByName(ap)
+    }
+    val refStore = gens.foldLeft(base) { case (s, (ap, tb)) =>
+      s.join(broadcast(tb), Seq("node_id"), "left_anti").unionByName(ap)
+    }
+    assert(loopStore.except(refStore).isEmpty &&
+      refStore.except(loopStore).isEmpty,
+      "soak final store diverged from the never-compacted fold")
+  }
+
+  test("CC store loop SOAK: many edge batches with in-stream " +
+    "compaction — open generations stay bounded, and the overlay " +
+    "equals one-shot CC on the union at every compaction boundary") {
+    import graft.operators.DedupQueries
+    import graft.streaming.CcStoreLoop
+
+    // base: 6 two-vertex components; each batch bridges or extends
+    val b0 = (0 until 6).map(i => (10L * i + 1, 10L * i + 2))
+    val batches = (0 until 8).map { i =>
+      // batch i: link component i%6 to a fresh vertex, and every third
+      // batch also bridges two components
+      val bridge = if (i % 3 == 2)
+        Seq((10L * (i % 6) + 1, 10L * ((i + 1) % 6) + 1)) else Seq()
+      Seq((10L * (i % 6) + 2, 100L + i)) ++ bridge
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-ccsoak").toString
+    CcStoreLoop.init(spark, b0.toDF("a_id", "b_id"), dir)
+
+    val maxOpen = 3
+    def assignOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val sOne = DedupQueries.ccSession(spark)
+    def oneShotUpTo(i: Int) = {
+      val all = (b0 ++ batches.take(i + 1).flatten).toDF("a_id", "b_id")
+      assignOf(DedupQueries.ccAssignments(DedupQueries.truncatedDf(
+        sOne.createDataFrame(all.rdd, all.schema), eager = true)))
+    }
+    batches.zipWithIndex.foreach { case (edges, i) =>
+      CcStoreLoop.handleBatch(dir)(edges.toDF("a_id", "b_id"), i.toLong)
+      val folded =
+        CcStoreLoop.maybeCompact(spark, dir, maxOpen, upTo = i.toLong)
+      val open = {
+        // open generations = committed gens above the highest base
+        val fsDir = new java.io.File(dir)
+        val baseMax = fsDir.listFiles().map(_.getName)
+          .filter(_.startsWith("assign_")).map(_.stripPrefix("assign_").toLong)
+          .max
+        fsDir.listFiles().map(_.getName).filter(_.startsWith("gen_"))
+          .map(_.stripPrefix("gen_").toLong).count(_ > baseMax)
+      }
+      assert(open <= maxOpen + 1,
+        s"after batch $i: $open open CC generations exceed the bound")
+      if (folded)
+        assert(assignOf(CcStoreLoop.state(spark, dir)) == oneShotUpTo(i),
+          s"compaction at batch $i changed the assignment")
+    }
+    assert(assignOf(CcStoreLoop.state(spark, dir)) ==
+      oneShotUpTo(batches.size - 1),
+      "soak final CC assignment diverged from one-shot CC on the union")
+  }
 }
