@@ -47,6 +47,56 @@ object DedupGate {
       .select(col(idCol), col("sig"),
         concat_ws("_", col("band.band_id"), col("band.band_key")).as("bkey"))
 
+  /** Signature-CLASS structure of the ingest batch: `(uid, cls)` where
+    * `cls` is the lowest uid carrying an IDENTICAL signature. Sig-equal
+    * docs are interchangeable probes (every similarity any of them has
+    * is a function of the shared signature), so the gate probes and
+    * verifies once per CLASS and attaches members afterwards — the
+    * candidate volume collapses from O(clique members²) to
+    * O(classes² within shared bands) + O(members).
+    *
+    * Crucial at scale: a boilerplate near-dup clique (the r14 scaling
+    * measurement's mutated-template batch: 500 docs at sf0.1, one
+    * ~quadratic 113k-pair candidate set; 10× data → 8.5M pairs, and
+    * the gate was the one super-linear query in the sweep) is exactly
+    * the member-quadratic case, while its class count grows linearly
+    * with data.
+    *
+    * Correctness is EXACT, not approximate, for the serial semantics:
+    *  - est-Jaccard 1.0 ⇔ identical signatures ⇔ same class, so a
+    *    non-representative member's best batch twin is always its own
+    *    class representative (sim 1.0, lowest id — `withinTwin` rows),
+    *    and no cross-class twin (sim < 1.0 strictly) can ever beat it;
+    *  - a representative u must consider class B iff SOME member of B
+    *    precedes u — but rep(B) = min(B), so "some member < u" implies
+    *    "rep(B) < u", and the chosen candidate min{v ∈ B : v < u} IS
+    *    rep(B): rep-to-rep pairs cover every reachable cross-class
+    *    candidate with the exact ids the per-member join would pick;
+    *  - corpus candidates are class-determined, so the class's verified
+    *    corpus hits attach to every member unchanged.
+    */
+  private def sigClassMembers(incoming: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("sig")
+    incoming.select(col("uid"), col("sig"))
+      .withColumn("cls", min("uid").over(w))
+  }
+
+  /** Expand CLASS-level verified candidates `(uid = cls, match_id, sim,
+    * from_corpus)` to member-level candidate rows (see
+    * [[sigClassMembers]] for why this is exact). */
+  private def expandClasses(memberOf: DataFrame,
+      classCands: DataFrame): DataFrame = {
+    val corpusC = classCands.filter(col("from_corpus"))
+      .withColumnRenamed("uid", "cls")
+      .join(memberOf.select("uid", "cls"), "cls")
+      .select(col("uid"), col("match_id"), col("sim"), col("from_corpus"))
+    val crossTwin = classCands.filter(!col("from_corpus"))
+    val withinTwin = memberOf.filter(col("uid") =!= col("cls"))
+      .select(col("uid"), col("cls").as("match_id"),
+        lit(1.0).as("sim"), lit(false).as("from_corpus"))
+    corpusC.unionByName(crossTwin).unionByName(withinTwin)
+  }
+
   /** Classify `incoming` (uid, fingerprint, sig, meta_key) against
     * `corpus` (same columns + node_id, status). `sig` is a MinHash
     * signature array; fingerprint an exact-content hash; meta_key the
@@ -71,7 +121,9 @@ object DedupGate {
     // checked, earlier documents of the same batch are already in the
     // store. We reproduce that by treating batch-earlier twins as corpus
     // candidates: candidate set = live corpus ∪ {batch rows with smaller
-    // uid}, ranked by (sim desc, corpus-first, id asc).
+    // uid}, ranked by (sim desc, corpus-first, id asc) — probed and
+    // verified once per signature CLASS (see sigClassMembers: exact, and
+    // what keeps boilerplate cliques from going quadratic).
     // The ingest batch is small relative to the store, so its banded
     // probe is BROADCAST: the corpus side never shuffles on band_key —
     // band-key skew (boilerplate docs sharing every band) cannot
@@ -79,24 +131,26 @@ object DedupGate {
     // at all. This mirrors the reference's probe direction (one incoming
     // document against the indexed store, check_duplicate.py:90-101).
     val corpusLive = corpus.filter(col("status") =!= "archive")
-    val bandedIncoming = banded(incoming, "uid")
-    val probe =
-      if (broadcastIncoming) broadcast(bandedIncoming) else bandedIncoming
+    val memberOf = sigClassMembers(incoming)
+    val classes = memberOf.filter(col("uid") === col("cls"))
+      .select(col("cls").as("uid"), col("sig"))
+    val bandedCls = banded(classes, "uid")
+    val probe = if (broadcastIncoming) broadcast(bandedCls) else bandedCls
     val corpusHits = probe.alias("q")
       .join(banded(corpusLive, "node_id").alias("c"), Seq("band_id", "band_key"))
       .select(col("q.uid").as("uid"), col("c.node_id").as("match_id"),
         col("q.sig").as("qsig"), col("c.sig").as("csig"),
         lit(true).as("from_corpus"))
 
-    val inB = banded(incoming, "uid")
-    val batchHits = inB.alias("a")
-      .join(inB.alias("b"), Seq("band_id", "band_key"))
+    val batchHits = bandedCls.alias("a")
+      .join(bandedCls.alias("b"), Seq("band_id", "band_key"))
       .filter(col("a.uid") > col("b.uid"))
       .select(col("a.uid").as("uid"), col("b.uid").as("match_id"),
         col("a.sig").as("qsig"), col("b.sig").as("csig"),
         lit(false).as("from_corpus"))
 
-    val candidates = verifyOncePerPair(corpusHits.unionByName(batchHits))
+    val candidates = expandClasses(memberOf,
+      verifyOncePerPair(corpusHits.unionByName(batchHits)))
 
     resolve(incoming, corpusLive.select(col("node_id"), col("meta_key")),
       candidates)
@@ -205,7 +259,10 @@ object DedupGate {
   def classifyStored(incoming: DataFrame, store: DataFrame,
       numBands: Int, rowsPerBand: Int): DataFrame = {
 
-    val probe = bandedBkey(incoming, "uid", numBands, rowsPerBand)
+    val memberOf = sigClassMembers(incoming)
+    val classes = memberOf.filter(col("uid") === col("cls"))
+      .select(col("cls").as("uid"), col("sig"))
+    val probe = bandedBkey(classes, "uid", numBands, rowsPerBand)
     val corpusHits = probe.alias("q")
       .join(store.alias("c"), Seq("bkey"))
       .select(col("q.uid").as("uid"), col("c.node_id").as("match_id"),
@@ -219,7 +276,8 @@ object DedupGate {
         col("a.sig").as("qsig"), col("b.sig").as("csig"),
         lit(false).as("from_corpus"))
 
-    val candidates = verifyOncePerPair(corpusHits.unionByName(batchHits))
+    val candidates = expandClasses(memberOf,
+      verifyOncePerPair(corpusHits.unionByName(batchHits)))
 
     // Exactly one store row per live node carries band 0, so the per-node
     // meta frame is a row-local filter on the bucketed scan — no distinct
@@ -458,7 +516,10 @@ object DedupGate {
     val liveDeltas = generations.zipWithIndex.map { case ((delta, _), i) =>
       minus(delta, allTombs.drop(i + 1))
     }
-    val probe = bandedBkey(incoming, "uid", numBands, rowsPerBand)
+    val memberOf = sigClassMembers(incoming)
+    val classes = memberOf.filter(col("uid") === col("cls"))
+      .select(col("cls").as("uid"), col("sig"))
+    val probe = bandedBkey(classes, "uid", numBands, rowsPerBand)
     def storeHits(side: DataFrame) = probe.alias("q")
       .join(side.alias("c"), Seq("bkey"))
       .select(col("q.uid").as("uid"), col("c.node_id").as("match_id"),
@@ -472,10 +533,11 @@ object DedupGate {
         col("a.sig").as("qsig"), col("b.sig").as("csig"),
         lit(false).as("from_corpus"))
 
-    val candidates = verifyOncePerPair(liveDeltas
-      .map(d => storeHits(broadcast(d)))
-      .foldLeft(storeHits(liveBase))(_ unionByName _)
-      .unionByName(batchHits))
+    val candidates = expandClasses(memberOf,
+      verifyOncePerPair(liveDeltas
+        .map(d => storeHits(broadcast(d)))
+        .foldLeft(storeHits(liveBase))(_ unionByName _)
+        .unionByName(batchHits)))
 
     val corpusMeta = liveDeltas
       .map(_.filter(col("band_id") === 0)

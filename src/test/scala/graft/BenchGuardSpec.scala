@@ -73,5 +73,26 @@ class BenchGuardSpec extends SparkSpec {
       .select(col("a.uid"), col("b.uid").as("m")).distinct()
     assert(batchPairs.count() == 1135L,
       "distinct batch candidate pairs drifted")
+
+    // r14 CLASS collapse: the gate probes once per signature CLASS and
+    // attaches members afterwards, so the volume reaching the verify is
+    // class-pairs + within-class rows, NOT the member-quadratic 1135.
+    // The collapse is what keeps boilerplate cliques linear at scale
+    // (the sf0.1→sf1 measurement: member pairs grew 75×, classes ~10×).
+    import org.apache.spark.sql.expressions.Window
+    val clsOf = incSig
+      .withColumn("cls", min("uid").over(
+        Window.partitionBy(array_join(col("sig"), "_"))))
+    assert(clsOf.filter(col("uid") === col("cls")).count() == 67L,
+      "signature-class count drifted (100 batch docs → 67 classes)")
+    assert(clsOf.filter(col("uid") =!= col("cls")).count() == 33L,
+      "within-class member (twin) row count drifted")
+    val br = banded(clsOf.filter(col("uid") === col("cls")), "uid")
+    val classPairs = br.alias("a").join(br.alias("b"), Seq("band_id", "band_key"))
+      .filter(col("a.uid") > col("b.uid"))
+      .select(col("a.uid"), col("b.uid").as("m")).distinct()
+    assert(classPairs.count() == 112L,
+      "class-level batch pair count drifted — 112 class pairs stand in " +
+        "for the 1135 member pairs the pre-r14 gate verified")
   }
 }
