@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Vet alphabet rotations for graft.ScaleSynth's replica transform.
+
+ScaleSynth replicates the documents table with a per-replica alphabet
+rotation. Rotation preserves the TRUE shingle-overlap structure exactly
+(a character bijection applied to both sides of every pair), but the
+16-permutation MinHash ESTIMATE rides the hash landscape of each
+replica's shingle universe — and with the synthetic corpus's ~30-word
+vocabulary that universe is small enough for a bad roll: a rotation
+under which a handful of very common shingles draw tiny hash values
+across many permutations correlates every doc's minima and inflates
+the >=0.5-estimate pair count by orders of magnitude (r14 measurement:
+rotation 8 gives 3.5M pairs where identity gives 43k).
+
+This sweep computes, for each of the 26 rotations, the number of
+distinct banded-LSH candidate pairs whose 16-perm estimate passes 0.5
+— the dd_minhash_lsh load — over a source documents.parquet. Keep
+rotations whose count lands near the identity's; ScaleSynth's
+`vettedRot` list is the top-10 by closeness from this sweep over
+/root/testdata/sf0.1 (NOT part of the engine — dev/measurement tool).
+
+Usage: python3 tools/vet_rotations.py [documents.parquet path]
+"""
+import sys
+
+import duckdb
+
+ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+
+def sweep(src: str):
+    con = duckdb.connect()
+    results = {}
+    for r in range(26):
+        rot = ALPHA[r:] + ALPHA[:r]
+        sql = f"""
+WITH c AS (
+  SELECT doc_id,
+    array_to_string((string_split(lower(trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      translate(text, '{ALPHA}', '{rot}'), '<[^>]*>', ' ', 'g'), '\\.\\.\\.+', '.', 'g'),
+      '([.]|,|;|:|!|\\?)[.,;:!?]+', '.', 'g'), '\\s+', ' ', 'g'))), ' '))[1:24], ' ') AS ct
+  FROM '{src}'
+), h AS (
+  SELECT doc_id,
+    list_transform(generate_series(1, greatest(strlen(ct) - 4, 1)),
+      i -> ('0x' || substr(md5(substr(ct, i, 5)), 1, 15))::BIGINT % 2147483647) AS hashes
+  FROM c
+), s AS (
+  SELECT doc_id,
+    list_transform(generate_series(0, 15), p ->
+      list_min(list_transform(hashes, h ->
+        ((2654435761 * (p+1) % 2147483647) * h
+         + (40503 * (p+7) % 2147483647)) % 2147483647))) AS sig
+  FROM h
+), b AS (
+  SELECT doc_id, sig, band_id,
+    md5(array_to_string(sig[band_id*4+1 : band_id*4+4], '_')) AS band_key
+  FROM s, (SELECT unnest(generate_series(0,3)) AS band_id)
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS a_id, b2.doc_id AS b_id,
+         a.sig AS asig, b2.sig AS bsig
+  FROM b a JOIN b b2 USING (band_id, band_key)
+  WHERE a.doc_id < b2.doc_id
+)
+SELECT count(*) FROM pairs
+WHERE len(list_filter(generate_series(1,16), i -> asig[i] = bsig[i]))::DOUBLE / 16 >= 0.5
+"""
+        results[r] = con.sql(sql).fetchone()[0]
+        print(f"rot {r:2d}: {results[r]:>9d} pairs", flush=True)
+    base = results[0]
+    best = sorted(results, key=lambda r: abs(results[r] - base))[:10]
+    print(f"\nidentity: {base} pairs")
+    print(f"top-10 by closeness (ScaleSynth vettedRot): {sorted(best)}")
+    worst = max(results, key=results.get)
+    print(f"worst: rot {worst} at {results[worst]} "
+          f"({results[worst] / max(base, 1):.0f}x identity)")
+
+
+if __name__ == "__main__":
+    src = sys.argv[1] if len(sys.argv) > 1 \
+        else "/root/testdata/sf0.1/documents.parquet"
+    sweep(src)
