@@ -41,7 +41,11 @@ class PropertySpec extends SparkSpec {
         if (rnd.nextInt(4) == 0) "fr" else "en",
         if (rnd.nextInt(10) == 0) "archive" else "published")
     }
-    val batchRows = (101 to 115).map { uid =>
+    // 40 batch rows over a 12-text pool → signature classes of size
+    // 3-6 occur routinely, exercising the r14 class collapse (probe
+    // once per class, attach members) against the same all-pairs
+    // reference that pinned the member-quadratic path
+    val batchRows = (101 to 140).map { uid =>
       val t0 = pool(rnd.nextInt(pool.size))
       val t = if (rnd.nextInt(4) == 0) t0 + s" mutated $uid" else t0
       (uid.toLong, t, if (rnd.nextInt(4) == 0) "fr" else "en")
