@@ -89,7 +89,6 @@ object ScaleSynth {
 
     val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
     (0 until factor).map { r =>
-      val dim = size(col("embedding"))
       // cyclic shift by r with sign-flipped wrap: orthogonal, so
       // intra-replica geometry is exact
       val shifted =

@@ -81,6 +81,13 @@ object DedupGate {
       .withColumn("cls", min("uid").over(w))
   }
 
+  /** One row per signature class, under the probe's id column name:
+    * `(uid = representative, sig)` — the frame every variant bands and
+    * probes in place of the full batch. */
+  private def classReps(memberOf: DataFrame): DataFrame =
+    memberOf.filter(col("uid") === col("cls"))
+      .select(col("cls").as("uid"), col("sig"))
+
   /** Expand CLASS-level verified candidates `(uid = cls, match_id, sim,
     * from_corpus)` to member-level candidate rows (see
     * [[sigClassMembers]] for why this is exact). */
@@ -132,8 +139,7 @@ object DedupGate {
     // document against the indexed store, check_duplicate.py:90-101).
     val corpusLive = corpus.filter(col("status") =!= "archive")
     val memberOf = sigClassMembers(incoming)
-    val classes = memberOf.filter(col("uid") === col("cls"))
-      .select(col("cls").as("uid"), col("sig"))
+    val classes = classReps(memberOf)
     val bandedCls = banded(classes, "uid")
     val probe = if (broadcastIncoming) broadcast(bandedCls) else bandedCls
     val corpusHits = probe.alias("q")
@@ -260,8 +266,7 @@ object DedupGate {
       numBands: Int, rowsPerBand: Int): DataFrame = {
 
     val memberOf = sigClassMembers(incoming)
-    val classes = memberOf.filter(col("uid") === col("cls"))
-      .select(col("cls").as("uid"), col("sig"))
+    val classes = classReps(memberOf)
     val probe = bandedBkey(classes, "uid", numBands, rowsPerBand)
     val corpusHits = probe.alias("q")
       .join(store.alias("c"), Seq("bkey"))
@@ -517,8 +522,7 @@ object DedupGate {
       minus(delta, allTombs.drop(i + 1))
     }
     val memberOf = sigClassMembers(incoming)
-    val classes = memberOf.filter(col("uid") === col("cls"))
-      .select(col("cls").as("uid"), col("sig"))
+    val classes = classReps(memberOf)
     val probe = bandedBkey(classes, "uid", numBands, rowsPerBand)
     def storeHits(side: DataFrame) = probe.alias("q")
       .join(side.alias("c"), Seq("bkey"))

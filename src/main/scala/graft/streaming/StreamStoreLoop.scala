@@ -109,13 +109,24 @@ object GateStoreLoop {
     // serial semantics — "doc9" > "doc10"). The stream loop is the one
     // place arrival is derivable rather than declared: within-batch
     // position (partition-ordered row id — the order the rows were
-    // read) stands in for the serial order the reference would process
-    // this batch in, and CROSS-batch order is already carried by
-    // generation visibility (a later batch's tombstones kill earlier
-    // rows), so within-batch monotonicity is all last-writer-wins
-    // needs. Minted on the checkpointed frame, so every consumer below
-    // (classify, delta, artifacts) sees one consistent assignment; an
-    // explicit caller-provided arrival column still wins.
+    // read) stands in for the order the reference would process this
+    // batch in, and CROSS-batch order is already carried by generation
+    // visibility (a later batch's tombstones kill earlier rows).
+    //
+    // SCOPE: the minted column governs LAST-WRITER-WINS in the store
+    // maintenance (outcomesDelta's replacement winner per node) — the
+    // half whose divergence silently corrupts stored state.
+    // CLASSIFICATION retains uid order for twin direction and class
+    // representatives, for string and numeric uids alike: a fixed,
+    // deterministic convention shared bit-for-bit with the pure-batch
+    // path (StreamingSpec pins loop ≡ batch), matching the reference's
+    // model where ids are minted monotonically so uid order IS arrival
+    // order. A string-uid stream whose arrival order diverges from
+    // lexicographic order gets arrival-true replacement but
+    // uid-ordered twin attribution; callers needing arrival-true twin
+    // attribution should mint monotone uids upstream (the reference's
+    // own posture). An explicit caller-provided arrival column wins
+    // over the minted one.
     val b =
       if (!b0.columns.contains("arrival") &&
           b0.schema("uid").dataType ==

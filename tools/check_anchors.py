@@ -71,8 +71,15 @@ def fix():
                    for n in nums]
             if len(nums) == len(row_decls) and len(set(new)) != len(new):
                 new = row_decls
+            if new == nums:
+                return m.group(0)
             fixed += sum(a != b for a, b in zip(nums, new))
-            return f"{m.group(1)}:{','.join(map(str, new))}"
+            # ANCHOR_RE consumes optional surrounding backticks —
+            # rebuild with whatever the original carried, or --fix
+            # would silently strip code formatting from the row
+            lead = "`" if m.group(0).startswith("`") else ""
+            trail = "`" if m.group(0).endswith("`") else ""
+            return f"{lead}{m.group(1)}:{','.join(map(str, new))}{trail}"
 
         lines[i] = ANCHOR_RE.sub(repl, row)
     COVERAGE.write_text("".join(lines))
