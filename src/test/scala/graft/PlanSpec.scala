@@ -261,6 +261,20 @@ class PlanSpec extends SparkSpec {
       "first-occurrence must combine map-side")
   }
 
+  test("dd_cdc_dedup: boundary detection is row-local at the scan — no " +
+    "join of any kind, and only the slim chunk-hash aggregation " +
+    "shuffles") {
+    val p = planOf(CorpusQueries.queries("dd_cdc_dedup")(spark, sf))
+    assert(!p.contains("Join"), "CDC chunking must not join")
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 2,
+      s"$exchanges exchanges — the per-position boundary predicate and " +
+        "chunk assembly must evaluate at the scan; only the chash " +
+        "aggregate (partial + distinct-doc expand) may shuffle")
+    assert(p.contains("partial_count") || p.contains("partial_min"),
+      "the chunk-hash aggregation must combine map-side")
+  }
+
   test("ta_tfidf: the vocabulary DF table broadcasts onto per-doc TF") {
     val p = planOf(CorpusQueries.queries("ta_tfidf")(spark, sf))
     assert(p.contains("BroadcastHashJoin"))
