@@ -101,10 +101,39 @@ object ScaleSynth {
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$dstDir/embeddings.parquet")
 
-    // hard-copy the rest so the dir is a complete sf layout
+    // Relational tables scale by KEY-OFFSET replication: every key
+    // column of a replica shifts by the same offset, so each replica
+    // is a join-closed copy — join fan-outs, group-by-key
+    // cardinalities, and date distributions are preserved exactly
+    // (region/nation stay shared dims: their keys are left alone and
+    // the fact-side nationkey/regionkey columns pass through, so dim
+    // joins fan out 10x the way a real 10x corpus would). This is
+    // what lets the TPC-H plan families be measured at ~sf1 with the
+    // same per-replica geometry the sf0.1 oracles pinned. user_id in
+    // events offsets too (sessionization windows stay replica-local).
+    val keyCols: Map[String, Seq[String]] = Map(
+      "orders.parquet" -> Seq("o_orderkey", "o_custkey"),
+      "lineitem.parquet" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+      "customer.parquet" -> Seq("c_custkey"),
+      "supplier.parquet" -> Seq("s_suppkey"),
+      "part.parquet" -> Seq("p_partkey"),
+      "events.parquet" -> Seq("event_id", "user_id"))
+    keyCols.foreach { case (name, keys) =>
+      val t = spark.read.parquet(s"$srcDir/$name")
+      (0 until factor).map { ri =>
+        t.select(t.columns.map { c =>
+          if (keys.contains(c)) (col(c) + lit(ri * idOffset)).as(c)
+          else col(c)
+        }: _*)
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dstDir/$name")
+    }
+
+    // hard-copy the shared dims (and anything else) unchanged
     val names = new java.io.File(srcDir).listFiles()
       .map(_.getName).filter(_.endsWith(".parquet"))
       .filterNot(n => n == "documents.parquet" || n == "embeddings.parquet")
+      .filterNot(keyCols.contains)
     names.foreach { n =>
       spark.read.parquet(s"$srcDir/$n")
         .write.mode("overwrite").parquet(s"$dstDir/$n")
