@@ -76,6 +76,16 @@ object Bench {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Shuffle partitioning stays flat at cpus. The r14 two-decade
+      // measurement probed the alternative — AQE
+      // initialPartitionNum=256, which cures the one spill case the
+      // canaries caught (sql_q21 at 100x data on this single fixed
+      // 25 GB JVM: 4.9 GB spill, 36s -> 14s) — but costs the
+      // many-exchange gate family 1.5-2.3x at sf0.1 on an idle box
+      // (40+ exchanges x 8x the map-side partition files). Partition
+      // fan-out is a DEPLOYMENT knob scaled with input and executor
+      // count; at the gate's test scale flat-32 wins, and SCALE.md's
+      // r14 section carries both measurements.
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
