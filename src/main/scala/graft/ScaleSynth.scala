@@ -48,13 +48,20 @@ import org.apache.spark.sql.functions._
   * only read documents/embeddings; the copies keep Bench's warmup and
   * any table-listing census working).
   *
-  * Usage: `runMain graft.ScaleSynth <srcDir> <dstDir> [factor]`
+  * Usage: `runMain graft.ScaleSynth <srcDir> <dstDir> [factor] [mode]`
+  * mode `all` (default) scales every table; mode `rel` scales ONLY the
+  * relational tables (documents/embeddings are copied unchanged) — key
+  * offsets compose at ANY factor, unlike the text rotations whose
+  * vetted pool caps the documents factor at 10, so `rel` is how the
+  * second scaling decade (~sf10) is synthesized for the TPC-H
+  * families.
   */
 object ScaleSynth {
   def main(args: Array[String]): Unit = {
     val srcDir = args(0)
     val dstDir = args(1)
     val factor = if (args.length > 2) args(2).toInt else 10
+    val relOnly = args.length > 3 && args(3) == "rel"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -71,35 +78,42 @@ object ScaleSynth {
     // preserving within ~1.4x; extend the vetting sweep before raising
     // factor past 10
     val vettedRot = Seq(0, 1, 3, 9, 15, 18, 20, 21, 24, 25)
-    require(factor <= vettedRot.size,
+    require(relOnly || factor <= vettedRot.size,
       s"only ${vettedRot.size} vetted rotations — re-vet before factor=$factor")
     // offset divisible by lcm(5,10,15)=30 keeps doc_id % k residues
     val idOffset = 30L * 1000 * 1000
 
-    val docs = spark.read.parquet(s"$srcDir/documents.parquet")
-    (0 until factor).map { ri =>
-      val r = vettedRot(ri)
-      docs.select(
-        (col("doc_id") + lit(ri * idOffset)).as("doc_id"),
-        translate(col("text"), alpha + ALPHA, rot(alpha, r) + rot(ALPHA, r))
-          .as("text"),
-        col("lang"), col("source"), col("n_chars"))
-    }.reduce(_ unionByName _)
-      .write.mode("overwrite").parquet(s"$dstDir/documents.parquet")
+    if (relOnly) {
+      spark.read.parquet(s"$srcDir/documents.parquet")
+        .write.mode("overwrite").parquet(s"$dstDir/documents.parquet")
+      spark.read.parquet(s"$srcDir/embeddings.parquet")
+        .write.mode("overwrite").parquet(s"$dstDir/embeddings.parquet")
+    } else {
+      val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+      (0 until factor).map { ri =>
+        val r = vettedRot(ri)
+        docs.select(
+          (col("doc_id") + lit(ri * idOffset)).as("doc_id"),
+          translate(col("text"), alpha + ALPHA, rot(alpha, r) + rot(ALPHA, r))
+            .as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dstDir/documents.parquet")
 
-    val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
-    (0 until factor).map { r =>
-      // cyclic shift by r with sign-flipped wrap: orthogonal, so
-      // intra-replica geometry is exact
-      val shifted =
-        if (r == 0) col("embedding")
-        else concat(
-          slice(col("embedding"), r + 1, 100000),
-          transform(slice(col("embedding"), 1, r), x => -x))
-      emb.select((col("vec_id") + lit(r * idOffset)).as("vec_id"),
-        shifted.as("embedding"), col("label"))
-    }.reduce(_ unionByName _)
-      .write.mode("overwrite").parquet(s"$dstDir/embeddings.parquet")
+      val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
+      (0 until factor).map { r =>
+        // cyclic shift by r with sign-flipped wrap: orthogonal, so
+        // intra-replica geometry is exact
+        val shifted =
+          if (r == 0) col("embedding")
+          else concat(
+            slice(col("embedding"), r + 1, 100000),
+            transform(slice(col("embedding"), 1, r), x => -x))
+        emb.select((col("vec_id") + lit(r * idOffset)).as("vec_id"),
+          shifted.as("embedding"), col("label"))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dstDir/embeddings.parquet")
+    }
 
     // Relational tables scale by KEY-OFFSET replication: every key
     // column of a replica shifts by the same offset, so each replica

@@ -28,11 +28,36 @@ import duckdb
 ALPHA = "abcdefghijklmnopqrstuvwxyz"
 
 
-def sweep(src: str):
+def perm_alpha(seed: int) -> str:
+    """Seeded Fisher-Yates permutation of the alphabet — the SAME LCG
+    as ScaleSynth.permAlpha (a=1103515245, c=12345, m=2^31), so a seed
+    vetted here is bit-identical to the transform the synthesizer
+    applies. Permutations replaced rotations in r14: a rotation shifts
+    adjacent bytes equally, so byte-ORDER relations (the dHash bits of
+    the multimodal family) are rotation-invariant and replicas
+    collided 267x in mm_phash_dedup; a permutation scrambles order
+    relations while remaining a bijection (shingle-set equality — the
+    minhash geometry — is preserved under ANY character bijection)."""
+    chars = list(ALPHA)
+    x = seed & 0x7FFFFFFF
+    for i in range(25, 0, -1):
+        x = (1103515245 * x + 12345) % (1 << 31)
+        j = x % (i + 1)
+        chars[i], chars[j] = chars[j], chars[i]
+    return "".join(chars)
+
+
+def transforms(mode: str):
+    if mode == "rot":
+        return [(f"rot {r}", ALPHA[r:] + ALPHA[:r]) for r in range(26)]
+    return [("seed 0 (identity)", ALPHA)] + \
+        [(f"seed {s}", perm_alpha(s)) for s in range(1, 41)]
+
+
+def sweep(src: str, mode: str = "perm"):
     con = duckdb.connect()
     results = {}
-    for r in range(26):
-        rot = ALPHA[r:] + ALPHA[:r]
+    for name, rot in transforms(mode):
         sql = f"""
 WITH c AS (
   SELECT doc_id,
@@ -65,18 +90,20 @@ WITH c AS (
 SELECT count(*) FROM pairs
 WHERE len(list_filter(generate_series(1,16), i -> asig[i] = bsig[i]))::DOUBLE / 16 >= 0.5
 """
-        results[r] = con.sql(sql).fetchone()[0]
-        print(f"rot {r:2d}: {results[r]:>9d} pairs", flush=True)
-    base = results[0]
-    best = sorted(results, key=lambda r: abs(results[r] - base))[:10]
+        results[name] = con.sql(sql).fetchone()[0]
+        print(f"{name:20s}: {results[name]:>9d} pairs", flush=True)
+    names = list(results)
+    base = results[names[0]]
+    best = sorted(names[1:], key=lambda n: abs(results[n] - base))[:10]
     print(f"\nidentity: {base} pairs")
-    print(f"top-10 by closeness (ScaleSynth vettedRot): {sorted(best)}")
-    worst = max(results, key=results.get)
-    print(f"worst: rot {worst} at {results[worst]} "
+    print(f"top-10 non-identity by closeness: {sorted(best)}")
+    print(f"         pair counts: {[results[n] for n in sorted(best)]}")
+    worst = max(names, key=results.get)
+    print(f"worst: {worst} at {results[worst]} "
           f"({results[worst] / max(base, 1):.0f}x identity)")
 
 
 if __name__ == "__main__":
     src = sys.argv[1] if len(sys.argv) > 1 \
         else "/root/testdata/sf0.1/documents.parquet"
-    sweep(src)
+    sweep(src, sys.argv[2] if len(sys.argv) > 2 else "perm")
