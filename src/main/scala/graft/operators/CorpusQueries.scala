@@ -91,8 +91,9 @@ object CorpusQueries {
     // chunk TEXT never rides the wire (same slim-key posture as
     // dd_chunk_dedup). Output = the duplicated-chunk catalog: hash,
     // occurrence/doc counts, and the globally first occurrence
-    // (min over an encoded (doc_id, start) key — encoded identically
-    // in the oracle so the argmin is engine-portable).
+    // (lexicographic struct-min over (doc_id, start), mirrored
+    // struct-for-struct in the oracle so the argmin is engine-portable
+    // at any document length).
     "dd_cdc_dedup" -> ((s, d) => {
       val W = 8
       val D = 64
@@ -116,13 +117,21 @@ object CorpusQueries {
         .groupBy("chash")
         .agg(count(lit(1)).as("n_occ"),
           countDistinct(col("doc_id")).as("n_docs"),
-          min(col("doc_id") * 100000L + col("start")).as("kmin"),
+          // struct-min = lexicographic (doc_id, start) argmin. An
+          // encoded min(doc_id * K + start) would silently mis-rank
+          // once start >= K — the reference's document model allows
+          // 500k-char texts (legislative_origin_extraction.py:40), so
+          // a chunk at offset >= K in doc N encodes above offset 0 of
+          // doc N+1. Struct ordering has no such overflow, and the
+          // DuckDB oracle uses the identical struct-min so the argmin
+          // stays engine-portable (pinned by the >=100k-char case in
+          // CorpusSpec).
+          min(struct(col("doc_id"), col("start"))).as("kfirst"),
           min(col("clen")).as("clen"))
         .filter(col("n_occ") > 1)
         .select(col("chash"), col("n_occ"), col("n_docs"),
-          // integer DIV, not '/': Spark's / on longs is double division
-          expr("kmin DIV 100000").as("first_doc"),
-          (col("kmin") % 100000L).cast("long").as("first_start"),
+          col("kfirst.doc_id").as("first_doc"),
+          col("kfirst.start").cast("long").as("first_start"),
           col("clen").cast("long").as("clen"))
     }),
 
@@ -553,8 +562,8 @@ object CorpusQueries {
         |    md5(substr(text, u.s, u.e - u.s + 1)) AS chash
         |  FROM spans, unnest(chunks) AS t(u))
         |SELECT chash, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs,
-        |  min(doc_id * 100000 + start) // 100000 AS first_doc,
-        |  min(doc_id * 100000 + start) % 100000 AS first_start,
+        |  (min({'d': doc_id, 's': start})).d AS first_doc,
+        |  (min({'d': doc_id, 's': start})).s::BIGINT AS first_start,
         |  min(clen)::BIGINT AS clen
         |FROM occ GROUP BY chash HAVING count(*) > 1""".stripMargin,
     "dd_chunk_dedup" ->

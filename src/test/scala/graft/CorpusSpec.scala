@@ -52,6 +52,39 @@ class CorpusSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("dd_cdc_dedup first-occurrence argmin is exact past 100k-char " +
+    "offsets (struct-min, not an encoded key)") {
+    // Reference doc model allows 500k-char texts
+    // (legislative_origin_extraction.py:40). The pre-r15 encoding
+    // min(doc_id * 100000 + start) mis-ranks once start >= 100000:
+    // doc 1's occurrence at start s1 > 100000 + s2 encodes ABOVE doc
+    // 2's at s2, so the "globally first" column silently flipped to
+    // doc 2 — and the oracle, encoding identically, stayed green.
+    // Build exactly that geometry: doc 1 = 110k filler + shared tail
+    // S, doc 2 = 10-char prefix + S. Every CDC chunk from the first
+    // in-S boundary onward is shared (both docs end at S's end), with
+    // start >= 110000 in doc 1 and < |P| + |S| < 1000 in doc 2.
+    val rnd = new scala.util.Random(7)
+    def letters(n: Int) = {
+      val sb = new StringBuilder(n)
+      (0 until n).foreach(_ => sb.append(('a' + rnd.nextInt(26)).toChar))
+      sb.toString
+    }
+    val filler = letters(110000)
+    val shared = letters(800)
+    val dir = fixture(Seq(1L -> (filler + shared), 2L -> ("prefixpre " + shared)))
+    val out = CorpusQueries.queries("dd_cdc_dedup")(spark, dir)
+      .filter(col("n_docs") === 2)
+      .select("first_doc", "first_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.nonEmpty, "fixture must produce shared CDC chunks")
+    // true lexicographic first occurrence is always doc 1 (lower id)
+    assert(out.forall(_._1 == 1L))
+    // and at an offset where the old encoding provably picked doc 2:
+    // 1 * 100000 + first_start > 2 * 100000 + s2 for any s2 < 1000
+    assert(out.forall(_._2 >= 110000L - 8))
+  }
+
   test("ta_tfidf emits contiguous ranks 1..k and corpus-consistent df") {
     val out = CorpusQueries.queries("ta_tfidf")(spark, sf).cache()
     val badRank = out.groupBy("doc_id")
