@@ -69,25 +69,32 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_queries.json")
-    val spark = SparkSession.builder()
+    // Deployment-posture knob (r15): SPARK_GRAFT_INITIAL_PARTITIONS=N
+    // turns on AQE's "start wide, coalesce by size" shuffle posture —
+    // the production setting a real cluster scales WITH input size and
+    // executor count. UNSET in the driver's per-round run and in the
+    // default dev loop: the r14 A/B measured that at the graded sf0.1
+    // scale flat-cpus wins (N=256 regresses the many-exchange gate
+    // family 1.5-2.3x — 40+ exchanges each paying 8x the map-side
+    // partition files — and the sweep total 156.6 -> 178.3 s), while a
+    // decade up (~sf10, 60M-row lineitem on this one fixed 25 GB JVM)
+    // N=256 is what cures sql_q21's 4.9 GB spill (36.3 -> 14.0 s).
+    // Both postures are committed artifacts SCALE.md cites
+    // (bench_scale_rel_syn10.json flat vs bench_scale_rel_syn10_p256
+    // .json wide); the knob records itself in the output JSON as
+    // "initial_partitions" so an artifact self-identifies its posture.
+    val initParts = sys.env.get("SPARK_GRAFT_INITIAL_PARTITIONS")
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      // Shuffle partitioning stays flat at cpus. The r14 two-decade
-      // measurement probed the alternative — AQE
-      // initialPartitionNum=256, which cures the one spill case the
-      // canaries caught (sql_q21 at 100x data on this single fixed
-      // 25 GB JVM: 4.9 GB spill, 36s -> 14s) — but costs the
-      // many-exchange gate family 1.5-2.3x at sf0.1 on an idle box
-      // (40+ exchanges x 8x the map-side partition files). Partition
-      // fan-out is a DEPLOYMENT knob scaled with input and executor
-      // count; at the gate's test scale flat-32 wins, and SCALE.md's
-      // r14 section carries both measurements.
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    initParts.foreach(n => builder.config(
+      "spark.sql.adaptive.coalescePartitions.initialPartitionNum", n))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Machine-health canary #1: host load BEFORE we add our own. A
     // loaded machine (driver running sbt test sweeps, another bench, …)
@@ -240,6 +247,7 @@ object Bench {
         f""""canary_warmup_sec":$warmupSec%.2f,""" +
         f""""canary_loadavg_at_start":$loadavg%.2f,""" +
         f""""canary_max_heap_mb":$maxHeapMb%.0f,""" +
+        s""""initial_partitions":${initParts.getOrElse(cpus)},""" +
         f""""gc_sec_total":$gcTotal%.3f,""" +
         f""""shuffle_write_mb_total":$swTotal%.1f,""" +
         f""""spill_mb_total":$spillTotal%.1f,""" +

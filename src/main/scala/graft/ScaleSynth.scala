@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 /** Synthesize a larger scale factor from an existing testdata dir by
   * STRUCTURE-PRESERVING replication — the harness behind SCALE.md's
   * empirical scaling table (`/root/testdata` is read-only and tops out
-  * at sf0.1, so ~sf1 is derived, not generated).
+  * at sf0.1, so ~sf1/~sf10 are derived, not generated).
   *
   * Naive self-union would NOT preserve the workloads' geometry: an
   * identical text copied under a new doc_id collides with its original
@@ -17,51 +17,91 @@ import org.apache.spark.sql.functions._
   * intra-replica similarity structure exactly and randomizes
   * cross-replica similarity:
   *
-  *  - documents: a per-replica rotation of the letter alphabet
-  *    (`translate`). Shingle-set equality between two docs is invariant
-  *    under any character bijection applied to both, so every replica
-  *    has an ISOMORPHIC near-dup graph; the rotated shingles hash
-  *    independently, so cross-replica band collisions are
-  *    chance-level (measured: ~3.5k of 4.5M pairs). doc_id offsets are
-  *    multiples of 30 = lcm(5,10,15), preserving the `doc_id % k`
-  *    residues the gate fixtures key on.
+  *  - documents: a per-replica seeded PERMUTATION of the letter
+  *    alphabet (`translate`; r15 — r14 used rotations). Shingle-set
+  *    equality between two docs is invariant under any character
+  *    bijection applied to both, so every replica has an ISOMORPHIC
+  *    near-dup graph; the permuted shingles hash independently, so
+  *    cross-replica band collisions are chance-level. Permutations
+  *    replaced rotations because a rotation shifts adjacent bytes
+  *    EQUALLY — byte-order relations (the dHash bits behind
+  *    mm_phash_dedup) are rotation-invariant, and r14 measured 267×
+  *    cross-replica dHash collisions on the rotation corpus; a seeded
+  *    permutation scrambles order relations while remaining a
+  *    bijection. doc_id offsets are multiples of 30 = lcm(5,10,15),
+  *    preserving the `doc_id % k` residues the gate fixtures key on.
   *
-  *    The rotations are VETTED, not sequential: isomorphism preserves
-  *    the true-Jaccard structure, but the 16-perm ESTIMATE rides the
-  *    hash landscape of each replica's shingle universe, and with the
-  *    synthetic corpus's ~30-word vocabulary that landscape is small
-  *    enough for a bad roll — rotation 8 inflates the >=0.5-estimate
-  *    pair count 82x (43k -> 3.5M: a handful of very common shingles
-  *    draw tiny hash values across many permutations, correlating
-  *    every doc's minima), and 22 is as bad. The list below keeps the
-  *    ten rotations whose qualifying-pair count lands within ~1.4x of
-  *    the identity's (30k-59k vs 43k, re-vettable with the DuckDB
-  *    sweep in SCALE.md's r14 notes) — the point of the synthesis is
-  *    geometry preservation, and a replica that octuples the candidate
-  *    load has failed it.
+  *    The seeds are VETTED, not sequential: isomorphism preserves the
+  *    true-Jaccard structure, but the 16-perm MinHash ESTIMATE rides
+  *    the hash landscape of each replica's shingle universe, and with
+  *    the synthetic corpus's ~30-word vocabulary that landscape is
+  *    small enough for a bad roll — perm seed 6 inflates the
+  *    ≥0.5-estimate pair count 82× (43k → 3.6M: a handful of very
+  *    common shingles draw tiny hash values across many permutations,
+  *    correlating every doc's minima). `vettedPermSeeds` keeps the
+  *    seeds whose qualifying-pair count lands within 1.5× of the
+  *    identity's either way, in seed order. Re-vet before raising the
+  *    documents factor past the list size, with EXPLICITLY perm mode
+  *    (the tool also sweeps r14's rotations for comparison):
+  *    `python3 tools/vet_rotations.py <documents.parquet> perm <maxSeed>`.
   *  - embeddings: a per-replica cyclic shift of the vector components
   *    with a sign flip on the wrap (an orthogonal transform — norms
   *    and intra-replica dot products exact; cross-replica cosines
-  *    decorrelate).
+  *    decorrelate). Distinct only while the shift is below the vector
+  *    dimension (64), so embedding-scaling modes cap factor at 64.
   *
   * Remaining tables are hard-copied unchanged (the measured queries
   * only read documents/embeddings; the copies keep Bench's warmup and
   * any table-listing census working).
   *
   * Usage: `runMain graft.ScaleSynth <srcDir> <dstDir> [factor] [mode]`
-  * mode `all` (default) scales every table; mode `rel` scales ONLY the
-  * relational tables (documents/embeddings are copied unchanged) — key
-  * offsets compose at ANY factor, unlike the text rotations whose
-  * vetted pool caps the documents factor at 10, so `rel` is how the
-  * second scaling decade (~sf10) is synthesized for the TPC-H
-  * families.
+  *  - `all` (default): every table (documents factor capped by the
+  *    vetted seed list, embeddings by the vector dimension).
+  *  - `rel`: ONLY the relational tables (documents/embeddings copied
+  *    unchanged) — key offsets compose at ANY factor, so `rel` is how
+  *    the relational second decade (~sf10) is synthesized.
+  *  - `text`: ONLY the documents table (everything else copied
+  *    unchanged) — the documents second decade (~sf10 text, factor
+  *    100) without paying for 6B relational rows it would not read.
   */
 object ScaleSynth {
+
+  private val alpha = "abcdefghijklmnopqrstuvwxyz"
+
+  /** Seeded Fisher–Yates permutation of the lowercase alphabet. The
+    * LCG (a=1103515245, c=12345, m=2^31) is bit-identical to
+    * tools/vet_rotations.py's perm_alpha, so a seed vetted there is
+    * exactly the transform applied here. Seed 0 yields the identity
+    * (replica 0 must be the untransformed source).
+    */
+  def permAlpha(seed: Int): String = {
+    if (seed == 0) return alpha
+    val chars = alpha.toCharArray
+    var x = seed.toLong & 0x7fffffffL
+    var i = 25
+    while (i > 0) {
+      x = (1103515245L * x + 12345L) % (1L << 31)
+      val j = (x % (i + 1)).toInt
+      val t = chars(i); chars(i) = chars(j); chars(j) = t
+      i -= 1
+    }
+    new String(chars)
+  }
+
+  /** Perm seeds whose banded-LSH ≥0.5-estimate pair count lands within
+    * 1.5× of the identity's either way, in seed order — the sweep
+    * output of `tools/vet_rotations.py /root/testdata/sf0.1/...
+    * documents.parquet perm 170` (r15; mean load ratio 0.99×).
+    * Replica 0 always takes seed 0 = identity.
+    */
+  val vettedPermSeeds: Seq[Int] = Seq(0) ++ VettedSeeds.r15
+
   def main(args: Array[String]): Unit = {
     val srcDir = args(0)
     val dstDir = args(1)
     val factor = if (args.length > 2) args(2).toInt else 10
-    val relOnly = args.length > 3 && args(3) == "rel"
+    val mode = if (args.length > 3) args(3) else "all"
+    require(Set("all", "rel", "text")(mode), s"unknown mode $mode")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -71,35 +111,36 @@ object ScaleSynth {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val alpha = "abcdefghijklmnopqrstuvwxyz"
     val ALPHA = alpha.toUpperCase
-    def rot(s: String, r: Int) = s.drop(r % 26) + s.take(r % 26)
-    // vetted rotation per replica index (see scaladoc): pair-count
-    // preserving within ~1.4x; extend the vetting sweep before raising
-    // factor past 10
-    val vettedRot = Seq(0, 1, 3, 9, 15, 18, 20, 21, 24, 25)
-    require(relOnly || factor <= vettedRot.size,
-      s"only ${vettedRot.size} vetted rotations — re-vet before factor=$factor")
+    val scaleDocs = mode != "rel"
+    val scaleEmb = mode == "all"
+    val scaleRel = mode != "text"
+    require(!scaleDocs || factor <= vettedPermSeeds.size,
+      s"only ${vettedPermSeeds.size} vetted perm seeds — re-vet " +
+        s"(tools/vet_rotations.py <src> perm <maxSeed>) before factor=$factor")
+    require(!scaleEmb || factor <= 64,
+      s"embedding shift is distinct only below the 64-dim vector — " +
+        s"factor=$factor needs mode=text or a new embedding transform")
     // offset divisible by lcm(5,10,15)=30 keeps doc_id % k residues
     val idOffset = 30L * 1000 * 1000
 
-    if (relOnly) {
-      spark.read.parquet(s"$srcDir/documents.parquet")
-        .write.mode("overwrite").parquet(s"$dstDir/documents.parquet")
-      spark.read.parquet(s"$srcDir/embeddings.parquet")
-        .write.mode("overwrite").parquet(s"$dstDir/embeddings.parquet")
-    } else {
+    if (scaleDocs) {
       val docs = spark.read.parquet(s"$srcDir/documents.parquet")
       (0 until factor).map { ri =>
-        val r = vettedRot(ri)
+        val perm = permAlpha(vettedPermSeeds(ri))
         docs.select(
           (col("doc_id") + lit(ri * idOffset)).as("doc_id"),
-          translate(col("text"), alpha + ALPHA, rot(alpha, r) + rot(ALPHA, r))
+          translate(col("text"), alpha + ALPHA, perm + perm.toUpperCase)
             .as("text"),
           col("lang"), col("source"), col("n_chars"))
       }.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$dstDir/documents.parquet")
+    } else {
+      spark.read.parquet(s"$srcDir/documents.parquet")
+        .write.mode("overwrite").parquet(s"$dstDir/documents.parquet")
+    }
 
+    if (scaleEmb) {
       val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
       (0 until factor).map { r =>
         // cyclic shift by r with sign-flipped wrap: orthogonal, so
@@ -112,6 +153,9 @@ object ScaleSynth {
         emb.select((col("vec_id") + lit(r * idOffset)).as("vec_id"),
           shifted.as("embedding"), col("label"))
       }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dstDir/embeddings.parquet")
+    } else {
+      spark.read.parquet(s"$srcDir/embeddings.parquet")
         .write.mode("overwrite").parquet(s"$dstDir/embeddings.parquet")
     }
 
@@ -134,7 +178,8 @@ object ScaleSynth {
       "events.parquet" -> Seq("event_id", "user_id"))
     keyCols.foreach { case (name, keys) =>
       val t = spark.read.parquet(s"$srcDir/$name")
-      (0 until factor).map { ri =>
+      val reps = if (scaleRel) factor else 1
+      (0 until reps).map { ri =>
         t.select(t.columns.map { c =>
           if (keys.contains(c)) (col(c) + lit(ri * idOffset)).as(c)
           else col(c)
@@ -152,7 +197,7 @@ object ScaleSynth {
       spark.read.parquet(s"$srcDir/$n")
         .write.mode("overwrite").parquet(s"$dstDir/$n")
     }
-    println(s"synthesized ${factor}x of $srcDir at $dstDir")
+    println(s"synthesized ${factor}x of $srcDir at $dstDir (mode=$mode)")
     spark.stop()
   }
 }

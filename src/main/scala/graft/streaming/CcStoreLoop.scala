@@ -40,6 +40,17 @@ import org.apache.spark.sql.functions._
   * already-merged edges yields an EMPTY changed-row set), so even an
   * out-of-contract duplicate delivery under a fresh id is a no-op
   * layer. StreamingSpec drives all of this end-to-end.
+  *
+  * CONCURRENCY CONTRACT (same shape as [[GateStoreLoop]]'s): one
+  * writer — the streaming query — owns all writes; concurrent writers
+  * are out of contract. Concurrent readers are safe by resolution:
+  * [[state]] resolves only `_SUCCESS`-committed layers, superseded
+  * artifacts stay on disk, and a forward compaction writes an
+  * `assign_<g>` that did not previously exist, so a racing reader
+  * sees either the old overlay or the new fold — the same assignment
+  * either way (compaction equivalence is StreamingSpec-pinned). Only
+  * a crash-recovery RE-fold overwrites an existing committed dir; a
+  * reader mid-scan of exactly that dir can fail and must re-resolve.
   */
 object CcStoreLoop {
 

@@ -40,6 +40,27 @@ import org.apache.spark.sql.functions._
   * of batches is therefore a pure no-op: outcomes are a function of
   * (live node set below this batch, batch contents), and every
   * physical reorganization preserves that set.
+  *
+  * CONCURRENCY CONTRACT. The loop is SINGLE-WRITER: one streaming
+  * query's foreachBatch drives every write (batch artifacts and
+  * compaction alike) — two concurrent writers over one `dir` are out
+  * of contract and unprotected (no lock file; generation dirs would
+  * interleave). Concurrent READERS, however, are safe at the
+  * resolution level: [[state]]/[[outcomes]] only ever resolve
+  * COMMITTED artifacts (the `_SUCCESS` markers), old artifacts are
+  * never deleted (janitor's concern, offline), and a forward
+  * compaction writes a base generation that did not previously exist
+  * — so a reader racing a compaction resolves EITHER the old base +
+  * open generations OR the new folded base, and both denote the same
+  * live node set (the fold is a semantic identity, pinned by
+  * StoreLoopSpec's compaction-equivalence cases). The one sharp edge:
+  * a crash-recovery RE-fold rewrites an EXISTING `base_<g>` dir in
+  * overwrite mode (delete-then-write), so a reader scan already in
+  * flight over that exact dir can lose files mid-read and must retry
+  * — only reachable when a resumed writer re-folds after a crash
+  * while an external reader holds an un-refreshed plan. Readers that
+  * re-resolve through [[state]] per query (the supported path) never
+  * see it.
   */
 object GateStoreLoop {
 
@@ -107,11 +128,17 @@ object GateStoreLoop {
     // String uids carry no arrival order, and outcomesDelta REFUSES
     // them without one (lexicographic order silently diverges from
     // serial semantics — "doc9" > "doc10"). The stream loop is the one
-    // place arrival is derivable rather than declared: within-batch
-    // position (partition-ordered row id — the order the rows were
-    // read) stands in for the order the reference would process this
-    // batch in, and CROSS-batch order is already carried by generation
-    // visibility (a later batch's tombstones kill earlier rows).
+    // place arrival is derivable rather than declared: a minted
+    // PARTITION-MAJOR row id (monotonically_increasing_id puts the
+    // partition index in the high bits, so order is by partition
+    // first, position within it second — true arrival order only for
+    // a single-partition batch; a multi-partition source such as a
+    // several-partition Kafka topic gets partition order) stands in
+    // for the order the reference would process this batch in, and
+    // CROSS-batch order is already carried by generation visibility
+    // (a later batch's tombstones kill earlier rows). Callers with a
+    // real per-source offset column should declare it as `arrival`
+    // (wins over the minted one, below).
     //
     // SCOPE: the minted column governs LAST-WRITER-WINS in the store
     // maintenance (outcomesDelta's replacement winner per node) — the

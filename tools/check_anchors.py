@@ -43,14 +43,20 @@ def index_sources():
 
 
 def fix():
-    """Rewrite stale anchors in place: each anchor in a row whose file
-    declares one of the row's query names is snapped to the nearest
-    such declaration line (insertions shift declarations monotonically,
-    so nearest-by-distance recovers the intended target; a multi-anchor
-    row with as many anchors as declarations maps them in order)."""
+    """Rewrite stale anchors in place. Snapping is only automatic when
+    the intended target is UNAMBIGUOUS: a single declared name in the
+    file (snap to it), or exactly as many anchors as declarations
+    (map in sorted order — insertions shift declarations
+    monotonically, so order is preserved). A row with FEWER anchors
+    than declared names is ambiguous — nearest-by-distance could snap
+    to a DIFFERENT query's declaration after a large insertion, and
+    the verify pass would accept it since the anchor lands on some
+    declaration named in the row — so those are left untouched and
+    reported for manual resolution."""
     idx = index_sources()
     lines = COVERAGE.read_text().splitlines(keepends=True)
     fixed = 0
+    manual = []
     for i, row in enumerate(lines):
         if not row.startswith("|"):
             continue
@@ -66,11 +72,18 @@ def fix():
             if not row_decls:
                 return m.group(0)
             nums = [int(x) for x in m.group(2).split(",")]
-            new = [n if n in row_decls
-                   else min(row_decls, key=lambda d: abs(d - n))
-                   for n in nums]
-            if len(nums) == len(row_decls) and len(set(new)) != len(new):
+            if all(n in row_decls for n in nums):
+                return m.group(0)
+            if len(row_decls) == 1:
+                new = [row_decls[0] for _ in nums]
+            elif len(nums) == len(row_decls):
                 new = row_decls
+            else:
+                manual.append(
+                    f"COVERAGE.md:{i + 1} — {m.group(0)} stale but row "
+                    f"declares {len(row_decls)} names in {fname}; "
+                    "resolve by hand")
+                return m.group(0)
             if new == nums:
                 return m.group(0)
             fixed += sum(a != b for a, b in zip(nums, new))
@@ -84,6 +97,8 @@ def fix():
         lines[i] = ANCHOR_RE.sub(repl, row)
     COVERAGE.write_text("".join(lines))
     print(f"rewrote {fixed} anchor(s)")
+    for msg in manual:
+        print("MANUAL: " + msg)
 
 
 def main():
