@@ -38,6 +38,61 @@ object CorpusQueries {
       .withColumn("ck", Texts.md5Long(col("chunk")))
   }
 
+  /** Bounded-CDC chunk occurrences `(doc_id, start, clen, chash)` —
+    * the FastCDC legalization behind `dd_cdc_bounded`, exposed so
+    * CorpusSpec can assert the clamp invariant over ALL chunks (the
+    * query's output only carries duplicated ones). The serial clamp is
+    * a LEFT FOLD over the per-document candidate array via the
+    * codegen'd `aggregate` builtin: candidates in order; a candidate
+    * within minLen of the last surviving boundary is suppressed; a gap
+    * longer than maxLen first force-splits at last+maxLen strides
+    * (tail included). Row-local at the scan, zero exchanges.
+    */
+  private[graft] def cdcBoundedSpans(docs: DataFrame): DataFrame = {
+    val W = 8; val D = 64; val MinL = 32; val MaxL = 128
+    val n = length(col("text"))
+    val cand = when(n < W, array().cast("array<int>"))
+      .otherwise(filter(sequence(lit(W), n),
+        i => Texts.md5Long(col("text").substr(i - (W - 1), lit(W))) % D === 0))
+    val emptyI = array().cast("array<int>")
+    // fold state: boundaries kept so far + the last boundary (0 = doc
+    // start). Position arithmetic stays exact under double division
+    // (positions < 2^31 << 2^53).
+    def forcedK(upper: Column, last: Column) =
+      floor((upper - 1 - last).cast("double") / MaxL).cast("int")
+    val folded = aggregate(
+      cand,
+      struct(emptyI.as("kept"), lit(0).as("last")),
+      (acc, b) => {
+        val last0 = acc.getField("last")
+        val k = greatest(forcedK(b, last0), lit(0))
+        val lf = last0 + k * MaxL
+        val forced = when(k > 0,
+          sequence(last0 + MaxL, lf, lit(MaxL))).otherwise(emptyI)
+        val keepB = (b - lf) >= MinL
+        struct(
+          concat(acc.getField("kept"), forced,
+            when(keepB, array(b)).otherwise(emptyI)).as("kept"),
+          when(keepB, b).otherwise(lf).as("last"))
+      })
+    // tail: force every maxLen stride left between the last boundary
+    // and doc end (the final chunk alone may undershoot minLen)
+    val kT = greatest(forcedK(n, folded.getField("last")), lit(0))
+    val bs = concat(folded.getField("kept"),
+      when(kT > 0, sequence(folded.getField("last") + MaxL,
+        folded.getField("last") + kT * MaxL, lit(MaxL))).otherwise(emptyI))
+    val starts = concat(array(lit(1)), transform(bs, b => b + 1))
+    val ends = concat(bs, array(n))
+    val chunks = filter(
+      zip_with(starts, ends, (st, e) => struct(
+        st.as("start"), (e - st + 1).as("clen"),
+        md5(col("text").substr(st, e - st + 1)).as("chash"))),
+      c => c.getField("clen") > 0)
+    docs.select(col("doc_id"), explode(chunks).as("c"))
+      .select(col("doc_id"), col("c.start").as("start"),
+        col("c.clen").as("clen"), col("c.chash").as("chash"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Passage(chunk)-level exact dedup with document reassembly — the
     // line-dedup stage of web-corpus pipelines, expressed relationally:
@@ -134,6 +189,37 @@ object CorpusQueries {
           col("kfirst.start").cast("long").as("first_start"),
           col("clen").cast("long").as("clen"))
     }),
+
+    // BOUNDED content-defined chunking — dd_cdc_dedup plus FastCDC's
+    // min/max normalization (Xia et al. ATC'16 §3.2: clamp chunk sizes
+    // to [32, 128] so a pathological region can neither emit a spray
+    // of tiny chunks nor run away unbounded). The clamp is inherently
+    // SEQUENTIAL (whether a candidate boundary survives depends on the
+    // previous surviving boundary), which is why r14 shipped only the
+    // unbounded variant — but the legalization is a LEFT FOLD over the
+    // per-document candidate array, and Spark's `aggregate` builtin is
+    // exactly a codegen'd left fold: candidates in order; positions
+    // within minLen of the last boundary are suppressed; a gap longer
+    // than maxLen first force-splits at last+maxLen strides. Still
+    // zero UDFs, still row-local at the scan; the only shuffle remains
+    // the slim chunk-hash groupBy. Output contract identical to
+    // dd_cdc_dedup (duplicated-chunk catalog with struct-min first
+    // occurrence); the oracle walks the identical legalization as a
+    // recursive CTE (one step per surviving boundary — fine at oracle
+    // scale, and an engine-independent statement of the same serial
+    // rule).
+    "dd_cdc_bounded" -> ((s, d) =>
+      cdcBoundedSpans(Tables.documents(s, d))
+        .groupBy("chash")
+        .agg(count(lit(1)).as("n_occ"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          min(struct(col("doc_id"), col("start"))).as("kfirst"),
+          min(col("clen")).as("clen"))
+        .filter(col("n_occ") > 1)
+        .select(col("chash"), col("n_occ"), col("n_docs"),
+          col("kfirst.doc_id").as("first_doc"),
+          col("kfirst.start").cast("long").as("first_start"),
+          col("clen").cast("long").as("clen"))),
 
     // TF-IDF top-3 keywords per document against a CORPUS-level document
     // frequency (M3 in SURVEY §2 is per-doc TF only; this is the global
@@ -560,6 +646,57 @@ object CorpusQueries {
         |occ AS (
         |  SELECT doc_id, u.s AS start, u.e - u.s + 1 AS clen,
         |    md5(substr(text, u.s, u.e - u.s + 1)) AS chash
+        |  FROM spans, unnest(chunks) AS t(u))
+        |SELECT chash, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs,
+        |  (min({'d': doc_id, 's': start})).d AS first_doc,
+        |  (min({'d': doc_id, 's': start})).s::BIGINT AS first_start,
+        |  min(clen)::BIGINT AS clen
+        |FROM occ GROUP BY chash HAVING count(*) > 1""".stripMargin,
+    // the FastCDC legalization as a recursive CTE: one step per
+    // SURVIVING boundary (suppressed candidates never materialize a
+    // row), each step picking the least candidate in
+    // [last+minLen, last+maxLen] or force-splitting at last+maxLen —
+    // the same serial rule the engine folds with `aggregate`
+    "dd_cdc_bounded" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, text, strlen(text)::INT AS n FROM documents),
+        |c AS (
+        |  SELECT doc_id, text, n,
+        |    CASE WHEN n < 8 THEN []::BIGINT[] ELSE
+        |      list_filter(generate_series(8, n), i ->
+        |        (('0x' || substr(md5(substr(text, i-7, 8)), 1, 15))::BIGINT
+        |          % 64) = 0)
+        |    END AS cands
+        |  FROM base),
+        |walk AS (
+        |  SELECT doc_id, n, cands, 0::BIGINT AS b
+        |  FROM c
+        |  UNION ALL
+        |  SELECT doc_id, n, cands, nxt AS b FROM (
+        |    SELECT doc_id, n, cands,
+        |      CASE WHEN qual IS NOT NULL THEN qual
+        |           WHEN n - b > 128 THEN b + 128
+        |           ELSE NULL END AS nxt
+        |    FROM (
+        |      SELECT doc_id, n, cands, b,
+        |        list_min(list_filter(cands,
+        |          x -> x - b >= 32 AND x - b <= 128)) AS qual
+        |      FROM walk) q1) q2
+        |  WHERE nxt IS NOT NULL),
+        |bounds AS (
+        |  SELECT doc_id, COALESCE(list_sort(list(b) FILTER (WHERE b > 0)), []::BIGINT[]) AS bs
+        |  FROM walk GROUP BY doc_id),
+        |spans AS (
+        |  SELECT t.doc_id, t.text,
+        |    list_filter(
+        |      list_transform(generate_series(1, len(bs)+1), j ->
+        |        {'s': CASE WHEN j = 1 THEN 1 ELSE bs[j-1] + 1 END,
+        |         'e': CASE WHEN j = len(bs)+1 THEN t.n ELSE bs[j] END}),
+        |      x -> x.e >= x.s) AS chunks
+        |  FROM bounds JOIN base t USING (doc_id)),
+        |occ AS (
+        |  SELECT doc_id, u.s AS start, u.e - u.s + 1 AS clen,
+        |    md5(substr(text, u.s::INT, (u.e - u.s + 1)::INT)) AS chash
         |  FROM spans, unnest(chunks) AS t(u))
         |SELECT chash, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs,
         |  (min({'d': doc_id, 's': start})).d AS first_doc,

@@ -85,6 +85,49 @@ class CorpusSpec extends SparkSpec {
     assert(out.forall(_._2 >= 110000L - 8))
   }
 
+  test("dd_cdc_bounded clamp invariant on the real corpus: chunks tile " +
+    "each document exactly, every non-final chunk lands in [32,128], " +
+    "and the clamp provably differs from the unbounded chunker") {
+    val docs = Tables.documents(spark, sf)
+    val spans = CorpusQueries.cdcBoundedSpans(docs).cache()
+    // tiling: per doc, chunks are contiguous from 1 and sum to n_chars
+    val tiled = spans.groupBy("doc_id")
+      .agg(sum("clen").as("covered"), min("start").as("s0"),
+        count(lit(1)).as("k"),
+        max(col("start") + col("clen") - 1).as("hi"))
+      .join(docs.select(col("doc_id"), length(col("text")).as("n")), "doc_id")
+    assert(tiled.filter(col("covered") =!= col("n") ||
+      col("s0") =!= 1 || col("hi") =!= col("n")).count() == 0,
+      "bounded chunks must tile the document exactly")
+    assert(tiled.count() == docs.count(), "every document must chunk")
+    // the clamp: all chunks <= 128; non-final chunks >= 32
+    val withN = spans.join(
+      docs.select(col("doc_id"), length(col("text")).as("n")), "doc_id")
+    assert(withN.filter(col("clen") > 128).count() == 0,
+      "no chunk may exceed maxLen")
+    assert(withN.filter(col("start") + col("clen") - 1 < col("n") &&
+      col("clen") < 32).count() == 0,
+      "no non-final chunk may undershoot minLen")
+    // the corpus must actually exercise both clamp arms, or the pins
+    // above are vacuous: forced splits (exactly-128 chunks whose end is
+    // NOT an unbounded candidate boundary would be ideal, but
+    // exactly-128 count > unbounded's is a sufficient witness), and
+    // suppressed candidates (bounded has fewer, longer chunks)
+    val nBounded = spans.count()
+    // unbounded chunk count = qualifying boundary positions + one tail
+    // chunk per doc (same candidate predicate, no clamp)
+    val nUnbounded = Tables.documents(spark, sf)
+      .select(explode(filter(sequence(lit(8), length(col("text"))),
+        i => graft.functions.Texts.md5Long(
+          col("text").substr(i - 7, lit(8))) % 64 === 0)).as("b")).count() +
+      docs.count() // boundaries + one tail chunk per doc = chunk count
+    assert(nBounded != nUnbounded,
+      "clamp changed nothing — fixture too small or legalization inert")
+    assert(spans.filter(col("clen") === 128).count() > 0,
+      "no forced max-length chunk in the corpus — forced-split arm untested")
+    spans.unpersist()
+  }
+
   test("ta_tfidf emits contiguous ranks 1..k and corpus-consistent df") {
     val out = CorpusQueries.queries("ta_tfidf")(spark, sf).cache()
     val badRank = out.groupBy("doc_id")

@@ -275,6 +275,19 @@ class PlanSpec extends SparkSpec {
       "the chunk-hash aggregation must combine map-side")
   }
 
+  test("dd_cdc_bounded: the serial clamp stays row-local — the aggregate " +
+    "fold runs at the scan, no join, same slim-shuffle posture as the " +
+    "unbounded variant") {
+    val p = planOf(CorpusQueries.queries("dd_cdc_bounded")(spark, sf))
+    assert(!p.contains("Join"), "bounded CDC must not join")
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 2,
+      s"$exchanges exchanges — the legalization fold is per-row array " +
+        "arithmetic and must not add a shuffle over the unbounded plan")
+    assert(p.contains("partial_count") || p.contains("partial_min"),
+      "the chunk-hash aggregation must combine map-side")
+  }
+
   test("ta_tfidf: the vocabulary DF table broadcasts onto per-doc TF") {
     val p = planOf(CorpusQueries.queries("ta_tfidf")(spark, sf))
     assert(p.contains("BroadcastHashJoin"))
