@@ -44,7 +44,7 @@ object DedupQueries {
 
   /** documents with cleaned text + sorted distinct content-word sets
     * (shared prep for the dedup family). */
-  private def prepared(s: SparkSession, d: String): DataFrame =
+  private[graft] def prepared(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("text"),
         array_sort(array_distinct(Texts.tokens(col("text")))).as("ws"))
@@ -105,16 +105,34 @@ object DedupQueries {
       .drop("o")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val langCols = if (byLang) Seq(col("lang")) else Nil
+    // posexplode, not explode: the 0-based prefix POSITION feeds
+    // PPJoin's position filter below (Xiao et al., WWW'08 §3). r15:
+    // added after the ~sf10 text decade showed the verify join's
+    // array-attach volume (two ws arrays x 207M candidate pairs) was
+    // the family's scale cost — the position filter prunes
+    // arithmetically BEFORE any array rides a join.
     val pre = ordered
       .withColumn("n", size(col("ows")))
       .select(col("rep_id") +: langCols ++: Seq(col("n"),
-        explode(slice(col("ows"), lit(1),
-          (col("n") - ceil(lit(t) * col("n")) + 1).cast("int"))).as("tok")): _*)
+        posexplode(slice(col("ows"), lit(1),
+          (col("n") - ceil(lit(t) * col("n")) + 1).cast("int")))
+          .as(Seq("pos", "tok"))): _*)
+    // Position filter: J(A,B) >= t requires overlap >= t/(1+t)(|A|+|B|)
+    // (from J = inter/(|A|+|B|-inter)); and if the FIRST shared ordered
+    // token sits at 0-based positions (pa, pb), the overlap can be at
+    // most 1 + min(|A|-pa-1, |B|-pb-1). Keeping a pair when ANY shared
+    // prefix token passes is exactly the first-shared-token test
+    // (later shared tokens have larger positions, hence smaller
+    // bounds), so the filter loses no true pair.
+    val needed = lit(t / (1 + t)) * (col("a.n") + col("b.n"))
+    val ubound = lit(1) +
+      least(col("a.n") - col("a.pos") - 1, col("b.n") - col("b.pos") - 1)
     val cond = (Seq(
       col("a.tok") === col("b.tok"),
       col("a.rep_id") < col("b.rep_id"),
       col("b.n") <= col("a.n") / t,
-      col("a.n") <= col("b.n") / t) ++
+      col("a.n") <= col("b.n") / t,
+      ubound >= needed) ++
       (if (byLang) Seq(col("a.lang") === col("b.lang")) else Nil))
       .reduce(_ && _)
     pre.alias("a").join(pre.alias("b"), cond)
@@ -151,18 +169,57 @@ object DedupQueries {
     val repCols = if (byLang) Seq(col("rep_id"), col("lang"), col("ws"))
       else Seq(col("rep_id"), col("ws"))
     val cand = prefixRepCandidates(groups.select(repCols: _*), t, byLang)
+    // r15: the verify arrays are dictionary-ENCODED to sorted 64-bit
+    // token ids before they ride the candidate joins. At the ~sf10 text
+    // decade the attach of two UTF8 token arrays onto 207M candidate
+    // rows was the family's entire scale cost (the second join sorts
+    // candidate rows already carrying the first array — measured
+    // 178 GB spill); fixed 8-byte ids shrink that volume ~4× and the
+    // merge-walk compares primitives. Jaccard is invariant under any
+    // INJECTIVE token map; injectivity of xxhash64 over the corpus
+    // vocabulary is CHECKED, not assumed — the vocabulary-sized
+    // id-collision count rides in as a broadcast scalar and any
+    // collision fails the query loudly rather than returning a silently
+    // inflated intersection (64-bit collisions are ~impossible below
+    // billions of distinct tokens, but exactness is the contract).
+    val vocab = groups.select(explode(col("ws")).as("tok")).distinct()
+    val nBad = broadcast(vocab
+      .groupBy(xxhash64(col("tok")).as("id"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+      .agg(count(lit(1)).as("n_bad")))
+    val encoded = groups
+      .select(col("rep_id"),
+        array_sort(transform(col("ws"), w => xxhash64(w))).as("wsid"))
+      .crossJoin(nBad)
+      .filter(when(col("n_bad") === 0, lit(true)).otherwise(
+        raise_error(lit("xxhash64 token-id collision in the corpus " +
+          "vocabulary — the encoded Jaccard verify would overcount; " +
+          "re-run with a wider id space"))))
+      .drop("n_bad")
     val inter = graft.plans.Native
       .sorted_intersect_count(col("a_ws"), col("b_ws")).cast("double")
+    // SHUFFLE_HASH on the rep-level sides: a sort-merge attach would
+    // SORT the candidate-pair stream — at the ~sf10 decade that is
+    // 207M rows, and the second sort carries the first attached array
+    // (measured: the sorts, not the joins, were the 178 GB spill).
+    // Hash-building the reps-sized array table per partition instead
+    // lets the candidate stream flow through unsorted; the build side
+    // is corpus-DISTINCT-SET sized (collapse output), orders of
+    // magnitude below the pair stream at any scale.
     val verified = cand
-      .join(groups.select(col("rep_id").as("ra"), col("ws").as("a_ws")), "ra")
-      .join(groups.select(col("rep_id").as("rb"), col("ws").as("b_ws")), "rb")
+      .join(encoded.select(col("rep_id").as("ra"), col("wsid").as("a_ws"))
+        .hint("shuffle_hash"), "ra")
+      .join(encoded.select(col("rep_id").as("rb"), col("wsid").as("b_ws"))
+        .hint("shuffle_hash"), "rb")
       .withColumn("jac",
         round(inter / (size(col("a_ws")) + size(col("b_ws")) - inter), 6))
       .filter(col("jac") >= t)
       .select("ra", "rb", "jac")
     val cross = verified
-      .join(mem.select(col("rep_id").as("ra"), col("doc_id").as("x")), "ra")
-      .join(mem.select(col("rep_id").as("rb"), col("doc_id").as("y")), "rb")
+      .join(mem.select(col("rep_id").as("ra"), col("doc_id").as("x"))
+        .hint("shuffle_hash"), "ra")
+      .join(mem.select(col("rep_id").as("rb"), col("doc_id").as("y"))
+        .hint("shuffle_hash"), "rb")
       .select(least(col("x"), col("y")).as("a_id"),
         greatest(col("x"), col("y")).as("b_id"), col("jac"))
     within.unionByName(cross)

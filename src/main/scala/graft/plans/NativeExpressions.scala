@@ -91,6 +91,23 @@ object NativeImpl {
     c
   }
 
+  /** Long-array variant of [[sortedIntersectCount]] — the merge walk
+    * over dictionary-ENCODED token ids (r15: the Jaccard verify ships
+    * fixed 8-byte ids instead of UTF8 tokens, so the candidate joins
+    * carry ~4× less and the hot loop compares primitives). Same
+    * precondition: both sides sorted ascending. */
+  def sortedIntersectCountLong(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
   /** Fraction of agreeing positions in two long arrays — the MinHash
     * signature-agreement estimate as one codegen'd pass, replacing the
     * interpreted `zip_with`/`filter` lambda chain in the candidate-
@@ -180,18 +197,30 @@ case class MinHashSig(child: Expression, numPerms: Int, k: Int)
     copy(child = c)
 }
 
-/** sorted_intersect_count(array<string>, array<string>) → int.
+/** sorted_intersect_count(array<string>|array<long>, same) → int.
   * PRECONDITION: both arrays sorted ascending (callers sort once upstream;
-  * the merge walk is wrong on unsorted input). */
+  * the merge walk is wrong on unsorted input). Dispatches on the STATIC
+  * element type: long arrays take the primitive walk (r15). */
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = IntegerType
+  private lazy val isLong = left.dataType match {
+    case org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, _) => true
+    case _ => false
+  }
   override def nullSafeEval(a: Any, b: Any): Any =
-    NativeImpl.sortedIntersectCount(a.asInstanceOf[ArrayData],
-      b.asInstanceOf[ArrayData])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    if (isLong)
+      NativeImpl.sortedIntersectCountLong(a.asInstanceOf[ArrayData],
+        b.asInstanceOf[ArrayData])
+    else
+      NativeImpl.sortedIntersectCount(a.asInstanceOf[ArrayData],
+        b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (isLong) "sortedIntersectCountLong" else "sortedIntersectCount"
     defineCodeGen(ctx, ev,
-      (a, b) => s"graft.plans.NativeImpl.sortedIntersectCount($a, $b)")
+      (a, b) => s"graft.plans.NativeImpl.$fn($a, $b)")
+  }
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SortedIntersectCount =
     copy(left = newLeft, right = newRight)

@@ -89,7 +89,11 @@ class ContractSpec extends SparkSpec {
       "mm_phash_dedup", "pipe_mm_refinery",
       // 1-row (n, Σvalue) totals frame crossed onto the per-part
       // values — TPC-H Q11's mean-relative threshold attach
-      "sql_q11")
+      "sql_q11",
+      // 1-row token-id collision count crossed onto the rep-set frame —
+      // the r15 encoded-verify injectivity guard (raise_error on any
+      // xxhash64 vocabulary collision)
+      "dd_jaccard_prefix", "dd_ngram_jaccard")
     // Constructing some frames triggers eager driver-side scalar jobs
     // (cluster_cc loop, bloom build) — sf0.001 keeps the sweep cheap.
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

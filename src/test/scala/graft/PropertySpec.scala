@@ -303,4 +303,60 @@ class PropertySpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("cdcBoundedSpans equals a driver-side serial FastCDC walk on " +
+    "random strings (the aggregate-fold legalization is exact)") {
+    // The clamp is a serial rule; the engine expresses it as a per-row
+    // `aggregate` left fold. This check re-states the rule as the
+    // OBVIOUS sequential loop over MD5 candidates and compares chunk
+    // tilings bit-for-bit. Strings are skewed toward pathological
+    // shapes: long runs (candidate deserts -> forced splits) and short
+    // alphabets (candidate sprays -> suppression).
+    val W = 8; val D = 64; val MinL = 32; val MaxL = 128
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5Long(s: String): Long = {
+      val h = md.digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.substring(0, 15), 16)
+    }
+    def serialWalk(text: String): Seq[(Int, Int)] = {
+      val n = text.length
+      val cands = if (n < W) Seq.empty[Int]
+        else (W to n).filter(i => md5Long(text.substring(i - W, i)) % D == 0)
+      var last = 0
+      val bs = Seq.newBuilder[Int]
+      for (b <- cands) {
+        while (b - last > MaxL) { last += MaxL; bs += last }
+        if (b - last >= MinL) { last = b; bs += b }
+      }
+      while (n - last > MaxL) { last += MaxL; bs += last }
+      val all = bs.result()
+      val starts = 1 +: all.map(_ + 1)
+      val ends = all :+ n
+      starts.zip(ends).filter { case (s0, e) => e >= s0 }
+        .map { case (s0, e) => (s0, e - s0 + 1) }
+    }
+    val docs = (1 to 300).map { i =>
+      val kind = i % 3
+      val len = 1 + rnd.nextInt(600)
+      val text = kind match {
+        case 0 => Seq.fill(len)(('a' + rnd.nextInt(26)).toChar).mkString
+        case 1 => Seq.fill(len)(('a' + rnd.nextInt(3)).toChar).mkString
+        case 2 => // run-heavy: long repeats punctuated by noise
+          (1 to len).map(j => if (j % 97 < 90) 'q'
+            else ('a' + rnd.nextInt(26)).toChar).mkString
+      }
+      (i.toLong, text)
+    }
+    val expected = docs.flatMap { case (id, t) =>
+      serialWalk(t).map { case (s0, l) => (id, s0, l) }
+    }.sorted
+    val got = graft.operators.CorpusQueries
+      .cdcBoundedSpans(docs.toDF("doc_id", "text"))
+      .select("doc_id", "start", "clen").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq.sorted
+    assert(got == expected,
+      s"bounded-CDC fold diverged from the serial walk " +
+        s"(${got.size} vs ${expected.size} chunks)")
+  }
 }
