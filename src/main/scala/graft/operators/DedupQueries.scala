@@ -190,12 +190,6 @@ object DedupQueries {
     val encoded = groups
       .select(col("rep_id"),
         array_sort(transform(col("ws"), w => xxhash64(w))).as("wsid"))
-      .crossJoin(nBad)
-      .filter(when(col("n_bad") === 0, lit(true)).otherwise(
-        raise_error(lit("xxhash64 token-id collision in the corpus " +
-          "vocabulary — the encoded Jaccard verify would overcount; " +
-          "re-run with a wider id space"))))
-      .drop("n_bad")
     val inter = graft.plans.Native
       .sorted_intersect_count(col("a_ws"), col("b_ws")).cast("double")
     // SHUFFLE_HASH on the rep-level sides: a sort-merge attach would
@@ -206,7 +200,26 @@ object DedupQueries {
     // lets the candidate stream flow through unsorted; the build side
     // is corpus-DISTINCT-SET sized (collapse output), orders of
     // magnitude below the pair stream at any scale.
+    //
+    // The hint is a measured 100 TB-FIRST trade: at sf0.1 the rep
+    // table is broadcastable and the un-hinted plan's BHJs win by ~2 s
+    // (2.7 -> 4.7 s, the shuffle+schedule overhead of forced SHJ on a
+    // 26 MB candidate stream), while a decade up the same broadcast is
+    // impossible (reps outgrow the driver at any real corpus) and the
+    // un-hinted SMJ fallback spills 178 GB against SHJ's 31 GB at
+    // 52 s vs 139 s (SCALE.md r15). A static plan must pick the shape
+    // that survives scale; the small-scale delta is the documented
+    // price.
+    // the guard rides the candidate stream ONCE (a single 1-row scalar
+    // attach in the plan), upstream of both array attaches — any
+    // vocabulary collision fails the query before a row is emitted
     val verified = cand
+      .crossJoin(nBad)
+      .filter(when(col("n_bad") === 0, lit(true)).otherwise(
+        raise_error(lit("xxhash64 token-id collision in the corpus " +
+          "vocabulary — the encoded Jaccard verify would overcount; " +
+          "re-run with a wider id space"))))
+      .drop("n_bad")
       .join(encoded.select(col("rep_id").as("ra"), col("wsid").as("a_ws"))
         .hint("shuffle_hash"), "ra")
       .join(encoded.select(col("rep_id").as("rb"), col("wsid").as("b_ws"))

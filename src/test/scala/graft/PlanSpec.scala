@@ -43,10 +43,18 @@ class PlanSpec extends SparkSpec {
   }
 
   test("dd_jaccard_prefix: candidate join is a keyed equi-join; verify " +
-    "attaches via hash joins, never a nested loop") {
+    "attaches via hash joins; the only nested loop is the 1-row " +
+    "injectivity-guard scalar attach") {
     val p = planOf(DedupQueries.queries("dd_jaccard_prefix")(spark, sf))
     assert(!p.contains("CartesianProduct"))
-    assert(!p.contains("BroadcastNestedLoopJoin"))
+    // r15: the encoded-verify guard crosses a broadcast ONE-ROW
+    // collision count onto the rep frame (the documented scalar-attach
+    // pattern) — exactly one BNLJ, nothing corpus-sized on either side
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1)
+    // and the array attaches themselves are the hinted hash joins
+    assert(p.contains("ShuffledHashJoin"),
+      "verify must attach rep arrays via shuffle-hash (the posture " +
+        "that survives the ~sf10 decade — SCALE.md r15)")
   }
 
   test("dedup gate: the corpus-vs-batch band join broadcasts the batch " +
@@ -1032,7 +1040,9 @@ class PlanSpec extends SparkSpec {
   test("dd_ngram_jaccard: prefix-filtered pair join stays a keyed equi-join") {
     val p = planOf(DedupQueries.queries("dd_ngram_jaccard")(spark, sf))
     assert(!p.contains("CartesianProduct"))
-    assert(!p.contains("BroadcastNestedLoopJoin"))
+    // one BNLJ allowed since r15: the 1-row injectivity-guard scalar
+    // attach (see the dd_jaccard_prefix pin)
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1)
     // the retired (lang, size-bucket) blocking shape must stay retired:
     // no size-bucket column anywhere in the plan — candidates come from
     // the (lang, prefix-token) equi-join whose population is bounded by
