@@ -148,7 +148,13 @@ object DedupQueries {
     * from a SALTED self-join on the representative key — one giant
     * duplicate group's clique spreads over 8 reducers instead of one. */
   private[graft] def jaccardPrefixPairs(docs: DataFrame, t: Double,
-      byLang: Boolean): DataFrame = {
+      byLang: Boolean,
+      // token-id encoder seam: production is xxhash64; tests inject a
+      // deliberately colliding encoder to prove the injectivity guard
+      // FIRES (the guard is otherwise a dead path — 64-bit collisions
+      // are unreachable on any test vocabulary)
+      idOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        c => xxhash64(c)): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val gk = if (byLang) Seq("fp", "lang") else Seq("fp")
     val sets = fingerprinted(docs).persist(StorageLevel.MEMORY_AND_DISK)
@@ -184,12 +190,12 @@ object DedupQueries {
     // billions of distinct tokens, but exactness is the contract).
     val vocab = groups.select(explode(col("ws")).as("tok")).distinct()
     val nBad = broadcast(vocab
-      .groupBy(xxhash64(col("tok")).as("id"))
+      .groupBy(idOf(col("tok")).as("id"))
       .agg(count(lit(1)).as("c")).filter(col("c") > 1)
       .agg(count(lit(1)).as("n_bad")))
     val encoded = groups
       .select(col("rep_id"),
-        array_sort(transform(col("ws"), w => xxhash64(w))).as("wsid"))
+        array_sort(transform(col("ws"), w => idOf(w))).as("wsid"))
     val inter = graft.plans.Native
       .sorted_intersect_count(col("a_ws"), col("b_ws")).cast("double")
     // SHUFFLE_HASH on the rep-level sides: a sort-merge attach would

@@ -254,6 +254,33 @@ class PropertySpec extends SparkSpec {
       "self-similarity")
   }
 
+  test("the Jaccard encoded-verify injectivity guard FIRES on a " +
+    "colliding encoder (and is silent under the production hash)") {
+    import graft.operators.DedupQueries
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"),
+      (3L, "iota kappa lambda mu nu xi"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        array_sort(array_distinct(split(col("text"), " "))).as("ws"))
+    // production path: xxhash64 over a tiny vocabulary — no collision,
+    // query evaluates
+    assert(DedupQueries.jaccardPrefixPairs(docs, 0.5, byLang = false)
+      .count() >= 0)
+    // inject a maximally colliding encoder (token length as the id):
+    // the broadcast collision count goes nonzero and raise_error must
+    // surface with the guard's message, not a silent overcount
+    val e = intercept[Exception] {
+      DedupQueries.jaccardPrefixPairs(docs, 0.5, byLang = false,
+        idOf = c => length(c).cast("long")).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("token-id collision")),
+      s"guard did not fire with its own message: ${messages(e)}")
+  }
+
   test("dd_span_scrub self-consistency: n_removed equals the token-count " +
     "delta between original and scrubbed text, for every doc") {
     val scrubbed = operators.CorpusQueries.queries("dd_span_scrub")(spark, sf)
