@@ -47,13 +47,15 @@ object CorpusQueries {
     * within minLen of the last surviving boundary is suppressed; a gap
     * longer than maxLen first force-splits at last+maxLen strides
     * (tail included). Row-local at the scan, zero exchanges.
+    * Candidates come from the gear rolling hash (r16 — see
+    * [[graft.plans.NativeImpl.gearBoundaries]]; r15's per-position MD5
+    * made the pair of cdc queries the sweep's two slowest on a ~100×
+    * avoidable hash constant).
     */
   private[graft] def cdcBoundedSpans(docs: DataFrame): DataFrame = {
-    val W = 8; val D = 64; val MinL = 32; val MaxL = 128
+    val MinL = 32; val MaxL = 128
     val n = length(col("text"))
-    val cand = when(n < W, array().cast("array<int>"))
-      .otherwise(filter(sequence(lit(W), n),
-        i => Texts.md5Long(col("text").substr(i - (W - 1), lit(W))) % D === 0))
+    val cand = graft.plans.Native.gear_boundaries(col("text"))
     val emptyI = array().cast("array<int>")
     // fold state: boundaries kept so far + the last boundary (0 = doc
     // start). Position arithmetic stays exact under double division
@@ -131,34 +133,31 @@ object CorpusQueries {
     // Muthitacharoen et al. SOSP'01; FastCDC, Xia et al. ATC'16). A
     // fixed-window chunker shifts every later boundary when one token
     // is inserted, so a shared passage downstream of an edit never
-    // matches; CDC places a boundary wherever a hash of the trailing
-    // W=8 characters ≡ 0 (mod 64), so boundaries are a function of
-    // LOCAL content and re-align immediately after any edit (~64-char
-    // expected chunks; measured 62.3 on this corpus). The min/max
-    // chunk-size refinements of production CDC need per-position
-    // state; dropping them makes the boundary rule a pure
-    // PER-POSITION predicate — expressible entirely in codegen'd
-    // builtins (sequence/filter/zip_with), no UDF, no stateful pass.
+    // matches; CDC places a boundary wherever the gear rolling hash of
+    // the content so far ≡ 0 (mod 64) — and because that 6-bit mask
+    // sees only the trailing 6 characters' gear values, boundaries are
+    // a function of LOCAL content and re-align within 6 characters of
+    // any edit (~64-char expected chunks). r16: the boundary hash is
+    // the native single-pass gear expression (one shift+add+lookup per
+    // character, codegen'd — see NativeImpl.gearBoundaries); r15's
+    // per-position MD5 predicate had the same plan shape but a ~100×
+    // scan constant that made the cdc pair the sweep's two slowest
+    // queries. The oracle evaluates the equivalent 6-char WINDOWED
+    // restatement over the same 256-entry literal table.
     //
-    // Scale shape: boundary detection is row-local array arithmetic at
-    // the scan (zero exchanges); the only shuffle is the chunk-hash
-    // groupBy, carrying slim (chash, doc_id, start, clen) rows — the
-    // chunk TEXT never rides the wire (same slim-key posture as
-    // dd_chunk_dedup). Output = the duplicated-chunk catalog: hash,
-    // occurrence/doc counts, and the globally first occurrence
-    // (lexicographic struct-min over (doc_id, start), mirrored
-    // struct-for-struct in the oracle so the argmin is engine-portable
-    // at any document length).
+    // Scale shape: boundary detection is row-local at the scan (zero
+    // exchanges); the only shuffle is the chunk-hash groupBy, carrying
+    // slim (chash, doc_id, start, clen) rows — the chunk TEXT never
+    // rides the wire (same slim-key posture as dd_chunk_dedup).
+    // Output = the duplicated-chunk catalog: hash, occurrence/doc
+    // counts, and the globally first occurrence (lexicographic
+    // struct-min over (doc_id, start), mirrored struct-for-struct in
+    // the oracle so the argmin is engine-portable at any document
+    // length).
     "dd_cdc_dedup" -> ((s, d) => {
-      val W = 8
-      val D = 64
       val docs = Tables.documents(s, d)
       val n = length(col("text"))
-      // sequence(a, b) runs DESCENDING when a > b — guard short docs
-      // to the oracle's empty-list semantics
-      val bs = when(n < W, array().cast("array<int>"))
-        .otherwise(filter(sequence(lit(W), n),
-          i => Texts.md5Long(col("text").substr(i - (W - 1), lit(W))) % D === 0))
+      val bs = graft.plans.Native.gear_boundaries(col("text"))
       val starts = concat(array(lit(1)), transform(bs, b => b + 1))
       val ends = concat(bs, array(n))
       val chunks = filter(
@@ -625,16 +624,38 @@ object CorpusQueries {
 
   private val toksSql = "list_filter(string_split(text, ' '), x -> x <> '')"
 
+  /** NativeImpl.GearMod64 as a DuckDB list literal — the SAME constants
+    * the engine rolls with, so both sides evaluate one table (the
+    * generation formula is independently re-derived by PropertySpec).
+    * The oracle can't roll a 2^64 state, so it evaluates the windowed
+    * identity instead: h_i mod 64 = Σ_{k=0..5} 2^k·GEAR[c_{i-k}] mod 64
+    * (carries propagate upward only — proven in the Scaladoc at
+    * NativeImpl.gearBoundaries and pinned on adversarial strings). */
+  private val gearSql: String =
+    graft.plans.NativeImpl.GearMod64.mkString("[", ", ", "]")
+
+  /** Shared oracle CTE fragment: per-document gear values `gt` and the
+    * 6-char-window boundary rule — emitted into both cdc oracles so the
+    * candidate predicate has exactly one SQL statement. */
+  private def gearCandCte(outCol: String): String =
+    s"""base AS (
+       |  SELECT doc_id, text, strlen(text)::INT AS n FROM documents),
+       |g AS (
+       |  SELECT doc_id, text, n,
+       |    list_transform(generate_series(1, n), i ->
+       |      gv[ascii(substr(text, i::INT, 1)) % 256 + 1]) AS gt
+       |  FROM base CROSS JOIN gear),
+       |cand AS (
+       |  SELECT doc_id, text, n,
+       |    list_filter(generate_series(6, n), i ->
+       |      (gt[i] + 2 * gt[i-1] + 4 * gt[i-2] + 8 * gt[i-3]
+       |        + 16 * gt[i-4] + 32 * gt[i-5]) % 64 = 0) AS $outCol
+       |  FROM g)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dd_cdc_dedup" ->
-      """WITH base AS (
-        |  SELECT doc_id, text, strlen(text)::INT AS n FROM documents),
-        |b AS (
-        |  SELECT doc_id, text, n,
-        |    list_filter(generate_series(8, n), i ->
-        |      (('0x' || substr(md5(substr(text, i-7, 8)), 1, 15))::BIGINT
-        |        % 64) = 0) AS bs
-        |  FROM base),
+      s"""WITH gear AS (SELECT $gearSql AS gv),
+        |${gearCandCte("bs")},
         |spans AS (
         |  SELECT doc_id, text,
         |    list_filter(
@@ -642,7 +663,7 @@ object CorpusQueries {
         |        {'s': CASE WHEN j = 1 THEN 1 ELSE bs[j-1] + 1 END,
         |         'e': CASE WHEN j = len(bs)+1 THEN n ELSE bs[j] END}),
         |      x -> x.e >= x.s) AS chunks
-        |  FROM b),
+        |  FROM cand),
         |occ AS (
         |  SELECT doc_id, u.s AS start, u.e - u.s + 1 AS clen,
         |    md5(substr(text, u.s, u.e - u.s + 1)) AS chash
@@ -658,19 +679,11 @@ object CorpusQueries {
     // [last+minLen, last+maxLen] or force-splitting at last+maxLen —
     // the same serial rule the engine folds with `aggregate`
     "dd_cdc_bounded" ->
-      """WITH RECURSIVE base AS (
-        |  SELECT doc_id, text, strlen(text)::INT AS n FROM documents),
-        |c AS (
-        |  SELECT doc_id, text, n,
-        |    CASE WHEN n < 8 THEN []::BIGINT[] ELSE
-        |      list_filter(generate_series(8, n), i ->
-        |        (('0x' || substr(md5(substr(text, i-7, 8)), 1, 15))::BIGINT
-        |          % 64) = 0)
-        |    END AS cands
-        |  FROM base),
+      s"""WITH RECURSIVE gear AS (SELECT $gearSql AS gv),
+        |${gearCandCte("cands")},
         |walk AS (
         |  SELECT doc_id, n, cands, 0::BIGINT AS b
-        |  FROM c
+        |  FROM cand
         |  UNION ALL
         |  SELECT doc_id, n, cands, nxt AS b FROM (
         |    SELECT doc_id, n, cands,

@@ -2,6 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -167,6 +168,94 @@ object NativeImpl {
     }
     out
   }
+
+  /** 256-entry gear table for content-defined chunking, reduced mod 64
+    * — only the low 6 bits of an entry can ever reach the 6-bit
+    * boundary mask (addition carries propagate upward, never down), so
+    * the reduced table is behaviorally identical to 64-bit gear
+    * constants and small enough to mirror VERBATIM as a list literal in
+    * the DuckDB oracle CTEs. Deterministic, engine-free generation
+    * (the repo's md5Long convention — first 60 digest bits):
+    * {{{
+    * python3 -c "import hashlib
+    * print([int(hashlib.md5(bytes([b])).hexdigest()[:15],16)%64
+    *        for b in range(256)])"
+    * }}}
+    * PropertySpec re-derives the table independently from this formula
+    * and checks the rolling evaluation against the windowed one.
+    */
+  val GearMod64: Array[Long] = Array(
+    8, 24, 56, 25, 44, 57, 4, 34, 6, 52, 52, 48, 39, 31, 48, 6,
+    44, 34, 51, 50, 52, 43, 27, 10, 49, 34, 11, 8, 27, 43, 59, 36,
+    34, 60, 34, 2, 17, 8, 44, 30, 50, 42, 27, 57, 43, 52, 51, 36,
+    30, 56, 54, 47, 49, 52, 58, 39, 57, 59, 36, 8, 24, 6, 53, 35,
+    14, 58, 12, 20, 43, 50, 21, 26, 33, 57, 25, 57, 46, 38, 10, 57,
+    7, 16, 39, 48, 63, 10, 32, 37, 17, 8, 16, 47, 6, 44, 39, 5,
+    26, 42, 62, 51, 25, 31, 28, 27, 39, 6, 13, 9, 59, 34, 14, 45,
+    9, 19, 12, 0, 6, 28, 61, 28, 3, 32, 45, 22, 18, 23, 3, 49,
+    42, 17, 16, 9, 13, 47, 39, 62, 38, 16, 46, 38, 59, 47, 19, 6,
+    14, 13, 45, 14, 9, 61, 7, 49, 20, 44, 5, 42, 30, 52, 44, 52,
+    32, 15, 31, 25, 5, 13, 15, 26, 26, 53, 29, 48, 20, 63, 0, 8,
+    36, 50, 48, 53, 2, 49, 63, 22, 31, 56, 1, 32, 47, 50, 53, 31,
+    39, 61, 43, 13, 58, 50, 35, 27, 6, 18, 48, 37, 14, 27, 54, 8,
+    14, 54, 45, 32, 58, 1, 33, 62, 60, 12, 52, 42, 8, 27, 10, 47,
+    6, 3, 9, 6, 45, 21, 25, 43, 21, 29, 8, 16, 44, 31, 2, 5,
+    55, 56, 18, 33, 27, 6, 41, 53, 53, 22, 36, 48, 0, 3, 44, 3)
+
+  /** Content-defined chunk boundary candidates (1-based CHARACTER
+    * positions) via a gear rolling hash — one shift+add+table-lookup
+    * per character (FastCDC's hashing judgment, Xia et al. ATC'16
+    * §3.1; replaces r15's per-position MD5 digest, a ~100× scan
+    * constant on the same predicate shape). Rolling state
+    * `h_i = 2·h_{i−1} + GEAR[cp_i mod 256]` (mod 2^64 by long
+    * wraparound); position i ≥ 6 is a boundary iff `h_i ≡ 0 (mod 64)`
+    * — expected chunk length 64, as before.
+    *
+    * Boundary LOCALITY and oracle portability both come from the same
+    * identity: carries propagate upward only, so
+    * `h_i mod 64 = Σ_{k=0..5} 2^k · GEAR[cp_{i−k} mod 256] (mod 64)` —
+    * a pure function of the trailing 6 characters. An edit re-aligns
+    * the tiling within 6 characters (the CDC contract), and the DuckDB
+    * oracle evaluates exactly that windowed restatement over the same
+    * literal table (engine rolls, oracle windows; PropertySpec pins the
+    * equivalence on adversarial strings).
+    *
+    * ASCII fast path walks UTF8 bytes; multibyte falls back to a
+    * codepoint walk so positions stay in the character units that
+    * `substr` downstream consumes.
+    */
+  def gearBoundaries(s: UTF8String): ArrayData = {
+    val nb = s.numBytes()
+    var out = new Array[Int](8)
+    var m = 0
+    var h = 0L
+    if (nb == s.numChars()) {
+      var i = 0
+      while (i < nb) {
+        h = (h << 1) + GearMod64(s.getByte(i) & 0xff)
+        i += 1
+        if (i >= 6 && (h & 63L) == 0L) {
+          if (m == out.length) out = java.util.Arrays.copyOf(out, m * 2)
+          out(m) = i; m += 1
+        }
+      }
+    } else {
+      val str = s.toString
+      var i = 0
+      var pos = 0
+      while (i < str.length) {
+        val cp = str.codePointAt(i)
+        i += Character.charCount(cp)
+        pos += 1
+        h = (h << 1) + GearMod64(cp & 0xff)
+        if (pos >= 6 && (h & 63L) == 0L) {
+          if (m == out.length) out = java.util.Arrays.copyOf(out, m * 2)
+          out(m) = pos; m += 1
+        }
+      }
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, m))
+  }
 }
 
 /** cosine(array<double>, array<double>) → double. */
@@ -204,6 +293,19 @@ case class MinHashSig(child: Expression, numPerms: Int, k: Int)
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = IntegerType
+  // the walk dispatches on the static element type, so mixed inputs
+  // (array<long> vs array<string>) must die at ANALYSIS time — the
+  // long walk on UTF8 ArrayData would return garbage, not an error
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sorted_intersect_count requires both arguments to be " +
+          s"array<string> or both array<bigint>, got ${l.sql} and ${r.sql}")
+    }
   private lazy val isLong = left.dataType match {
     case org.apache.spark.sql.types.ArrayType(
       org.apache.spark.sql.types.LongType, _) => true
@@ -266,6 +368,19 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, t => s"graft.plans.NativeImpl.nfcNormalize($t)")
   override protected def withNewChildInternal(c: Expression): NfcNormalize =
+    copy(child = c)
+}
+
+/** gear_boundaries(string) → array<int>: CDC boundary candidate
+  * positions — see [[NativeImpl.gearBoundaries]] for the rolling/
+  * windowed equivalence that keeps the rule oracle-expressible. */
+case class GearBoundaries(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(t: Any): Any =
+    NativeImpl.gearBoundaries(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.plans.NativeImpl.gearBoundaries($t)")
+  override protected def withNewChildInternal(c: Expression): GearBoundaries =
     copy(child = c)
 }
 
@@ -400,6 +515,8 @@ object Native {
   def sig_min_agg(c: Column): Column =
     column(SigMin(expression(c)).toAggregateExpression())
   def nfc_normalize(c: Column): Column = column(NfcNormalize(expression(c)))
+  def gear_boundaries(c: Column): Column =
+    column(GearBoundaries(expression(c)))
   def bloom_might_contain(c: Column, bits: Array[Byte]): Column =
     column(BloomMightContain(expression(c), bits))
 
@@ -426,6 +543,8 @@ object Native {
       es => SigMin(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("nfc_normalize",
       es => NfcNormalize(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("gear_boundaries",
+      es => GearBoundaries(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("json_find_key",
       es => graft.functions.JsonFindKey(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("json_flatten_paths",

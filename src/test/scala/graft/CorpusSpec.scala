@@ -117,9 +117,8 @@ class CorpusSpec extends SparkSpec {
     // unbounded chunk count = qualifying boundary positions + one tail
     // chunk per doc (same candidate predicate, no clamp)
     val nUnbounded = Tables.documents(spark, sf)
-      .select(explode(filter(sequence(lit(8), length(col("text"))),
-        i => graft.functions.Texts.md5Long(
-          col("text").substr(i - 7, lit(8))) % 64 === 0)).as("b")).count() +
+      .select(explode(graft.plans.Native.gear_boundaries(col("text")))
+        .as("b")).count() +
       docs.count() // boundaries + one tail chunk per doc = chunk count
     assert(nBounded != nUnbounded,
       "clamp changed nothing — fixture too small or legalization inert")

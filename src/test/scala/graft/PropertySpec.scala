@@ -334,22 +334,30 @@ class PropertySpec extends SparkSpec {
   test("cdcBoundedSpans equals a driver-side serial FastCDC walk on " +
     "random strings (the aggregate-fold legalization is exact)") {
     // The clamp is a serial rule; the engine expresses it as a per-row
-    // `aggregate` left fold. This check re-states the rule as the
-    // OBVIOUS sequential loop over MD5 candidates and compares chunk
-    // tilings bit-for-bit. Strings are skewed toward pathological
-    // shapes: long runs (candidate deserts -> forced splits) and short
-    // alphabets (candidate sprays -> suppression).
-    val W = 8; val D = 64; val MinL = 32; val MaxL = 128
+    // `aggregate` left fold over gear-hash candidates. This check
+    // re-states BOTH halves independently: the gear table re-derived
+    // from its generation formula (md5 of the single byte, first 60
+    // bits, mod 64 — never read from NativeImpl), the boundary rule as
+    // the 6-char WINDOWED sum (never the engine's rolling recurrence —
+    // so their equivalence is pinned here too), and the clamp as the
+    // obvious sequential loop. Chunk tilings compare bit-for-bit.
+    // Strings are skewed toward pathological shapes: long runs
+    // (candidate deserts -> forced splits), short alphabets (candidate
+    // sprays -> suppression), and multibyte text (the non-ASCII
+    // codepoint walk must agree with these CHARACTER-unit positions).
+    val W = 6; val D = 64; val MinL = 32; val MaxL = 128
     val md = java.security.MessageDigest.getInstance("MD5")
-    def md5Long(s: String): Long = {
-      val h = md.digest(s.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
-      java.lang.Long.parseLong(h.substring(0, 15), 16)
+    val gear: Array[Long] = Array.tabulate(256) { b =>
+      val h = md.digest(Array(b.toByte)).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.substring(0, 15), 16) % 64
     }
     def serialWalk(text: String): Seq[(Int, Int)] = {
-      val n = text.length
-      val cands = if (n < W) Seq.empty[Int]
-        else (W to n).filter(i => md5Long(text.substring(i - W, i)) % D == 0)
+      val cps = text.codePoints().toArray
+      val n = cps.length
+      val g = cps.map(cp => gear(cp % 256))
+      val cands = (W to n).filter { i =>
+        (0 until W).map(k => g(i - 1 - k) << k).sum % D == 0
+      }
       var last = 0
       val bs = Seq.newBuilder[Int]
       for (b <- cands) {
@@ -364,7 +372,7 @@ class PropertySpec extends SparkSpec {
         .map { case (s0, e) => (s0, e - s0 + 1) }
     }
     val docs = (1 to 300).map { i =>
-      val kind = i % 3
+      val kind = i % 4
       val len = 1 + rnd.nextInt(600)
       val text = kind match {
         case 0 => Seq.fill(len)(('a' + rnd.nextInt(26)).toChar).mkString
@@ -372,6 +380,8 @@ class PropertySpec extends SparkSpec {
         case 2 => // run-heavy: long repeats punctuated by noise
           (1 to len).map(j => if (j % 97 < 90) 'q'
             else ('a' + rnd.nextInt(26)).toChar).mkString
+        case _ => // multibyte: 2- and 3-byte codepoints mixed with ASCII
+          (1 to len).map(j => "aéb中"((j + rnd.nextInt(4)) % 4)).mkString
       }
       (i.toLong, text)
     }
