@@ -3,7 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.functions.{Hashes, Texts, Vectors}
 import graft.streaming.StreamDedup
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -89,6 +89,34 @@ object DedupQueries {
   private[graft] def prefixRepCandidates(reps: DataFrame, t: Double,
       byLang: Boolean): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    // r16: every candidate-side prune runs in EXACT long arithmetic,
+    // scaled by the rational denominator of the effective threshold —
+    // never t in doubles. Two reasons, both measured:
+    //  (a) the verify keeps a pair iff round(jac, 6) >= t (HALF_UP),
+    //      i.e. iff jac >= (2·p − 1)/(2·10^6) with p = round(t·10^6) —
+    //      the prunes must bound with THAT rational or a pair the
+    //      verify would keep can vanish at candidate time;
+    //  (b) doubles round the bound the wrong way on real sizes: at
+    //      t=0.9, lit(t/(1+t)) * (na+nb) lands strictly above the
+    //      exact 9/19·(na+nb) for na+nb ∈ {133, 247, 266, 494, …}
+    //      (46,603 sums below 5.7M), so a true boundary pair with
+    //      ubound == exact bound failed `ubound >= needed` and was
+    //      silently dropped — PropertySpec's brute-force equivalence
+    //      pins exactly that geometry (66+67 tokens, overlap 63).
+    // All operands are integers < 2^31 and num+den < 2^22, so every
+    // product below stays < 2^53: exact in long arithmetic.
+    val p6 = math.round(t * 1e6)
+    require(math.abs(t * 1e6 - p6) < 1e-3,
+      s"jaccard threshold must be a 6-dp decimal, got $t")
+    val num = 2 * p6 - 1
+    val den = 2000000L
+    // exact ceil(num·n/den): subtract the remainder so the division is
+    // of an exact multiple (a double division of k·den by den is k
+    // exactly — no float hazard survives)
+    def ceilDivExact(a: Column): Column = {
+      val r = pmod(a, lit(den))
+      ((a - r) / lit(den)).cast("long") + when(r > 0, 1L).otherwise(0L)
+    }
     val toks =
       if (byLang) reps.select(col("rep_id"), col("lang"), explode(col("ws")).as("tok"))
       else reps.select(col("rep_id"), explode(col("ws")).as("tok"))
@@ -115,24 +143,26 @@ object DedupQueries {
       .withColumn("n", size(col("ows")))
       .select(col("rep_id") +: langCols ++: Seq(col("n"),
         posexplode(slice(col("ows"), lit(1),
-          (col("n") - ceil(lit(t) * col("n")) + 1).cast("int")))
+          (col("n") - ceilDivExact(lit(num) * col("n")) + 1).cast("int")))
           .as(Seq("pos", "tok"))): _*)
-    // Position filter: J(A,B) >= t requires overlap >= t/(1+t)(|A|+|B|)
+    // Position filter: J(A,B) >= θ requires overlap >= θ/(1+θ)(|A|+|B|)
     // (from J = inter/(|A|+|B|-inter)); and if the FIRST shared ordered
     // token sits at 0-based positions (pa, pb), the overlap can be at
     // most 1 + min(|A|-pa-1, |B|-pb-1). Keeping a pair when ANY shared
     // prefix token passes is exactly the first-shared-token test
     // (later shared tokens have larger positions, hence smaller
-    // bounds), so the filter loses no true pair.
-    val needed = lit(t / (1 + t)) * (col("a.n") + col("b.n"))
+    // bounds), so the filter loses no true pair. With θ = num/den,
+    // θ/(1+θ) = num/(num+den): compare cross-multiplied in longs.
+    val needed = lit(num) * (col("a.n") + col("b.n"))
     val ubound = lit(1) +
       least(col("a.n") - col("a.pos") - 1, col("b.n") - col("b.pos") - 1)
     val cond = (Seq(
       col("a.tok") === col("b.tok"),
       col("a.rep_id") < col("b.rep_id"),
-      col("b.n") <= col("a.n") / t,
-      col("a.n") <= col("b.n") / t,
-      ubound >= needed) ++
+      // length filter θ·|A| ≤ |B| ≤ |A|/θ, cross-multiplied exact
+      col("b.n") * lit(num) <= col("a.n") * lit(den),
+      col("a.n") * lit(num) <= col("b.n") * lit(den),
+      ubound * lit(num + den) >= needed) ++
       (if (byLang) Seq(col("a.lang") === col("b.lang")) else Nil))
       .reduce(_ && _)
     pre.alias("a").join(pre.alias("b"), cond)

@@ -281,6 +281,67 @@ class PropertySpec extends SparkSpec {
       s"guard did not fire with its own message: ${messages(e)}")
   }
 
+  test("jaccardPrefixPairs equals naive all-pairs Jaccard on a randomized " +
+    "corpus, including the exact-threshold boundary geometry") {
+    // Brute-force equivalence for the whole prefix-filter pipeline
+    // (r15 VERDICT item 2): the family had no such property — the
+    // DuckDB oracle adjudicates only the corpus the test data happens
+    // to contain. Corpus = perturbation families clustered AROUND the
+    // threshold (small random drops/adds on a shared base set) plus one
+    // ENGINEERED boundary pair: |A|=66, |B|=67, overlap 63, so
+    // J = 63/70 = 0.9 exactly with |A|+|B| = 133 — one of the 46,603
+    // sums where the pre-r16 double `lit(t/(1+t)) * (na+nb)` rounds
+    // strictly above the exact 9/19 bound — and the shared tokens
+    // ordered LAST (uniques are rarer, df=1 < 2, so the df-then-lex
+    // global order puts them first), making ubound == the exact bound.
+    // Under double arithmetic the position filter dropped this true
+    // pair (verified red before the exact-integer fix); under
+    // cross-multiplied long arithmetic it must survive.
+    import graft.operators.DedupQueries
+    val t = 0.9
+    val sets = scala.collection.mutable.ArrayBuffer[(Long, Set[String])]()
+    def add(s: Seq[String]): Long = {
+      val id = sets.size + 1L; sets += ((id, s.toSet)); id
+    }
+    (1 to 40).foreach { g =>
+      val base = (1 to 50 + rnd.nextInt(20)).map(j => s"g${g}_t$j")
+      add(base)
+      (1 to 2).foreach { v =>
+        val kept = base.filter(_ => rnd.nextDouble() > 0.04)
+        val extra = (1 to rnd.nextInt(3)).map(j => s"g${g}_v${v}x$j")
+        add(kept ++ extra)
+      }
+    }
+    val shared = (1 to 63).map(j => s"bp_s$j")
+    val bpA = add((1 to 3).map(j => s"bp_a$j") ++ shared)
+    val bpB = add((1 to 4).map(j => s"bp_b$j") ++ shared)
+
+    // Spark's round(x, 6) is HALF_UP on BigDecimal.valueOf — mirror it
+    def round6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val expected = (for {
+      i <- sets.indices; j <- (i + 1) until sets.size
+      a = sets(i)._2; b = sets(j)._2
+      inter = (a & b).size
+      jac = round6(inter.toDouble / (a.size + b.size - inter))
+      if jac >= t
+    } yield (sets(i)._1, sets(j)._1, jac)).sorted
+
+    val docs = sets.toSeq.map { case (id, s) => (id, s.toSeq.sorted) }
+      .toDF("doc_id", "ws")
+    val got = DedupQueries.jaccardPrefixPairs(docs, t, byLang = false)
+      .select("a_id", "b_id", "jac").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+    assert(got.contains((bpA, bpB, 0.9)),
+      "the engineered exact-threshold boundary pair was dropped by the " +
+        "candidate prunes (position/length/prefix arithmetic not exact)")
+    assert(got == expected,
+      s"prefix pipeline diverged from naive all-pairs: got ${got.size} " +
+        s"pairs, expected ${expected.size}; " +
+        s"missing=${(expected.toSet -- got.toSet).take(3)} " +
+        s"spurious=${(got.toSet -- expected.toSet).take(3)}")
+  }
+
   test("dd_span_scrub self-consistency: n_removed equals the token-count " +
     "delta between original and scrubbed text, for every doc") {
     val scrubbed = operators.CorpusQueries.queries("dd_span_scrub")(spark, sf)
