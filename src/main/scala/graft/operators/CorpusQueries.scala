@@ -41,48 +41,22 @@ object CorpusQueries {
   /** Bounded-CDC chunk occurrences `(doc_id, start, clen, chash)` —
     * the FastCDC legalization behind `dd_cdc_bounded`, exposed so
     * CorpusSpec can assert the clamp invariant over ALL chunks (the
-    * query's output only carries duplicated ones). The serial clamp is
-    * a LEFT FOLD over the per-document candidate array via the
-    * codegen'd `aggregate` builtin: candidates in order; a candidate
-    * within minLen of the last surviving boundary is suppressed; a gap
-    * longer than maxLen first force-splits at last+maxLen strides
-    * (tail included). Row-local at the scan, zero exchanges.
-    * Candidates come from the gear rolling hash (r16 — see
-    * [[graft.plans.NativeImpl.gearBoundaries]]; r15's per-position MD5
-    * made the pair of cdc queries the sweep's two slowest on a ~100×
-    * avoidable hash constant).
+    * query's output only carries duplicated ones). The serial clamp
+    * (candidates in order; a candidate within minLen of the last
+    * surviving boundary is suppressed; a gap longer than maxLen first
+    * force-splits at last+maxLen strides, tail included) runs as ONE
+    * native O(c) pass over the candidate array — r16, replacing the
+    * r15 `aggregate` fold whose growing-concat state was O(c²) per
+    * document (11.1 s for one 500k-char doc, the reference's bound;
+    * see [[graft.plans.NativeImpl.cdcLegalize]]). Candidates come from
+    * the gear rolling hash ([[graft.plans.NativeImpl.gearBoundaries]]);
+    * everything stays row-local at the scan, zero exchanges.
     */
   private[graft] def cdcBoundedSpans(docs: DataFrame): DataFrame = {
     val MinL = 32; val MaxL = 128
     val n = length(col("text"))
-    val cand = graft.plans.Native.gear_boundaries(col("text"))
-    val emptyI = array().cast("array<int>")
-    // fold state: boundaries kept so far + the last boundary (0 = doc
-    // start). Position arithmetic stays exact under double division
-    // (positions < 2^31 << 2^53).
-    def forcedK(upper: Column, last: Column) =
-      floor((upper - 1 - last).cast("double") / MaxL).cast("int")
-    val folded = aggregate(
-      cand,
-      struct(emptyI.as("kept"), lit(0).as("last")),
-      (acc, b) => {
-        val last0 = acc.getField("last")
-        val k = greatest(forcedK(b, last0), lit(0))
-        val lf = last0 + k * MaxL
-        val forced = when(k > 0,
-          sequence(last0 + MaxL, lf, lit(MaxL))).otherwise(emptyI)
-        val keepB = (b - lf) >= MinL
-        struct(
-          concat(acc.getField("kept"), forced,
-            when(keepB, array(b)).otherwise(emptyI)).as("kept"),
-          when(keepB, b).otherwise(lf).as("last"))
-      })
-    // tail: force every maxLen stride left between the last boundary
-    // and doc end (the final chunk alone may undershoot minLen)
-    val kT = greatest(forcedK(n, folded.getField("last")), lit(0))
-    val bs = concat(folded.getField("kept"),
-      when(kT > 0, sequence(folded.getField("last") + MaxL,
-        folded.getField("last") + kT * MaxL, lit(MaxL))).otherwise(emptyI))
+    val bs = graft.plans.Native.cdc_legalize(
+      graft.plans.Native.gear_boundaries(col("text")), n, MinL, MaxL)
     val starts = concat(array(lit(1)), transform(bs, b => b + 1))
     val ends = concat(bs, array(n))
     val chunks = filter(
@@ -195,13 +169,16 @@ object CorpusQueries {
     // of tiny chunks nor run away unbounded). The clamp is inherently
     // SEQUENTIAL (whether a candidate boundary survives depends on the
     // previous surviving boundary), which is why r14 shipped only the
-    // unbounded variant — but the legalization is a LEFT FOLD over the
-    // per-document candidate array, and Spark's `aggregate` builtin is
-    // exactly a codegen'd left fold: candidates in order; positions
-    // within minLen of the last boundary are suppressed; a gap longer
-    // than maxLen first force-splits at last+maxLen strides. Still
-    // zero UDFs, still row-local at the scan; the only shuffle remains
-    // the slim chunk-hash groupBy. Output contract identical to
+    // unbounded variant — but the serial dependence is row-LOCAL: the
+    // legalization is one O(c) native pass over the per-document
+    // candidate array (NativeImpl.cdcLegalize; r15's `aggregate`-fold
+    // restatement was semantically identical but O(c²) in its
+    // growing-concat state — 11 s on a single 500k-char document, the
+    // reference's bound). Candidates in order; positions within minLen
+    // of the last boundary are suppressed; a gap longer than maxLen
+    // first force-splits at last+maxLen strides. Still row-local at
+    // the scan; the only shuffle remains the slim chunk-hash groupBy.
+    // Output contract identical to
     // dd_cdc_dedup (duplicated-chunk catalog with struct-min first
     // occurrence); the oracle walks the identical legalization as a
     // recursive CTE (one step per surviving boundary — fine at oracle

@@ -256,6 +256,40 @@ object NativeImpl {
     }
     new GenericArrayData(java.util.Arrays.copyOf(out, m))
   }
+
+  /** FastCDC min/max legalization of a sorted candidate-boundary array
+    * (Xia et al. ATC'16 §3.2) — the serial clamp as ONE O(c) pass:
+    * candidates in order; a candidate within minLen of the last
+    * surviving boundary is suppressed; a gap longer than maxLen first
+    * force-splits at last+maxLen strides (tail included, via `n`).
+    *
+    * r16: replaces the r15 `aggregate`-fold formulation, whose
+    * growing-`concat` state array made the legalization O(c²) element
+    * copies per document — measured 11.1 s for ONE 500k-char document
+    * (the reference's document bound, ~7k candidates), vs milliseconds
+    * here. The rule is unchanged: PropertySpec's driver-side serial
+    * walk and the oracle's recursive CTE both still state it
+    * independently and compare tilings bit-for-bit.
+    */
+  def cdcLegalize(cand: ArrayData, n: Int, minLen: Int, maxLen: Int): ArrayData = {
+    val c = cand.numElements()
+    var out = new Array[Int](math.max(8, c))
+    var m = 0
+    def push(p: Int): Unit = {
+      if (m == out.length) out = java.util.Arrays.copyOf(out, m * 2)
+      out(m) = p; m += 1
+    }
+    var last = 0
+    var i = 0
+    while (i < c) {
+      val b = cand.getInt(i)
+      while (b - last > maxLen) { last += maxLen; push(last) }
+      if (b - last >= minLen) { last = b; push(b) }
+      i += 1
+    }
+    while (n - last > maxLen) { last += maxLen; push(last) }
+    new GenericArrayData(java.util.Arrays.copyOf(out, m))
+  }
 }
 
 /** cosine(array<double>, array<double>) → double. */
@@ -382,6 +416,24 @@ case class GearBoundaries(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, t => s"graft.plans.NativeImpl.gearBoundaries($t)")
   override protected def withNewChildInternal(c: Expression): GearBoundaries =
     copy(child = c)
+}
+
+/** cdc_legalize(array<int> sorted candidates, int n) → array<int>:
+  * FastCDC min/max clamp — see [[NativeImpl.cdcLegalize]]. min/max
+  * lengths are plan-time constants (they parameterize the generated
+  * call, no per-row boxing). */
+case class CdcLegalize(left: Expression, right: Expression,
+    minLen: Int, maxLen: Int) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(bs: Any, n: Any): Any =
+    NativeImpl.cdcLegalize(bs.asInstanceOf[ArrayData],
+      n.asInstanceOf[Int], minLen, maxLen)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, n) =>
+      s"graft.plans.NativeImpl.cdcLegalize($b, $n, $minLen, $maxLen)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CdcLegalize =
+    copy(left = newLeft, right = newRight)
 }
 
 /** sig_min(array<long>) → array<long>: element-wise minimum across the
@@ -517,6 +569,8 @@ object Native {
   def nfc_normalize(c: Column): Column = column(NfcNormalize(expression(c)))
   def gear_boundaries(c: Column): Column =
     column(GearBoundaries(expression(c)))
+  def cdc_legalize(bs: Column, n: Column, minLen: Int, maxLen: Int): Column =
+    column(CdcLegalize(expression(bs), expression(n), minLen, maxLen))
   def bloom_might_contain(c: Column, bits: Array[Byte]): Column =
     column(BloomMightContain(expression(c), bits))
 

@@ -127,6 +127,49 @@ class CorpusSpec extends SparkSpec {
     spans.unpersist()
   }
 
+  test("cdcBoundedSpans handles the reference's 500k-char document " +
+    "bound in one linear pass") {
+    // Reference doc model allows 500k-char texts
+    // (legislative_origin_extraction.py:40) -> ~7k gear candidates in
+    // one document. The r15 aggregate-fold legalization was O(c^2) in
+    // its growing-concat state: 11.1 s for THIS one row; the native
+    // O(c) pass (NativeImpl.cdcLegalize) does it in well under a
+    // second. Pin both: tilings equal a driver-side clamp over the
+    // engine's own candidates (the independent serial-rule statement
+    // is PropertySpec's), and the wall stays an order of magnitude
+    // under the quadratic's floor.
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val n = 500000
+    val sb = new StringBuilder(n)
+    (0 until n).foreach(_ => sb.append(('a' + rnd.nextInt(26)).toChar))
+    val docs = Seq((1L, sb.toString)).toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val got = CorpusQueries.cdcBoundedSpans(docs)
+      .select("start", "clen").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq
+    val wall = (System.nanoTime() - t0) / 1e9
+    val cands = docs
+      .select(explode(graft.plans.Native.gear_boundaries(col("text"))).as("b"))
+      .collect().map(_.getInt(0)).sorted
+    assert(cands.length > 5000, "fixture must produce a dense candidate set")
+    var last = 0
+    val bs = Seq.newBuilder[Int]
+    for (b <- cands) {
+      while (b - last > 128) { last += 128; bs += last }
+      if (b - last >= 32) { last = b; bs += b }
+    }
+    while (n - last > 128) { last += 128; bs += last }
+    val all = bs.result()
+    val expected = ((1 +: all.map(_ + 1)).zip(all :+ n))
+      .filter { case (s0, e) => e >= s0 }
+      .map { case (s0, e) => (s0, e - s0 + 1) }.sorted
+    assert(got == expected,
+      s"500k-char legalization diverged (${got.size} vs ${expected.size})")
+    assert(wall < 10.0,
+      f"500k-char doc took $wall%.1f s — legalization no longer linear?")
+  }
+
   test("ta_tfidf emits contiguous ranks 1..k and corpus-consistent df") {
     val out = CorpusQueries.queries("ta_tfidf")(spark, sf).cache()
     val badRank = out.groupBy("doc_id")
