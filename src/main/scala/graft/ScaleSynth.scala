@@ -94,7 +94,7 @@ object ScaleSynth {
     * documents.parquet perm 170` (r15; mean load ratio 0.99×).
     * Replica 0 always takes seed 0 = identity.
     */
-  val vettedPermSeeds: Seq[Int] = Seq(0) ++ VettedSeeds.r15
+  val vettedPermSeeds: Seq[Int] = Seq(0) ++ VettedSeeds.r15 ++ VettedSeeds.r16
 
   def main(args: Array[String]): Unit = {
     val srcDir = args(0)
