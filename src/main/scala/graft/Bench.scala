@@ -84,6 +84,15 @@ object Bench {
     // .json wide); the knob records itself in the output JSON as
     // "initial_partitions" so an artifact self-identifies its posture.
     val initParts = sys.env.get("SPARK_GRAFT_INITIAL_PARTITIONS")
+    // Shuffle/spill IO codec knob (r16): the ~sf100 third-decade battery
+    // writes ~100 GB of shuffle files per jaccard run — past this box's
+    // free disk under the lz4 default; zstd fits it. Like the posture
+    // knob this is a real deployment setting (clusters trading shuffle
+    // CPU for IO set it fleet-wide), UNSET in the driver's per-round run,
+    // and it records itself in the artifact as "io_codec" so a run under
+    // a different codec self-identifies instead of polluting a
+    // round-over-round diff.
+    val ioCodec = sys.env.get("SPARK_GRAFT_IO_CODEC")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -94,6 +103,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
     initParts.foreach(n => builder.config(
       "spark.sql.adaptive.coalescePartitions.initialPartitionNum", n))
+    ioCodec.foreach(c => builder.config("spark.io.compression.codec", c))
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Machine-health canary #1: host load BEFORE we add our own. A
@@ -248,6 +258,7 @@ object Bench {
         f""""canary_loadavg_at_start":$loadavg%.2f,""" +
         f""""canary_max_heap_mb":$maxHeapMb%.0f,""" +
         s""""initial_partitions":${initParts.getOrElse(cpus)},""" +
+        s""""io_codec":"${ioCodec.getOrElse("lz4")}",""" +
         f""""gc_sec_total":$gcTotal%.3f,""" +
         f""""shuffle_write_mb_total":$swTotal%.1f,""" +
         f""""spill_mb_total":$spillTotal%.1f,""" +

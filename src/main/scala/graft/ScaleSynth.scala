@@ -126,15 +126,22 @@ object ScaleSynth {
 
     if (scaleDocs) {
       val docs = spark.read.parquet(s"$srcDir/documents.parquet")
-      (0 until factor).map { ri =>
-        val perm = permAlpha(vettedPermSeeds(ri))
-        docs.select(
-          (col("doc_id") + lit(ri * idOffset)).as("doc_id"),
-          translate(col("text"), alpha + ALPHA, perm + perm.toUpperCase)
-            .as("text"),
-          col("lang"), col("source"), col("n_chars"))
-      }.reduce(_ unionByName _)
-        .write.mode("overwrite").parquet(s"$dstDir/documents.parquet")
+      // r16: chunked appends — factor 1000 (the ~sf100 third decade)
+      // as ONE union hands Catalyst a 1000-branch plan whose analysis
+      // dominates the write; 50-branch chunks keep planning bounded and
+      // the output row set identical (parquet has no order contract).
+      (0 until factor).grouped(50).zipWithIndex.foreach { case (ris, ci) =>
+        ris.map { ri =>
+          val perm = permAlpha(vettedPermSeeds(ri))
+          docs.select(
+            (col("doc_id") + lit(ri * idOffset)).as("doc_id"),
+            translate(col("text"), alpha + ALPHA, perm + perm.toUpperCase)
+              .as("text"),
+            col("lang"), col("source"), col("n_chars"))
+        }.reduce(_ unionByName _)
+          .write.mode(if (ci == 0) "overwrite" else "append")
+          .parquet(s"$dstDir/documents.parquet")
+      }
     } else {
       spark.read.parquet(s"$srcDir/documents.parquet")
         .write.mode("overwrite").parquet(s"$dstDir/documents.parquet")
@@ -179,13 +186,16 @@ object ScaleSynth {
     keyCols.foreach { case (name, keys) =>
       val t = spark.read.parquet(s"$srcDir/$name")
       val reps = if (scaleRel) factor else 1
-      (0 until reps).map { ri =>
-        t.select(t.columns.map { c =>
-          if (keys.contains(c)) (col(c) + lit(ri * idOffset)).as(c)
-          else col(c)
-        }: _*)
-      }.reduce(_ unionByName _)
-        .write.mode("overwrite").parquet(s"$dstDir/$name")
+      (0 until reps).grouped(50).zipWithIndex.foreach { case (ris, ci) =>
+        ris.map { ri =>
+          t.select(t.columns.map { c =>
+            if (keys.contains(c)) (col(c) + lit(ri * idOffset)).as(c)
+            else col(c)
+          }: _*)
+        }.reduce(_ unionByName _)
+          .write.mode(if (ci == 0) "overwrite" else "append")
+          .parquet(s"$dstDir/$name")
+      }
     }
 
     // hard-copy the shared dims (and anything else) unchanged

@@ -87,7 +87,14 @@ object DedupQueries {
     * join. Exposed private[graft] so the degenerate-vocabulary guard in
     * SkewSessionSpec can pin the candidate count. */
   private[graft] def prefixRepCandidates(reps: DataFrame, t: Double,
-      byLang: Boolean): DataFrame = {
+      byLang: Boolean,
+      // measurement seams (r16): ScaleProbe disables the position filter
+      // to measure its selectivity at a decade, and turns off the final
+      // distinct to count raw join volume (rows flowing through the
+      // candidate join) separately from distinct candidate pairs —
+      // production callers always keep both on
+      posFilter: Boolean = true,
+      distinctPairs: Boolean = true): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     // r16: every candidate-side prune runs in EXACT long arithmetic,
     // scaled by the rational denominator of the effective threshold —
@@ -161,13 +168,13 @@ object DedupQueries {
       col("a.rep_id") < col("b.rep_id"),
       // length filter θ·|A| ≤ |B| ≤ |A|/θ, cross-multiplied exact
       col("b.n") * lit(num) <= col("a.n") * lit(den),
-      col("a.n") * lit(num) <= col("b.n") * lit(den),
-      ubound * lit(num + den) >= needed) ++
+      col("a.n") * lit(num) <= col("b.n") * lit(den)) ++
+      (if (posFilter) Seq(ubound * lit(num + den) >= needed) else Nil) ++
       (if (byLang) Seq(col("a.lang") === col("b.lang")) else Nil))
       .reduce(_ && _)
-    pre.alias("a").join(pre.alias("b"), cond)
+    val raw = pre.alias("a").join(pre.alias("b"), cond)
       .select(col("a.rep_id").as("ra"), col("b.rep_id").as("rb"))
-      .distinct()
+    if (distinctPairs) raw.distinct() else raw
   }
 
   /** Full collapsed Jaccard-similarity self-join: collapse → prefix
