@@ -148,21 +148,63 @@ object DedupGate {
         col("q.sig").as("qsig"), col("c.sig").as("csig"),
         lit(true).as("from_corpus"))
 
-    val batchHits = bandedCls.alias("a")
-      .join(bandedCls.alias("b"), Seq("band_id", "band_key"))
-      .filter(col("a.uid") > col("b.uid"))
-      .select(col("a.uid").as("uid"), col("b.uid").as("match_id"),
-        col("a.sig").as("qsig"), col("b.sig").as("csig"),
-        lit(false).as("from_corpus"))
+    val batchHits = saltedSlimSelfPairs(
+      bandedCls.select("uid", "band_id", "band_key"),
+      Seq("band_id", "band_key"))
 
     val candidates = expandClasses(memberOf,
-      verifyOncePerPair(corpusHits.unionByName(batchHits)))
+      verifyOncePerPair(corpusHits)
+        .unionByName(verifyTwinPairs(batchHits, classes)))
 
     resolve(incoming, corpusLive.select(col("node_id"), col("meta_key")),
       candidates)
   }
 
-  /** Collapse BAND HITS to distinct candidate pairs BEFORE the
+  /** The within-batch candidate self-join, in the shape that survives a
+    * scale decade (r16): SLIM rows (ids + band key — never a signature),
+    * SALTED 8 ways (the [[graft.operators.Skew]] treatment bandPairJoin
+    * has had since r14), and hash-joined so no sort exists on the band
+    * key. Why all three: the batch band self-join is the gate's one
+    * ~quadratic stream — same-band signature classes pair up within the
+    * block, measured growing 54× per 10× data on the short-doc fixture
+    * (SCALE.md r15) — and the ~sf100 third-decade battery caught the
+    * old sig-carrying unsalted shape wedging the whole query in ONE
+    * sort-merge task (21+ CPU-minutes spill-merging signature payloads
+    * of a hot band block). Salting spreads the block's pair work across
+    * 8 reducers, SHUFFLE_HASH streams it without ever sorting the band
+    * key, and the slim projection keeps the quadratic stream at ~20 B
+    * per row until [[verifyTwinPairs]] re-attaches signatures from the
+    * batch-classes-sized table AFTER the pair collapse. */
+  private def saltedSlimSelfPairs(slim: DataFrame,
+      bandKeys: Seq[String]): DataFrame = {
+    val (a, b, keys) = Skew.saltedSelfJoinSides(slim, bandKeys, "uid", 8)
+    a.alias("a").join(b.alias("b").hint("shuffle_hash"), keys)
+      .filter(col("a.uid") > col("b.uid"))
+      .select(col("a.uid").as("uid"), col("b.uid").as("match_id"))
+  }
+
+  /** Verify within-batch candidate pairs: collapse the (salted, slim)
+    * band-hit stream to distinct pairs FIRST, then attach both
+    * signatures by keyed hash joins against the class table — both
+    * lookup sides are batch-classes-sized at any corpus scale, so the
+    * collapse exchange carries id pairs, not signature arrays. The
+    * corpus-hit family keeps its scan-side signature attach
+    * ([[verifyOncePerPair]]): its joins are broadcast/bucketed with no
+    * sort to straggle and no store exchange to introduce — the slim
+    * treatment is pointed at the stream that actually goes quadratic. */
+  private def verifyTwinPairs(pairs: DataFrame,
+      classSigs: DataFrame): DataFrame =
+    pairs.distinct()
+      .join(classSigs.select(col("uid").as("match_id"),
+        col("sig").as("csig")).hint("shuffle_hash"), "match_id")
+      .join(classSigs.select(col("uid"),
+        col("sig").as("qsig")).hint("shuffle_hash"), "uid")
+      .select(col("uid"), col("match_id"),
+        Hashes.minhashJaccard(col("qsig"), col("csig")).as("sim"),
+        lit(false).as("from_corpus"))
+      .filter(col("sim") >= DuplicateThreshold)
+
+  /** Collapse CORPUS band hits to distinct candidate pairs BEFORE the
     * similarity verify: a pair sharing k bands arrives as k hit rows,
     * and evaluating the signature walk per hit would pay the verify —
     * the allocation-heaviest scalar in the gate — up to numBands× per
@@ -171,7 +213,11 @@ object DedupGate {
     * partial `first` collapses same-mapper duplicates before the
     * exchange, so the shuffle carries one (sig-bearing) row per pair
     * per mapper, and `minhashJaccard` runs exactly once per distinct
-    * (uid, match_id) pair, above the dedup aggregate.
+    * (uid, match_id) pair, above the dedup aggregate. Since r16 this
+    * path serves ONLY corpus hits — whose signature attach is scan-side
+    * on broadcast/bucketed joins, introducing no exchange the store
+    * posture forbids — while within-batch hits take the slim salted
+    * path ([[saltedSlimSelfPairs]] → [[verifyTwinPairs]]).
     */
   private def verifyOncePerPair(hits: DataFrame): DataFrame =
     hits
@@ -274,15 +320,12 @@ object DedupGate {
         col("q.sig").as("qsig"), col("c.sig").as("csig"),
         lit(true).as("from_corpus"))
 
-    val batchHits = probe.alias("a")
-      .join(probe.alias("b"), Seq("bkey"))
-      .filter(col("a.uid") > col("b.uid"))
-      .select(col("a.uid").as("uid"), col("b.uid").as("match_id"),
-        col("a.sig").as("qsig"), col("b.sig").as("csig"),
-        lit(false).as("from_corpus"))
+    val batchHits = saltedSlimSelfPairs(
+      probe.select("uid", "bkey"), Seq("bkey"))
 
     val candidates = expandClasses(memberOf,
-      verifyOncePerPair(corpusHits.unionByName(batchHits)))
+      verifyOncePerPair(corpusHits)
+        .unionByName(verifyTwinPairs(batchHits, classes)))
 
     // Exactly one store row per live node carries band 0, so the per-node
     // meta frame is a row-local filter on the bucketed scan — no distinct
@@ -530,18 +573,14 @@ object DedupGate {
         col("q.sig").as("qsig"), col("c.sig").as("csig"),
         lit(true).as("from_corpus"))
 
-    val batchHits = probe.alias("a")
-      .join(probe.alias("b"), Seq("bkey"))
-      .filter(col("a.uid") > col("b.uid"))
-      .select(col("a.uid").as("uid"), col("b.uid").as("match_id"),
-        col("a.sig").as("qsig"), col("b.sig").as("csig"),
-        lit(false).as("from_corpus"))
+    val batchHits = saltedSlimSelfPairs(
+      probe.select("uid", "bkey"), Seq("bkey"))
 
     val candidates = expandClasses(memberOf,
       verifyOncePerPair(liveDeltas
         .map(d => storeHits(broadcast(d)))
-        .foldLeft(storeHits(liveBase))(_ unionByName _)
-        .unionByName(batchHits)))
+        .foldLeft(storeHits(liveBase))(_ unionByName _))
+        .unionByName(verifyTwinPairs(batchHits, classes)))
 
     val corpusMeta = liveDeltas
       .map(_.filter(col("band_id") === 0)

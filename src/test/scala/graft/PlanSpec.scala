@@ -68,19 +68,24 @@ class PlanSpec extends SparkSpec {
     "dedup — one signature walk per distinct (uid, match_id) pair, " +
     "never per band hit") {
     import org.apache.spark.sql.catalyst.plans.logical.Aggregate
-    // All three gate variants share verifyOncePerPair; pin the two with
-    // distinct probe shapes (broadcast in-memory vs bucketed store).
+    // The corpus-hit family dedups in verifyOncePerPair, the batch-twin
+    // family in verifyTwinPairs (r16 split — from_corpus is a constant
+    // within each branch, so RemoveLiteralFromGroupExpressions leaves
+    // both aggregates grouping on the bare (uid, match_id) pair); pin
+    // the two variants with distinct probe shapes (broadcast in-memory
+    // vs bucketed store): each must carry BOTH pair-dedup aggregates.
     for (q <- Seq("dg_dedup_gate", "dg_gate_delta")) {
       val plan = OrpQueries.queries(q)(spark, sf).queryExecution.optimizedPlan
       val pairDedups = plan.collect {
         case a: Aggregate
             if a.groupingExpressions.exists(_.toString.contains("match_id")) &&
-              a.groupingExpressions.exists(_.toString.contains("from_corpus")) =>
+              a.groupingExpressions.exists(_.toString.contains("uid")) =>
           a
       }
-      assert(pairDedups.nonEmpty,
-        s"$q: the (uid, match_id, from_corpus) pair-dedup aggregate is " +
-          "missing from the optimized plan")
+      assert(pairDedups.size >= 2,
+        s"$q: expected the corpus-hit AND batch-twin (uid, match_id) " +
+          s"pair-dedup aggregates in the optimized plan, found " +
+          s"${pairDedups.size}")
       // The verify is minhashJaccard's zip_with walk, which the
       // GraftRules optimizer rule rewrites into the native SigAgree
       // expression (prints as `sigagree`); either spelling below the
