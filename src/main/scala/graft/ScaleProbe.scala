@@ -1,20 +1,20 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
-/** Structural-count probe for the Jaccard-prefix family at a scale
-  * decade — the measurement companion to [[ScaleSynth]] and SCALE.md's
-  * scaling tables. Wall-clock batteries (Bench) answer "how long"; this
-  * answers the two questions the r15 verdict named as unmeasured at
-  * decade 3: the PPJoin POSITION FILTER's selectivity and the verify's
-  * SHUFFLE_HASH BUILD-SIDE size, plus the candidate-volume linearity
-  * the decade-2 analysis rested on. All quantities are integer counts
-  * or exact byte sums — no timing, so a loaded box cannot contaminate
-  * them.
+/** Structural-count probe for the scale-critical dedup streams at a
+  * scale decade — the measurement companion to [[ScaleSynth]] and
+  * SCALE.md's scaling tables. Wall-clock batteries (Bench) answer "how
+  * long"; this answers "how much flows where" with integer counts and
+  * exact byte sums — no timing, so a loaded box cannot contaminate it.
   *
-  * Counted quantities (threshold/config identical to the
-  * `dd_jaccard_prefix` query: t = 0.9, lang-blind):
+  * Two families:
+  *
+  * `jaccard` (r16) — the PPJoin prefix pipeline's counted quantities
+  * (threshold/config identical to the `dd_jaccard_prefix` query:
+  * t = 0.9, lang-blind):
   *  - `n_docs`, `n_sets`: corpus rows and distinct token sets — the
   *    SHJ build side is sets-sized by construction (collapseSets).
   *  - `build_mb`: exact bytes of the ENCODED build side (8 B per
@@ -31,15 +31,112 @@ import org.apache.spark.sql.functions._
   *    deliberately NOT counted at decade 3 — it would shuffle the
   *    multi-billion-row raw stream just to reproduce a number the
   *    pre-distinct ratio already bounds.
+  *  r17 (ADVICE): the three candidate counts share ONE persisted
+  *  token-ordered frame (`DedupQueries.orderedPrefix`) instead of each
+  *  `prefixRepCandidates` call persisting its own decade-sized copy.
   *
-  * Usage: `runMain graft.ScaleProbe <sfDir> [out.json]` — prints one
-  * JSON line (and optionally writes it) so runs land next to the bench
-  * artifacts.
+  * `gate` (r17) — the ST7 ingest gate's candidate streams over the
+  * exact dg_* fixture (`OrpQueries.gateFixture`, the frames the
+  * measured queries classify), wired through `DedupGate.probeStreams`
+  * so the counts are over the production helpers, not a restatement:
+  *  - `n_batch`, `n_classes`: ingest rows and signature classes — the
+  *    class collapse ratio the r15 linearity argument rests on.
+  *  - `banded_cls_rows`: banded probe rows (classes × numBands); the
+  *    salted self-join replicates this slim frame 8× map-side.
+  *  - `twin_hit_rows` / `twin_pairs`: the within-batch band self-join
+  *    output PRE-collapse — the gate's one ~quadratic stream, whose
+  *    ~54×/decade growth wedged the unsalted shape at ~sf100 (r16) —
+  *    and the distinct class pairs the verify actually scores.
+  *  - `attach_mb`: exact encoded bytes of the class-signature table
+  *    `verifyTwinPairs` hash-builds twice to re-attach signatures
+  *    after the pair collapse (8 B per sig element + 8 B uid per
+  *    class).
+  *  - `corpus_hit_rows` / `corpus_pairs`: the broadcast corpus band
+  *    probe's hit stream pre/post pair collapse.
+  *
+  * Usage: `runMain graft.ScaleProbe <sfDir> [out.json] [family]` with
+  * family ∈ {jaccard, gate} (default jaccard) — prints one JSON line
+  * (and optionally writes it, newline-terminated) so runs land next to
+  * the bench artifacts.
   */
 object ScaleProbe {
+
+  private def jaccardLine(spark: SparkSession, sfDir: String): String = {
+    import graft.operators.DedupQueries
+    val t = 0.9
+    val docs = DedupQueries.prepared(spark, sfDir)
+      .select(col("doc_id"), col("ws"))
+    val nDocs = docs.count()
+    val groups = DedupQueries.collapseSets(docs, byLang = false)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nSets = groups.count()
+    // encoded build side: one 8-byte xxhash64 id per token + the 8-byte
+    // rep key — the exact bytes the verify's SHUFFLE_HASH builds
+    val buildBytes = groups
+      .select((size(col("ws")).cast("long") * 8L + 8L).as("b"))
+      .agg(sum("b")).head.getLong(0)
+    val reps = groups.select(col("rep_id"), col("ws"))
+    // ONE persisted token-ordered build shared by all three counts
+    // (r17 ADVICE: three prefixRepCandidates calls each persisted their
+    // own copy of the decade-3 frame and recomputed dfreq per count)
+    val ordered = DedupQueries.orderedPrefix(reps, byLang = false)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def candRows(posFilter: Boolean): Long =
+      DedupQueries.candidatesOverOrdered(ordered, t, byLang = false,
+        posFilter = posFilter, distinctPairs = false).count()
+    val candNoPos = candRows(posFilter = false)
+    val candPos = candRows(posFilter = true)
+    val candPairsPos = DedupQueries.candidatesOverOrdered(ordered, t,
+      byLang = false).count()
+    ordered.unpersist()
+    groups.unpersist()
+    // guard: a corpus producing no candidates must not emit NaN (invalid
+    // JSON) for the keep ratio
+    val keep = if (candNoPos == 0) 0.0 else candPos.toDouble / candNoPos
+    f"""{"family":"jaccard","sf":"$sfDir","t":$t,""" +
+      s""""n_docs":$nDocs,"n_sets":$nSets,""" +
+      f""""build_mb":${buildBytes / 1e6}%.1f,""" +
+      s""""cand_rows_nopos":$candNoPos,"cand_rows_pos":$candPos,""" +
+      f""""pos_filter_keep":$keep%.4f,""" +
+      s""""cand_pairs_pos":$candPairsPos}"""
+  }
+
+  private def gateLine(spark: SparkSession, sfDir: String): String = {
+    import graft.operators.{DedupGate, OrpQueries}
+    val (inc0, corp0) = OrpQueries.gateFixture(spark, sfDir)
+    val corpSig = OrpQueries.corpusSignatures(spark, sfDir)
+    val incoming = OrpQueries.signedIncoming(inc0,
+      corpSig.withColumnRenamed("node_id", "uid"))
+    val corpus = corp0.join(corpSig, "node_id")
+    val (classes0, twinHits, corpusHits) =
+      DedupGate.probeStreams(incoming, corpus, 4, 4)
+    val classes = classes0.persist(StorageLevel.MEMORY_AND_DISK)
+    val nBatch = incoming.count()
+    val nClasses = classes.count()
+    // exact encoded bytes of the class-signature attach table (8 B per
+    // signature element + the 8 B uid) — what verifyTwinPairs
+    // hash-builds twice after the pair collapse
+    val attachBytes = classes
+      .select((size(col("sig")).cast("long") * 8L + 8L).as("b"))
+      .agg(sum("b")).head.getLong(0)
+    val twinHitRows = twinHits.count()
+    val twinPairs = twinHits.distinct().count()
+    val corpusHitRows = corpusHits.count()
+    val corpusPairs = corpusHits.distinct().count()
+    classes.unpersist()
+    s"""{"family":"gate","sf":"$sfDir","num_bands":4,"rows_per_band":4,""" +
+      s""""n_batch":$nBatch,"n_classes":$nClasses,""" +
+      s""""banded_cls_rows":${nClasses * 4},""" +
+      f""""attach_mb":${attachBytes / 1e6}%.1f,""" +
+      s""""twin_hit_rows":$twinHitRows,"twin_pairs":$twinPairs,""" +
+      s""""corpus_hit_rows":$corpusHitRows,"corpus_pairs":$corpusPairs}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val outFile = if (args.length > 1) Some(args(1)) else None
+    val family = if (args.length > 2) args(2) else "jaccard"
+    require(Set("jaccard", "gate")(family), s"unknown family $family")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -51,35 +148,21 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    import graft.operators.DedupQueries
-    val t = 0.9
-    val docs = DedupQueries.prepared(spark, sfDir)
-      .select(col("doc_id"), col("ws"))
-    val nDocs = docs.count()
-    val groups = DedupQueries.collapseSets(docs, byLang = false)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nSets = groups.count()
-    // encoded build side: one 8-byte xxhash64 id per token + the 8-byte
-    // rep key — the exact bytes the verify's SHUFFLE_HASH builds
-    val buildBytes = groups
-      .select((size(col("ws")).cast("long") * 8L + 8L).as("b"))
-      .agg(sum("b")).head.getLong(0)
-    val reps = groups.select(col("rep_id"), col("ws"))
-    def candRows(posFilter: Boolean): Long =
-      DedupQueries.prefixRepCandidates(reps, t, byLang = false,
-        posFilter = posFilter, distinctPairs = false).count()
-    val candNoPos = candRows(posFilter = false)
-    val candPos = candRows(posFilter = true)
-    val candPairsPos = DedupQueries.prefixRepCandidates(reps, t,
-      byLang = false).count()
-    val line =
-      f"""{"sf":"$sfDir","t":$t,"n_docs":$nDocs,"n_sets":$nSets,""" +
-        f""""build_mb":${buildBytes / 1e6}%.1f,""" +
-        s""""cand_rows_nopos":$candNoPos,"cand_rows_pos":$candPos,""" +
-        f""""pos_filter_keep":${candPos.toDouble / candNoPos}%.4f,""" +
-        s""""cand_pairs_pos":$candPairsPos}"""
-    outFile.foreach(p => java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(p), line))
+    val line = family match {
+      case "gate" => gateLine(spark, sfDir)
+      case _      => jaccardLine(spark, sfDir)
+    }
+    // the println is the result of record; the file write is a
+    // convenience that must never lose a (long) run to a bad path —
+    // newline-terminated so concatenated artifacts stay line-JSON
+    outFile.foreach { p =>
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(p), line + "\n")
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[probe] artifact write to $p failed: $e")
+      }
+    }
     println(line)
     spark.stop()
   }

@@ -96,6 +96,44 @@ object DedupQueries {
       posFilter: Boolean = true,
       distinctPairs: Boolean = true): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    // persisted: the ordered frame feeds both sides of the candidate
+    // self-join. ScaleProbe calls candidatesOverOrdered directly with
+    // ONE persisted build shared across its three counts (r17) —
+    // production callers run this path once per query and Bench clears
+    // the cache between measurements.
+    val ordered = orderedPrefix(reps, byLang)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    candidatesOverOrdered(ordered, t, byLang, posFilter, distinctPairs)
+  }
+
+  /** The t-independent half of the PPJoin candidate build: tokens
+    * ordered rarest-first by rep-level document frequency (then
+    * lexicographic) per representative — (rep_id[, lang], ows). Split
+    * out (r17) so a caller measuring several prune configurations can
+    * persist this decade-sized frame ONCE. */
+  private[graft] def orderedPrefix(reps: DataFrame, byLang: Boolean): DataFrame = {
+    val toks =
+      if (byLang) reps.select(col("rep_id"), col("lang"), explode(col("ws")).as("tok"))
+      else reps.select(col("rep_id"), explode(col("ws")).as("tok"))
+    val dfKeys = if (byLang) Seq("lang", "tok") else Seq("tok")
+    val dfreq = toks.groupBy(dfKeys.map(col): _*).agg(count(lit(1)).as("df"))
+    val sorted = sort_array(collect_list(struct(col("df"), col("tok")))).as("o")
+    val grouped =
+      if (byLang) toks.join(dfreq, dfKeys).groupBy("rep_id")
+        .agg(first("lang").as("lang"), sorted)
+      else toks.join(dfreq, dfKeys).groupBy("rep_id").agg(sorted)
+    grouped
+      .withColumn("ows", transform(col("o"), x => x.getField("tok")))
+      .drop("o")
+  }
+
+  /** Candidate generation over an already-built (and caller-persisted)
+    * [[orderedPrefix]] frame — the t-dependent prefix slice, the
+    * candidate self-join, and the exact-integer prunes. */
+  private[graft] def candidatesOverOrdered(ordered: DataFrame, t: Double,
+      byLang: Boolean,
+      posFilter: Boolean = true,
+      distinctPairs: Boolean = true): DataFrame = {
     // r16: every candidate-side prune runs in EXACT long arithmetic,
     // scaled by the rational denominator of the effective threshold —
     // never t in doubles. Two reasons, both measured:
@@ -124,21 +162,6 @@ object DedupQueries {
       val r = pmod(a, lit(den))
       ((a - r) / lit(den)).cast("long") + when(r > 0, 1L).otherwise(0L)
     }
-    val toks =
-      if (byLang) reps.select(col("rep_id"), col("lang"), explode(col("ws")).as("tok"))
-      else reps.select(col("rep_id"), explode(col("ws")).as("tok"))
-    val dfKeys = if (byLang) Seq("lang", "tok") else Seq("tok")
-    val dfreq = toks.groupBy(dfKeys.map(col): _*).agg(count(lit(1)).as("df"))
-    val sorted = sort_array(collect_list(struct(col("df"), col("tok")))).as("o")
-    val grouped =
-      if (byLang) toks.join(dfreq, dfKeys).groupBy("rep_id")
-        .agg(first("lang").as("lang"), sorted)
-      else toks.join(dfreq, dfKeys).groupBy("rep_id").agg(sorted)
-    // persisted: `pre` feeds both sides of the candidate self-join
-    val ordered = grouped
-      .withColumn("ows", transform(col("o"), x => x.getField("tok")))
-      .drop("o")
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val langCols = if (byLang) Seq(col("lang")) else Nil
     // posexplode, not explode: the 0-based prefix POSITION feeds
     // PPJoin's position filter below (Xiao et al., WWW'08 §3). r15:

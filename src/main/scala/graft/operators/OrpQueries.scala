@@ -32,7 +32,7 @@ object OrpQueries {
     * on disk for this JVM — see the query's base-rebuild note. */
   private val streamLoopInit =
     scala.collection.mutable.Set.empty[(SparkSession, String)]
-  private def corpusSignatures(s: SparkSession, d: String): DataFrame =
+  private[graft] def corpusSignatures(s: SparkSession, d: String): DataFrame =
     synchronized {
       // bound the cache: entries of STOPPED sessions pin their frames,
       // plans, and the dead session itself for the JVM's lifetime —
@@ -54,6 +54,47 @@ object OrpQueries {
         sig.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       sig
     }
+
+  /** The ST7 gate fixture `(inc0, corp0)` shared by all four dg_* gate
+    * queries AND ScaleProbe's gate family (r17 — previously four inline
+    * copies): every 5th doc re-arrives; every 10th with replaced content
+    * (→ new), every 15th with changed metadata (→ version), the rest
+    * identical (→ duplicate); corpus docs ≡9 mod 10 are archived
+    * (check_duplicate.py:183-289). Factored so the structural counts
+    * the probe reports are BY CONSTRUCTION over the same frames the
+    * measured queries classify. */
+  private[graft] def gateFixture(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val docs = Tables.documents(s, d)
+    val inc0 = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("uid"),
+        when(col("doc_id") % 10 === 0,
+          concat(lit("completely different content block "), col("doc_id")))
+          .otherwise(col("text")).as("itext"),
+        when(col("doc_id") % 15 === 0, lit("xx")).otherwise(col("lang"))
+          .as("meta_key"))
+    val corp0 = docs.select(col("doc_id").as("node_id"), col("text"),
+      col("lang").as("meta_key"),
+      when(col("doc_id") % 10 === 9, "archive").otherwise("published")
+        .as("status"))
+    (inc0, corp0)
+  }
+
+  /** Incremental signature maintenance for the gate batch, shared by the
+    * four dg_* queries: only mutated docs (uid ≡ 0 mod 10) re-sign;
+    * the rest pull their signature from `reuse` — `(uid, sig)` rows off
+    * whichever index posture the variant probes (corpus signature table,
+    * band-0 store rows, …). At production scale the batch never re-signs
+    * the store; sig is a pure function of the text, so the oracle is
+    * unaffected. */
+  private[graft] def signedIncoming(inc0: DataFrame,
+      reuse: DataFrame): DataFrame = {
+    val mutSig = MinHashPipeline.signatures(
+      inc0.filter(col("uid") % 10 === 0), "uid", col("itext"))
+    val reusedSig = inc0.filter(col("uid") % 10 =!= 0).select(col("uid"))
+      .join(reuse, "uid")
+    inc0.join(mutSig.unionByName(reusedSig), "uid")
+  }
 
   val queries: Map[String, Q] = Map(
     // §3.2 search slice: conjunctive predicate → order → deterministic
@@ -381,32 +422,15 @@ object OrpQueries {
     // with replaced content (→ new), every 15th with changed metadata
     // (→ version), the rest identical (→ duplicate).
     "dg_dedup_gate" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val inc0 = docs.filter(col("doc_id") % 5 === 0)
-        .select(col("doc_id").as("uid"),
-          when(col("doc_id") % 10 === 0,
-            concat(lit("completely different content block "), col("doc_id")))
-            .otherwise(col("text")).as("itext"),
-          when(col("doc_id") % 15 === 0, lit("xx")).otherwise(col("lang"))
-            .as("meta_key"))
-      val corp0 = docs.select(col("doc_id").as("node_id"), col("text"),
-        col("lang").as("meta_key"),
-        when(col("doc_id") % 10 === 9, "archive").otherwise("published")
-          .as("status"))
-      // Incremental signature maintenance: the corpus signature table is
-      // computed ONCE per (session, sfDir) and persisted (classify reads
-      // it from several branches); incoming rows re-sign only where
-      // their text actually mutated (uid % 10 == 0), the rest REUSE the
-      // stored corpus signature — at production scale the batch never
-      // re-signs the store. Signature values are identical either way
-      // (sig is a pure function of the text), so the oracle is
-      // unaffected.
+      val (inc0, corp0) = gateFixture(s, d)
+      // Incremental signature maintenance (signedIncoming): the corpus
+      // signature table is computed ONCE per (session, sfDir) and
+      // persisted (classify reads it from several branches); the batch
+      // re-signs only its mutated rows and reuses the stored signatures
+      // otherwise.
       val corpSig = corpusSignatures(s, d)
-      val mutSig = MinHashPipeline.signatures(
-        inc0.filter(col("uid") % 10 === 0), "uid", col("itext"))
-      val reusedSig = inc0.filter(col("uid") % 10 =!= 0).select(col("uid"))
-        .join(corpSig.withColumnRenamed("node_id", "uid"), "uid")
-      val incoming = inc0.join(mutSig.unionByName(reusedSig), "uid")
+      val incoming = signedIncoming(inc0,
+        corpSig.withColumnRenamed("node_id", "uid"))
       val corpus = corp0.join(corpSig, "node_id")
       DedupGate.classify(incoming, corpus, 4, 4)
     }),
@@ -422,18 +446,7 @@ object OrpQueries {
     // write time, never per ingest batch. The write is the operator's
     // semantics (K2 sink convention), not an optimization cache.
     "dg_gate_stored" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val inc0 = docs.filter(col("doc_id") % 5 === 0)
-        .select(col("doc_id").as("uid"),
-          when(col("doc_id") % 10 === 0,
-            concat(lit("completely different content block "), col("doc_id")))
-            .otherwise(col("text")).as("itext"),
-          when(col("doc_id") % 15 === 0, lit("xx")).otherwise(col("lang"))
-            .as("meta_key"))
-      val corp0 = docs.select(col("doc_id").as("node_id"), col("text"),
-        col("lang").as("meta_key"),
-        when(col("doc_id") % 10 === 9, "archive").otherwise("published")
-          .as("status"))
+      val (inc0, corp0) = gateFixture(s, d)
       val corpSig = corpusSignatures(s, d)
       val dir = new java.io.File(sys.props("java.io.tmpdir"),
         s"graft-sigstore-${d.replace('/', '_')}").getAbsolutePath
@@ -441,18 +454,14 @@ object OrpQueries {
         DedupGate.bandedSigStore(corp0.join(corpSig, "node_id"), 4, 4),
         "graft_sig_store", dir, 8, Seq("bkey"))
       val stored = s.table("graft_sig_store")
-      // Incremental maintenance FROM THE STORE: only mutated docs
-      // (uid % 10 == 0) re-sign; the rest pull their stored signature
-      // off the band-0 store rows. (Every non-mutated incoming uid is
-      // live — archived ids are ≡9 mod 10, incoming ≡0 mod 5 — so the
-      // inner join drops nothing; a re-arriving archived doc would have
-      // to re-sign like a mutated one.)
-      val mutSig = MinHashPipeline.signatures(
-        inc0.filter(col("uid") % 10 === 0), "uid", col("itext"))
-      val reusedSig = inc0.filter(col("uid") % 10 =!= 0).select(col("uid"))
-        .join(stored.filter(col("band_id") === 0)
-          .select(col("node_id").as("uid"), col("sig")), "uid")
-      val incoming = inc0.join(mutSig.unionByName(reusedSig), "uid")
+      // Incremental maintenance FROM THE STORE: the reuse side is the
+      // band-0 store rows. (Every non-mutated incoming uid is live —
+      // archived ids are ≡9 mod 10, incoming ≡0 mod 5 — so the inner
+      // join drops nothing; a re-arriving archived doc would have to
+      // re-sign like a mutated one.)
+      val incoming = signedIncoming(inc0,
+        stored.filter(col("band_id") === 0)
+          .select(col("node_id").as("uid"), col("sig")))
       DedupGate.classifyStored(incoming, stored, 4, 4)
     }),
 
@@ -465,18 +474,7 @@ object OrpQueries {
     // how the live index is PHYSICALLY organized (monolith, bucketed
     // table, or base+delta) must not change a single classified row.
     "dg_gate_delta" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val inc0 = docs.filter(col("doc_id") % 5 === 0)
-        .select(col("doc_id").as("uid"),
-          when(col("doc_id") % 10 === 0,
-            concat(lit("completely different content block "), col("doc_id")))
-            .otherwise(col("text")).as("itext"),
-          when(col("doc_id") % 15 === 0, lit("xx")).otherwise(col("lang"))
-            .as("meta_key"))
-      val corp0 = docs.select(col("doc_id").as("node_id"), col("text"),
-        col("lang").as("meta_key"),
-        when(col("doc_id") % 10 === 9, "archive").otherwise("published")
-          .as("status"))
+      val (inc0, corp0) = gateFixture(s, d)
       val corpSig = corpusSignatures(s, d)
       // base as written at T0: the %7 tranche hadn't arrived, and docs
       // archived SINCE then were still published
@@ -491,11 +489,8 @@ object OrpQueries {
           .join(corpSig, "node_id"), 4, 4)
       val tombstones = corp0.filter(col("status") === "archive")
         .select("node_id")
-      val mutSig = MinHashPipeline.signatures(
-        inc0.filter(col("uid") % 10 === 0), "uid", col("itext"))
-      val reusedSig = inc0.filter(col("uid") % 10 =!= 0).select(col("uid"))
-        .join(corpSig.withColumnRenamed("node_id", "uid"), "uid")
-      val incoming = inc0.join(mutSig.unionByName(reusedSig), "uid")
+      val incoming = signedIncoming(inc0,
+        corpSig.withColumnRenamed("node_id", "uid"))
       DedupGate.classifyStoredDelta(incoming, base, delta, tombstones, 4, 4)
     }),
 
@@ -509,18 +504,7 @@ object OrpQueries {
     // outcome semantics to the same SQL as the in-memory, stored, and
     // delta gates — four physical postures, one truth.
     "dg_stream_loop" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val inc0 = docs.filter(col("doc_id") % 5 === 0)
-        .select(col("doc_id").as("uid"),
-          when(col("doc_id") % 10 === 0,
-            concat(lit("completely different content block "), col("doc_id")))
-            .otherwise(col("text")).as("itext"),
-          when(col("doc_id") % 15 === 0, lit("xx")).otherwise(col("lang"))
-            .as("meta_key"))
-      val corp0 = docs.select(col("doc_id").as("node_id"), col("text"),
-        col("lang").as("meta_key"),
-        when(col("doc_id") % 10 === 9, "archive").otherwise("published")
-          .as("status"))
+      val (inc0, corp0) = gateFixture(s, d)
       val corpSig = corpusSignatures(s, d)
       val base = DedupGate.bandedSigStore(corp0.join(corpSig, "node_id"), 4, 4)
       val dir = new java.io.File(sys.props("java.io.tmpdir"),
@@ -544,11 +528,8 @@ object OrpQueries {
         } else Option(new java.io.File(dir).listFiles()).foreach(
           _.filter(_.getName.startsWith("gen_")).foreach(rm))
       }
-      val mutSig = MinHashPipeline.signatures(
-        inc0.filter(col("uid") % 10 === 0), "uid", col("itext"))
-      val reusedSig = inc0.filter(col("uid") % 10 =!= 0).select(col("uid"))
-        .join(corpSig.withColumnRenamed("node_id", "uid"), "uid")
-      val incoming = inc0.join(mutSig.unionByName(reusedSig), "uid")
+      val incoming = signedIncoming(inc0,
+        corpSig.withColumnRenamed("node_id", "uid"))
       graft.streaming.GateStoreLoop.handleBatch(dir, 4, 4)(
         incoming.select("uid", "sig", "meta_key"), 0L)
       graft.streaming.GateStoreLoop.outcomes(s, dir)

@@ -247,6 +247,13 @@ object NativeImpl {
         val cp = str.codePointAt(i)
         i += Character.charCount(cp)
         pos += 1
+        // `cp & 0xff` ≡ the oracle's `ascii(...) % 256` and the
+        // PropertySpec serial walk's `% 256` for every codepoint:
+        // codePointAt is non-negative (0..0x10FFFF, supplementary plane
+        // included), and for non-negative ints masking the low byte and
+        // taking mod 256 are the same operation — so the three
+        // restatements of the gear table (engine, oracle SQL, spec walk)
+        // index it identically.
         h = (h << 1) + GearMod64(cp & 0xff)
         if (pos >= 6 && (h & 63L) == 0L) {
           if (m == out.length) out = java.util.Arrays.copyOf(out, m * 2)
