@@ -151,6 +151,14 @@ object Bench {
     // driver's per-round run, so the contract output is unchanged.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // Scale-battery sampling knob (r17): SPARK_GRAFT_BENCH_RUNS caps the
+    // adaptive re-run count (1 = single sample). The decade-3 batteries
+    // run multi-hundred-second queries where min-of-3 costs an hour per
+    // family; the r16 verdict accepts sampling there. UNSET in the
+    // driver's per-round run and the committed sf0.1 artifacts; the agg
+    // field records the effective policy so a sampled artifact
+    // self-identifies.
+    val runCap = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(3)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     spark.sparkContext.addSparkListener(IoTally)
@@ -218,13 +226,13 @@ object Bench {
     // canaries follow the KEPT (fastest) run — they explain the number
     // that gets reported, not a run that was discarded.
     val results = firstPass.map { case (name, fn, m1) =>
-      if (m1.ok && m1.sec > 1.0) {
+      if (runCap > 1 && m1.ok && m1.sec > 1.0) {
         val m2 = timeOne(name, fn)
         var best = if (m2.ok && m2.sec < m1.sec) m2 else m1
         var n = 2
         // the slowest queries carry the most residual noise (GC phase,
         // page cache) AND dominate the total — buy them a third run
-        if (m2.ok && best.sec > 2.5) {
+        if (runCap > 2 && m2.ok && best.sec > 2.5) {
           val m3 = timeOne(name, fn)
           if (m3.ok) { if (m3.sec < best.sec) best = m3; n = 3 }
         }
@@ -253,7 +261,10 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val commonFields =
       f""""metric":"total","value":$total%.3f,"unit":"sec",""" +
-        s""""agg":"min-of-2 for queries >1s, min-of-3 >2.5s",""" +
+        s""""agg":"${
+          if (runCap <= 1) "single run (SPARK_GRAFT_BENCH_RUNS=1)"
+          else if (runCap == 2) "min-of-2 for queries >1s (SPARK_GRAFT_BENCH_RUNS=2)"
+          else "min-of-2 for queries >1s, min-of-3 >2.5s"}",""" +
         f""""canary_warmup_sec":$warmupSec%.2f,""" +
         f""""canary_loadavg_at_start":$loadavg%.2f,""" +
         f""""canary_max_heap_mb":$maxHeapMb%.0f,""" +

@@ -44,6 +44,27 @@ import org.apache.spark.sql.functions._
   *    documents factor past the list size, with EXPLICITLY perm mode
   *    (the tool also sweeps r14's rotations for comparison):
   *    `python3 tools/vet_rotations.py <documents.parquet> perm <maxSeed>`.
+  *    CHANCE-PAIR EXCESS, quantified (r17, closing the r16 verdict's
+  *    item 5): isomorphism makes each replica's TRUE near-dup graph
+  *    exact, but cross-replica banding collisions are chance-level, not
+  *    zero — and chance mass grows with the number of replica PAIRS,
+  *    i.e. ~quadratically in the factor R. Measured on the 16-perm
+  *    banded MinHash query (`dd_minhash_lsh`, est ≥ 0.5) over the
+  *    sf0.1 source: excess over exact output linearity = 295k pairs at
+  *    R=100 and 24.6M at R=1000 (SCALE.md r16 decade-3 table), a
+  *    power-law fit **excess(R) ≈ 43 · R^1.92** (exact quadratic would
+  *    be exponent 2; the small deficit is the vetted-seed pool
+  *    suppressing the worst colliders). Use this to correct decade
+  *    ratios ANALYTICALLY before attributing super-linearity to the
+  *    engine: at R=1000 the raw minhash wall ratio is 11.2× per 10×
+  *    data, but the workload itself is 14.7× (67.9M = 43.3M linear +
+  *    24.6M chance output pairs), so the per-output-pair engine cost
+  *    *fell* 0.76× across the decade; on a corpus without the
+  *    synthetic excess the projected decade-3 wall is ≈107 s (7.1× per
+  *    10×). The excess is a property of the ~30-word synthetic
+  *    vocabulary's tiny banding landscape, not of the engine or of
+  *    real corpora (whose vocabulary grows with size).
+  *
   *  - embeddings: a per-replica cyclic shift of the vector components
   *    with a sign flip on the wrap (an orthogonal transform — norms
   *    and intra-replica dot products exact; cross-replica cosines

@@ -42,6 +42,25 @@ object DedupQueries {
     concat(substring_index(title, " ", 2), lit("|"),
       floor(length(title) / 16).cast("int"))
 
+  /** Two-offset length blocking (r17): each title emits BOTH its
+    * 16-char bucket k and k+1 (in emission order — the position is the
+    * offset flag the join uses to kill double-matches). Any pair inside
+    * the Levenshtein gate has |Δlen| ≤ 10 < 16, so its buckets differ
+    * by at most 1 and the two emissions share ≥ 1 key: the length
+    * blocking becomes LOSSLESS w.r.t. the operator's contract, closing
+    * the one-boundary recall loss documented since r7 — measured 11 of
+    * 365 true pairs (3.0%) at sf0.1 — for a ≤ 2× candidate-row price.
+    * Same-bucket pairs would meet on both keys; the caller joins with
+    * `NOT (a.o = 1 AND b.o = 1)` so every pair survives on exactly one
+    * key (equal buckets meet only at offset 0, adjacent buckets only
+    * where the lower title's k+1 emission meets the higher's k) — no
+    * post-join distinct, Levenshtein runs once per pair. */
+  def fuzzyTitleBlocks(title: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val head = concat(substring_index(title, " ", 2), lit("|"))
+    val k = floor(length(title) / 16).cast("int")
+    array(concat(head, k), concat(head, (k + 1).cast("int")))
+  }
+
   /** documents with cleaned text + sorted distinct content-word sets
     * (shared prep for the dedup family). */
   private[graft] def prepared(s: SparkSession, d: String): DataFrame =
@@ -1152,23 +1171,29 @@ object DedupQueries {
     // standard fuzzy-match shape at scale. First-token-only blocking is
     // Zipfian ("The …" swallows the corpus); adding the second token
     // breaks the hot head into its bigram distribution, and the
-    // 16-char length bucket splits what survives (titles >16 chars
-    // apart can't be within edit distance 10 anyway, so the bucket
-    // costs recall only across one boundary). SkewSessionSpec pins the
-    // hot-block share on a Zipfian fixture. Levenshtein has identical
-    // semantics in both engines, so the distance itself is
-    // oracle-checked.
+    // 16-char length bucket splits what survives. r17: the bucket is
+    // emitted at TWO offsets (k and k+1), which makes the length
+    // dimension LOSSLESS for the dist<=10 contract — the former
+    // one-boundary recall loss (documented since r7) measured 11 of
+    // 365 true pairs at sf0.1. SkewSessionSpec pins the hot-block
+    // share on a Zipfian fixture. Levenshtein has identical semantics
+    // in both engines, so the distance itself is oracle-checked.
     "dd_fuzzy_title" -> ((s, d) => {
+      // r17: two-offset blocking (fuzzyTitleBlocks) — posexplode's
+      // position is the offset flag; the o-sum predicate keeps exactly
+      // one meeting key per pair (see the helper's Scaladoc), so the
+      // join output is pair-distinct without a distinct exchange.
       val base = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
           Texts.smartShorten(col("text"), 5).as("title"))
-        .withColumn("blk", fuzzyTitleBlock(col("title")))
-      val a = base.select(col("lang"), col("blk"),
+        .select(col("doc_id"), col("lang"), col("title"),
+          posexplode(fuzzyTitleBlocks(col("title"))).as(Seq("o", "blk")))
+      val a = base.select(col("lang"), col("blk"), col("o").as("a_o"),
         col("doc_id").as("a_id"), col("title").as("a_t"))
-      val b = base.select(col("lang"), col("blk"),
+      val b = base.select(col("lang"), col("blk"), col("o").as("b_o"),
         col("doc_id").as("b_id"), col("title").as("b_t"))
       a.join(b, Seq("lang", "blk"))
-        .filter(col("a_id") < col("b_id"))
+        .filter(col("a_id") < col("b_id") && col("a_o") + col("b_o") < 2)
         // thresholded form: the DP early-exits once distance exceeds 10
         // (returns -1, which the between-filter drops) — per-pair cost
         // O(threshold·len) instead of O(len²), the within-block
@@ -1485,18 +1510,23 @@ object DedupQueries {
          |SELECT simhash, min(doc_id) AS canonical_id, count(*) AS n_docs,
          |  array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS members
          |FROM f GROUP BY simhash HAVING count(*) > 1""".stripMargin,
+    // r17: the oracle states the two-offset blocking DECLARATIVELY —
+    // same first-2-words and length buckets within 1 (the engine's two
+    // emitted keys cover exactly |Δk| <= 1; lossless for dist <= 10
+    // since |Δlen| <= 10 < 16)
     "dd_fuzzy_title" ->
       """WITH t AS (
         |  SELECT doc_id, lang,
         |    array_to_string((string_split(text, ' '))[1:5], ' ') AS title
         |  FROM documents),
         |b AS (SELECT *,
-        |  array_to_string(string_split(title, ' ')[1:2], ' ') || '|' ||
-        |    (length(title) // 16)::VARCHAR AS blk FROM t)
+        |  array_to_string(string_split(title, ' ')[1:2], ' ') AS h,
+        |  (length(title) // 16) AS k FROM t)
         |SELECT a.doc_id AS a_id, c.doc_id AS b_id,
         |  levenshtein(a.title, c.title) AS dist
         |FROM b a JOIN b c
-        |  ON a.lang = c.lang AND a.blk = c.blk AND a.doc_id < c.doc_id
+        |  ON a.lang = c.lang AND a.h = c.h AND abs(a.k - c.k) <= 1
+        |    AND a.doc_id < c.doc_id
         |WHERE levenshtein(a.title, c.title) BETWEEN 1 AND 10""".stripMargin,
     "dd_embed_cosine" ->
       s"""WITH e AS (
