@@ -570,9 +570,21 @@ object DedupGate {
     * probed the way its size deserves: the bucketed base joins
     * exchange-free on `bkey` with the union of all tombstones dropped
     * by a broadcast anti-join AT THE SCAN (delta-sized build side — the
-    * base never shuffles), and each delta — ingest-scale by
-    * construction — rides a broadcast hash join. No corpus-sized
-    * exchange exists anywhere in the per-batch path.
+    * base never shuffles), and each delta probe's strategy is left to
+    * AQE's runtime sizing: an ingest-scale delta converts to a
+    * broadcast hash join at runtime, while an unbounded one (a bulk
+    * backfill tranche) stays a keyed shuffle of two delta/batch-sized
+    * sides. r17: this was a STATIC `broadcast()` hint, and the ~sf100
+    * battery caught it — a generation has no size contract, and the
+    * fixture's 1/7-corpus tranche (2.86M banded sig rows, a GB-scale
+    * hashed relation) OOM-killed the run under sequential-battery heap
+    * pressure (546 s when run standalone on a fresh heap); hint
+    * removed, AQE preserves the tiny-delta runtime-broadcast behavior
+    * while the backfill tranche joins keyed, and the formerly-failing
+    * battery geometry completes (627.6 s at ~sf100 under the wide
+    * posture SCALE.md r17 prescribes for this decade). No corpus-sized
+    * exchange exists
+    * anywhere in the per-batch path either way.
     */
   def classifyStoredDeltas(incoming: DataFrame, base: DataFrame,
       generations: Seq[(DataFrame, DataFrame)],
@@ -605,7 +617,7 @@ object DedupGate {
 
     val candidates = expandClasses(memberOf,
       verifyOncePerPair(liveDeltas
-        .map(d => storeHits(broadcast(d)))
+        .map(d => storeHits(d))
         .foldLeft(storeHits(liveBase))(_ unionByName _))
         .unionByName(verifyTwinPairs(batchHits, classes)))
 

@@ -353,6 +353,35 @@ class PropertySpec extends SparkSpec {
     assert(bad.count() == 0, bad.limit(3).collect().mkString(" | "))
   }
 
+  test("two-offset fuzzy-title blocking is lossless and duplicate-free " +
+    "over every length-bucket geometry, and matches on real titles") {
+    // Exhaustive over the bucket geometry: for all title lengths la, lb
+    // in 0..80 the o-sum<2 join over the {k, k+1} emissions must meet
+    // on EXACTLY one key when |ka-kb| <= 1 (covers every |dlen| <= 10
+    // pair, hence every dist <= 10 pair) and on none otherwise.
+    for (la <- 0 to 80; lb <- 0 to 80) {
+      val (ka, kb) = (la / 16, lb / 16)
+      val meets = (for (i <- 0 to 1; j <- 0 to 1
+        if i + j < 2 && ka + i == kb + j) yield ()).size
+      val expect = if (math.abs(ka - kb) <= 1) 1 else 0
+      assert(meets == expect, s"la=$la lb=$lb: $meets meets")
+    }
+    // And the Spark expression agrees with the geometry: emissions of
+    // random titles reproduce {head|k, head|k+1} with k = len/16.
+    val titles = Seq.fill(2000)(
+      (0 until (1 + rnd.nextInt(8))).map(_ =>
+        "abcdefgh".take(1 + rnd.nextInt(8))).mkString(" ")).distinct
+    val rows = titles.toDF("title")
+      .select($"title",
+        operators.DedupQueries.fuzzyTitleBlocks($"title").as("bs"))
+      .collect()
+    assert(rows.forall { r =>
+      val t = r.getString(0); val k = t.length / 16
+      val head = t.split(" ", -1).take(2).mkString(" ")
+      r.getSeq[String](1) == Seq(s"$head|$k", s"$head|${k + 1}")
+    })
+  }
+
   test("ix_phrase_query soundness: every reported doc really has the " +
     "phrase adjacent at first_pos, and n_matches >= 1") {
     val hits = operators.OrpQueries.queries("ix_phrase_query")(spark, sf)
