@@ -464,8 +464,14 @@ object CorpusQueries {
         .agg(coalesce(count(lit(1)), lit(0L)).as("metric"))
         .select(lit("orders.o_orderkey.duplicate_count").as("check"),
           col("metric"))
+      // r17: no static broadcast hint — the customer key column grows
+      // LINEARLY with the corpus (the gate-delta defect class: a forced
+      // broadcast of a linear frame is fast until the scale where it
+      // OOMs). AQE broadcasts it at every tested scale; at a scale
+      // where the key set outgrows memory the anti-join degrades to a
+      // keyed shuffle instead of dying.
       val fkViol = o.join(
-          broadcast(Tables.customer(s, d).select(col("c_custkey"))),
+          Tables.customer(s, d).select(col("c_custkey")),
           col("o_custkey") === col("c_custkey"), "left_anti")
         .agg(coalesce(count(lit(1)), lit(0L)).as("metric"))
         .select(lit("orders.o_custkey.fk_violation_count").as("check"),

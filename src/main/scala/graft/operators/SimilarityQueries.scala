@@ -195,8 +195,15 @@ object SimilarityQueries {
       val delta = ivfAssign(e.filter(col("vec_id") % 6 === 0), cents, 1)
         .select(col("vec_id").as("n_id"), col("v").as("n_v"), col("cell"))
       val probed = ivfQueries(e, cents)
+      // r17: no static broadcast hint on the delta — the same defect
+      // class the ~sf100 gate battery caught in classifyStoredDeltas
+      // (an unbounded frame under a forced broadcast OOMs under memory
+      // pressure; this fixture's delta is 1/6 of ALL vectors, linear in
+      // the corpus). AQE's runtime sizing broadcasts the ingest-scale
+      // delta it sees at every tested scale and falls back to the
+      // keyed cell join when a backfill-scale delta arrives.
       ivfTop3(ivfCandidates(probed, base)
-        .unionByName(ivfCandidates(probed, broadcast(delta))))
+        .unionByName(ivfCandidates(probed, delta)))
     }),
 
     // One Lloyd iteration of k-means (k = 8, seeds = the first 8 vectors
