@@ -83,6 +83,12 @@ object Bench {
     // (bench_scale_rel_syn10.json flat vs bench_scale_rel_syn10_p256
     // .json wide); the knob records itself in the output JSON as
     // "initial_partitions" so an artifact self-identifies its posture.
+    // r17 decade-3 addendum (SCALE.md): at ~sf100 on one 48 GB JVM,
+    // flat-32 sits on an OOM edge for the overlay dedup variants
+    // (nondeterministic ContextCleaner heap OOM) — wide-256 is the
+    // RELIABILITY posture there, completing everything at <=1.45x the
+    // wall of a lucky flat run. The rule stands: partition count
+    // follows the hot stream's per-task sort volume, not corpus size.
     val initParts = sys.env.get("SPARK_GRAFT_INITIAL_PARTITIONS")
     // Shuffle/spill IO codec knob (r16): the ~sf100 third-decade battery
     // writes ~100 GB of shuffle files per jaccard run — past this box's
