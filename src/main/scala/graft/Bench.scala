@@ -164,7 +164,24 @@ object Bench {
     // driver's per-round run and the committed sf0.1 artifacts; the agg
     // field records the effective policy so a sampled artifact
     // self-identifies.
-    val runCap = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(3)
+    // r18 (ADVICE): validated — a typo must not NumberFormatException
+    // the whole sweep, and out-of-range values clamp LOUDLY to the
+    // policy range so the self-identifying agg label below (which
+    // interpolates the effective value) never misstates the env var.
+    val runCap = sys.env.get("SPARK_GRAFT_BENCH_RUNS") match {
+      case None => 3
+      case Some(s) =>
+        val parsed = s.trim.toIntOption.getOrElse {
+          System.err.println(
+            s"[bench] SPARK_GRAFT_BENCH_RUNS='$s' is not an int — using 3")
+          3
+        }
+        val clamped = parsed.max(1).min(3)
+        if (clamped != parsed) System.err.println(
+          s"[bench] SPARK_GRAFT_BENCH_RUNS=$parsed outside 1..3 — " +
+            s"clamped to $clamped")
+        clamped
+    }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     spark.sparkContext.addSparkListener(IoTally)
@@ -268,8 +285,8 @@ object Bench {
     val commonFields =
       f""""metric":"total","value":$total%.3f,"unit":"sec",""" +
         s""""agg":"${
-          if (runCap <= 1) "single run (SPARK_GRAFT_BENCH_RUNS=1)"
-          else if (runCap == 2) "min-of-2 for queries >1s (SPARK_GRAFT_BENCH_RUNS=2)"
+          if (runCap <= 1) s"single run (SPARK_GRAFT_BENCH_RUNS=$runCap)"
+          else if (runCap == 2) s"min-of-2 for queries >1s (SPARK_GRAFT_BENCH_RUNS=$runCap)"
           else "min-of-2 for queries >1s, min-of-3 >2.5s"}",""" +
         f""""canary_warmup_sec":$warmupSec%.2f,""" +
         f""""canary_loadavg_at_start":$loadavg%.2f,""" +

@@ -103,13 +103,16 @@ object ScaleProbe {
 
   private def gateLine(spark: SparkSession, sfDir: String): String = {
     import graft.operators.{DedupGate, OrpQueries}
+    // r18 (ADVICE): single source of truth for the band count — it
+    // feeds both the probeStreams call and the derived/reported fields
+    val numBands = 4
     val (inc0, corp0) = OrpQueries.gateFixture(spark, sfDir)
     val corpSig = OrpQueries.corpusSignatures(spark, sfDir)
     val incoming = OrpQueries.signedIncoming(inc0,
       corpSig.withColumnRenamed("node_id", "uid"))
     val corpus = corp0.join(corpSig, "node_id")
     val (classes0, twinHits, corpusHits) =
-      DedupGate.probeStreams(incoming, corpus, 4, 4)
+      DedupGate.probeStreams(incoming, corpus, numBands, 4)
     val classes = classes0.persist(StorageLevel.MEMORY_AND_DISK)
     val nBatch = incoming.count()
     val nClasses = classes.count()
@@ -124,9 +127,9 @@ object ScaleProbe {
     val corpusHitRows = corpusHits.count()
     val corpusPairs = corpusHits.distinct().count()
     classes.unpersist()
-    s"""{"family":"gate","sf":"$sfDir","num_bands":4,"rows_per_band":4,""" +
+    s"""{"family":"gate","sf":"$sfDir","num_bands":$numBands,"rows_per_band":4,""" +
       s""""n_batch":$nBatch,"n_classes":$nClasses,""" +
-      s""""banded_cls_rows":${nClasses * 4},""" +
+      s""""banded_cls_rows":${nClasses * numBands},""" +
       f""""attach_mb":${attachBytes / 1e6}%.1f,""" +
       s""""twin_hit_rows":$twinHitRows,"twin_pairs":$twinPairs,""" +
       s""""corpus_hit_rows":$corpusHitRows,"corpus_pairs":$corpusPairs}"""

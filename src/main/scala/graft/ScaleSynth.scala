@@ -65,11 +65,30 @@ import org.apache.spark.sql.functions._
   *    vocabulary's tiny banding landscape, not of the engine or of
   *    real corpora (whose vocabulary grows with size).
   *
-  *  - embeddings: a per-replica cyclic shift of the vector components
-  *    with a sign flip on the wrap (an orthogonal transform — norms
-  *    and intra-replica dot products exact; cross-replica cosines
-  *    decorrelate). Distinct only while the shift is below the vector
-  *    dimension (64), so embedding-scaling modes cap factor at 64.
+  *  - embeddings (mode `all`): a per-replica cyclic shift of the vector
+  *    components with a sign flip on the wrap (an orthogonal
+  *    transform — norms and intra-replica dot products exact;
+  *    cross-replica cosines decorrelate). Distinct only while the shift
+  *    is below the vector dimension (64), so mode `all` caps factor
+  *    at 64.
+  *
+  *  - embeddings (mode `emb`, r18): a per-replica seeded SIGNED
+  *    PERMUTATION of the components — w[i] = s_i · v[p_i] with p a
+  *    Fisher–Yates permutation and s ∈ {±1}^64, both drawn from the
+  *    same LCG as `permAlpha` (seed = replica index; replica 0 =
+  *    identity). A signed permutation is orthogonal, so intra-replica
+  *    norms and similarity structure are preserved to the same degree
+  *    as the shift (values move/negate EXACTLY; only the fold ORDER of
+  *    a dot product changes, ~1e-15 — under the oracles' 4dp rounding),
+  *    and the family has 64!·2^64 members, so the sim battery's
+  *    second/third decades (factor 100/1000) are reachable where the
+  *    shift stops at 64. Cross-replica: the sign flips randomize both
+  *    cosines (chance-level, quantified per decade in SCALE.md's sim
+  *    battery — the outputs' excess over replica-linearity IS the
+  *    measurement) and the sign-LSH bucket bits, so bucket occupancy
+  *    stays balanced as replicas stack. Only the embeddings table is
+  *    synthesized in this mode (documents/relational copied unchanged —
+  *    the sim family reads nothing else).
   *
   * Remaining tables are hard-copied unchanged (the measured queries
   * only read documents/embeddings; the copies keep Bench's warmup and
@@ -84,6 +103,9 @@ import org.apache.spark.sql.functions._
   *  - `text`: ONLY the documents table (everything else copied
   *    unchanged) — the documents second decade (~sf10 text, factor
   *    100) without paying for 6B relational rows it would not read.
+  *  - `emb`: ONLY the embeddings table (signed-permutation transform,
+  *    any factor) — the similarity/ANN decades without paying for
+  *    text or relational rows the sim family never reads.
   */
 object ScaleSynth {
 
@@ -117,12 +139,37 @@ object ScaleSynth {
     */
   val vettedPermSeeds: Seq[Int] = Seq(0) ++ VettedSeeds.r15 ++ VettedSeeds.r16
 
+  /** Seeded signed permutation of the `dim` vector components: position
+    * map `p` and sign vector `s` drawn from the permAlpha LCG (seed 0 =
+    * identity, matching the documents convention that replica 0 is the
+    * untransformed source). Orthogonal by construction — see the class
+    * doc's mode-`emb` entry. */
+  def signedPerm(seed: Int, dim: Int): (Array[Int], Array[Float]) = {
+    val p = Array.tabulate(dim)(identity)
+    val s = Array.fill(dim)(1.0f)
+    if (seed == 0) return (p, s)
+    var x = seed.toLong & 0x7fffffffL
+    def next(): Long = { x = (1103515245L * x + 12345L) % (1L << 31); x }
+    var i = dim - 1
+    while (i > 0) {
+      val j = (next() % (i + 1)).toInt
+      val t = p(i); p(i) = p(j); p(j) = t
+      i -= 1
+    }
+    var k = 0
+    while (k < dim) {
+      if ((next() & 1L) == 1L) s(k) = -1.0f
+      k += 1
+    }
+    (p, s)
+  }
+
   def main(args: Array[String]): Unit = {
     val srcDir = args(0)
     val dstDir = args(1)
     val factor = if (args.length > 2) args(2).toInt else 10
     val mode = if (args.length > 3) args(3) else "all"
-    require(Set("all", "rel", "text")(mode), s"unknown mode $mode")
+    require(Set("all", "rel", "text", "emb")(mode), s"unknown mode $mode")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -133,9 +180,10 @@ object ScaleSynth {
     spark.sparkContext.setLogLevel("WARN")
 
     val ALPHA = alpha.toUpperCase
-    val scaleDocs = mode != "rel"
+    val scaleDocs = mode == "all" || mode == "text"
     val scaleEmb = mode == "all"
-    val scaleRel = mode != "text"
+    val scaleEmbPerm = mode == "emb"
+    val scaleRel = mode == "all" || mode == "rel"
     require(!scaleDocs || factor <= vettedPermSeeds.size,
       s"only ${vettedPermSeeds.size} vetted perm seeds — re-vet " +
         s"(tools/vet_rotations.py <src> perm <maxSeed>) before factor=$factor")
@@ -182,6 +230,26 @@ object ScaleSynth {
           shifted.as("embedding"), col("label"))
       }.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$dstDir/embeddings.parquet")
+    } else if (scaleEmbPerm) {
+      val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
+      val dim = 64 // the corpus' vector width (TESTDATA.md)
+      // chunked appends for the same reason as documents: a 1000-branch
+      // union hands Catalyst a plan whose analysis dominates the write
+      (0 until factor).grouped(50).zipWithIndex.foreach { case (ris, ci) =>
+        ris.map { r =>
+          val (p, s) = signedPerm(r, dim)
+          val w =
+            if (r == 0) col("embedding")
+            else array((0 until dim).map { i =>
+              (element_at(col("embedding"), p(i) + 1) * lit(s(i)))
+                .cast("float")
+            }: _*)
+          emb.select((col("vec_id") + lit(r * idOffset)).as("vec_id"),
+            w.as("embedding"), col("label"))
+        }.reduce(_ unionByName _)
+          .write.mode(if (ci == 0) "overwrite" else "append")
+          .parquet(s"$dstDir/embeddings.parquet")
+      }
     } else {
       spark.read.parquet(s"$srcDir/embeddings.parquet")
         .write.mode("overwrite").parquet(s"$dstDir/embeddings.parquet")

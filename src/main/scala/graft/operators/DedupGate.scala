@@ -569,8 +569,10 @@ object DedupGate {
     * Candidate generation distributes over the union, so each side is
     * probed the way its size deserves: the bucketed base joins
     * exchange-free on `bkey` with the union of all tombstones dropped
-    * by a broadcast anti-join AT THE SCAN (delta-sized build side — the
-    * base never shuffles), and each delta probe's strategy is left to
+    * by an anti-join AT THE SCAN (AQE runtime-sizes the build: an
+    * ingest-scale id union broadcasts, so the base never shuffles;
+    * r18 removed the static hint — same defect class as the delta
+    * probe's, see `minus` below), and each delta probe's strategy is left to
     * AQE's runtime sizing: an ingest-scale delta converts to a
     * broadcast hash join at runtime, while an unbounded one (a bulk
     * backfill tranche) stays a keyed shuffle of two delta/batch-sized
@@ -590,11 +592,19 @@ object DedupGate {
       generations: Seq[(DataFrame, DataFrame)],
       numBands: Int, rowsPerBand: Int): DataFrame = {
 
+    // r18: no static broadcast on the tombstone union either — it is
+    // the SAME no-size-contract defect class as the delta probe hint
+    // r17 removed (linear in corpus under churn: batch-sized × open
+    // generations, and a backfill generation breaks the batch-sized
+    // assumption outright), merely slimmer (ids only) so it OOMs
+    // decades later. AQE runtime-sizes the anti-join build: the
+    // ingest-scale unions it sees in every tested geometry still
+    // broadcast at runtime (PlanSpec pins this), a backfill-scale one
+    // joins keyed.
     def minus(df: DataFrame, dead: Seq[DataFrame]): DataFrame =
       if (dead.isEmpty) df
       else df.join(
-        broadcast(dead.map(_.select("node_id")).reduce(_ unionByName _)
-          .distinct()),
+        dead.map(_.select("node_id")).reduce(_ unionByName _).distinct(),
         Seq("node_id"), "left_anti")
 
     val allTombs = generations.map(_._2)

@@ -24,9 +24,10 @@ import org.apache.spark.sql.functions._
   * Current assignment = assign_-1 overlaid by every COMMITTED
   * generation in batchId order (later generation wins per doc_id) —
   * an LSM overlay where each layer is batch-sized, so reads pay one
-  * broadcast anti-join per open generation and [[maybeCompact]]
-  * bounds that fan-out by folding layers into a new full assignment
-  * (the posture's only corpus-sized write).
+  * anti-join per open generation (AQE runtime-sizes each build side;
+  * see [[state]]) and [[maybeCompact]] bounds that fan-out by folding
+  * layers into a new full assignment (the posture's only corpus-sized
+  * write).
   *
   * REDELIVERY SAFETY (checkpointed foreachBatch: a batch that failed
   * mid-write is re-delivered with the SAME batchId): a batch folds
@@ -98,16 +99,22 @@ object CcStoreLoop {
 
   /** The stored assignment as of generations strictly below `below`
     * (default: everything committed) — base overlaid by each committed
-    * generation in order, later layer winning per doc_id. Each overlay
-    * is a broadcast anti-join: the generation layers are batch-sized
-    * by construction. */
+    * generation in order, later layer winning per doc_id. The overlay
+    * anti-joins carry NO static `broadcast()` hint (r18): a layer is
+    * batch-sized in the per-batch posture, but a backfill tranche is
+    * one layer too, and r17's ~sf100 battery proved a forced broadcast
+    * of a frame with no size contract OOMs under production memory
+    * pressure while passing every clean-room test. The layers read from
+    * parquet, so AQE runtime-sizes each build: ingest-scale id sets
+    * still broadcast at runtime; a backfill-scale layer degrades to a
+    * keyed anti-join instead of dying. */
   def state(spark: SparkSession, dir: String,
       below: Long = Long.MaxValue): DataFrame = {
     val g = baseGen(dir)
     val gens = committed(dir, "gen_").filter(id => id > g && id < below)
     gens.foldLeft(spark.read.parquet(s"$dir/assign_$g")) { (acc, id) =>
       val layer = spark.read.parquet(s"$dir/gen_$id")
-      acc.join(broadcast(layer.select("doc_id")), Seq("doc_id"), "left_anti")
+      acc.join(layer.select("doc_id"), Seq("doc_id"), "left_anti")
         .unionByName(layer)
     }
   }

@@ -219,6 +219,16 @@ object GateStoreLoop {
     * authoritative), and the fold itself is idempotent: re-running it
     * over the same generations rewrites the same rows. Garbage
     * collection of superseded dirs is an offline janitor concern.
+    *
+    * r18: the per-generation tombstone anti-joins carry NO static
+    * `broadcast()` hint — a generation is ingest-scale in the per-batch
+    * posture, but nothing enforces that (a bulk backfill tranche is one
+    * generation too), and r17's battery proved a forced broadcast of an
+    * unbounded frame OOMs exactly under the memory pressure a clean-room
+    * test never applies. The tombstone sides read from parquet, so AQE's
+    * runtime sizing broadcasts the id-only ingest-scale sets it sees in
+    * every tested geometry and degrades a backfill-scale one to a keyed
+    * anti-join of two generation-sized sides.
     */
   def compact(spark: SparkSession, dir: String,
       upTo: Long = Long.MaxValue): Unit = {
@@ -226,7 +236,7 @@ object GateStoreLoop {
     val gens = gensAll.filter(_._1 < upTo)
     if (gens.isEmpty) return
     val folded = gens.foldLeft(base) { case (s, (_, append, tombs)) =>
-      s.join(broadcast(tombs), Seq("node_id"), "left_anti")
+      s.join(tombs, Seq("node_id"), "left_anti")
         .unionByName(append)
     }
     folded.write.mode("overwrite").parquet(s"$dir/base_${gens.map(_._1).max}")
