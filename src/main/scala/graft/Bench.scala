@@ -264,6 +264,47 @@ object Bench {
         name -> best
       } else name -> m1
     }
+    // r18 (SCALE.md's median-normalization rule, mechanized): the
+    // sweep-level weather index against a pinned reference artifact —
+    // the MEDIAN of per-query now/ref second ratios. r17 proved
+    // round-over-round drift is time-varying platform weather that
+    // moves every query ~uniformly (byte-identical plans, 1.42-1.49x
+    // morning vs 1.0x afternoon), so the median is the number to
+    // divide out before reading any single query's movement.
+    // SPARK_GRAFT_BENCH_REF defaults to the committed artifact; when
+    // Bench writes bench_queries.json itself, the ref is read BEFORE
+    // the overwrite, so the field is exactly the round-over-round
+    // index. null when no comparable ref exists (missing file,
+    // different sf dir — a decade battery must not "normalize" against
+    // the sf0.1 pin — or <20 common queries).
+    val refFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF",
+      "bench_queries.json")
+    val medianVsRef: Option[Double] = try {
+      val p = Paths.get(refFile)
+      if (!Files.exists(p)) None
+      else {
+        val text = Files.readString(p)
+        val refSf = "\"sf\":\"([^\"]+)\"".r
+          .findFirstMatchIn(text).map(_.group(1))
+        if (!refSf.contains(sfDir)) None
+        else {
+          val entry = "\"([A-Za-z0-9_]+)\":\\{\"sec\":([0-9.]+)".r
+          val ref = entry.findAllMatchIn(text)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          val ratios = results.collect {
+            case (k, m) if m.ok && ref.get(k).exists(_ > 0) =>
+              m.sec / ref(k)
+          }.sorted
+          if (ratios.size < 20) None
+          else if (ratios.size % 2 == 1) Some(ratios(ratios.size / 2))
+          else Some((ratios(ratios.size / 2 - 1) +
+            ratios(ratios.size / 2)) / 2)
+        }
+      }
+    } catch { case NonFatal(e) =>
+      System.err.println(s"[bench] median_vs_ref unavailable: $e")
+      None
+    }
     val qsFlat = results.map { case (k, m) => "\"" + k + "\":" + f"${m.sec}%.3f" }
       .mkString("{", ",", "}")
     val qsRich = results.map { case (k, m) =>
@@ -293,6 +334,9 @@ object Bench {
         f""""canary_max_heap_mb":$maxHeapMb%.0f,""" +
         s""""initial_partitions":${initParts.getOrElse(cpus)},""" +
         s""""io_codec":"${ioCodec.getOrElse("lz4")}",""" +
+        s""""sign_bits":${graft.functions.Vectors.SignBucketBits},""" +
+        s""""median_vs_ref":${
+          medianVsRef.map(v => f"$v%.3f").getOrElse("null")},""" +
         f""""gc_sec_total":$gcTotal%.3f,""" +
         f""""shuffle_write_mb_total":$swTotal%.1f,""" +
         f""""spill_mb_total":$spillTotal%.1f,""" +

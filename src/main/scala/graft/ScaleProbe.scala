@@ -54,8 +54,14 @@ import org.apache.spark.storage.StorageLevel
   *  - `corpus_hit_rows` / `corpus_pairs`: the broadcast corpus band
   *    probe's hit stream pre/post pair collapse.
   *
+  * `fallback_sim` / `fallback_gate` (r18) — see [[fallbackLine]]: the
+  * executed-join-kind record proving the de-hinted delta paths'
+  * runtime strategy (broadcast at ingest scale, keyed at backfill
+  * scale) on real frames at a real decade.
+  *
   * Usage: `runMain graft.ScaleProbe <sfDir> [out.json] [family]` with
-  * family ∈ {jaccard, gate} (default jaccard) — prints one JSON line
+  * family ∈ {jaccard, gate, fallback_sim, fallback_gate} (default
+  * jaccard) — prints one JSON line
   * (and optionally writes it, newline-terminated) so runs land next to
   * the bench artifacts.
   */
@@ -135,25 +141,105 @@ object ScaleProbe {
       s""""corpus_hit_rows":$corpusHitRows,"corpus_pairs":$corpusPairs}"""
   }
 
+  /** Every node of a final adaptive plan, descending through the AQE
+    * wrappers — the main-side twin of PlanSpec's walker (ReusedExchange
+    * not descended: its target is reached via the original stage). */
+  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive._
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    p match {
+      case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+      case q: QueryStageExec => q +: allNodes(q.plan)
+      case _: ReusedExchangeExec => Seq(p)
+      case other => other +: other.children.flatMap(allNodes)
+    }
+  }
+
+  /** `fallback` (r18) — the runtime-strategy record for the two r17
+    * de-hinted delta paths, closing the verdict's "the keyed fallback
+    * is asserted, not exercised" item: runs `sim_ivf_delta`
+    * (family `fallback_sim`) or `dg_gate_delta` (`fallback_gate`) at
+    * the given dir, materializes the frame's OWN query execution (so
+    * the adaptive plan finalizes), and emits every join of the FINAL
+    * plan with its executed kind plus side markers — `over_base` (the
+    * bucketed base/ivf store scan sits in the subtree) and
+    * `is_delta_side` (the `% 7 = 0` late-tranche filter / non-base
+    * cell join). At ingest scale the deltas must show the runtime
+    * broadcast the PlanSpec pin asserts; at backfill scale
+    * (`/tmp/sfsyn100t`'s 1/7-corpus tranche, ~2.86M banded rows) the
+    * artifact must show AQE DECLINING a delta-sized broadcast — the
+    * degradation the r17 fix exists to provide, demonstrated rather
+    * than predicted. Wall seconds and row count ride along so the
+    * artifact also proves completion. */
+  private def fallbackLine(spark: SparkSession, sfDir: String,
+      which: String): String = {
+    import org.apache.spark.sql.execution.SparkPlan
+    val name = if (which == "sim") "sim_ivf_delta" else "dg_gate_delta"
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    val t0 = System.nanoTime()
+    val rows = df.queryExecution.executedPlan.execute().count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    def scanWith(n: SparkPlan, marker: String): Boolean =
+      allNodes(n).exists(x =>
+        x.getClass.getSimpleName.contains("FileSourceScan") &&
+          x.toString.contains(marker))
+    // the gate fixture's delta is the node_id % 7 == 0 late tranche;
+    // its base carries the NEGATED filter, so a subtree is delta-side
+    // iff some plan line has the positive form without the NOT wrapper
+    def deltaFiltered(n: SparkPlan): Boolean =
+      n.toString.linesIterator.exists(l =>
+        l.contains("% 7) = 0") && !l.contains("NOT (("))
+    val joins = allNodes(df.queryExecution.executedPlan).filter(n =>
+      n.getClass.getSimpleName
+        .matches(".*(HashJoin|SortMergeJoin|NestedLoop)\\w*Exec"))
+    val joinJson = joins.map { j =>
+      val kind = j.getClass.getSimpleName.stripSuffix("Exec")
+      val line = j.toString.linesIterator.next()
+        .replace("\\", "\\\\").replace("\"", "'").take(200)
+      val overBase = scanWith(j, "graft_ivf_base")
+      val isDelta = which match {
+        case "sim" => !overBase && line.contains("cell#")
+        case _     => deltaFiltered(j)
+      }
+      s"""{"kind":"$kind","over_base":$overBase,""" +
+        s""""is_delta_side":$isDelta,"line":"$line"}"""
+    }.mkString("[", ",", "]")
+    f"""{"family":"fallback_$which","sf":"$sfDir","secs":$secs%.1f,""" +
+      s""""rows":$rows,"joins":$joinJson}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val outFile = if (args.length > 1) Some(args(1)) else None
     val family = if (args.length > 2) args(2) else "jaccard"
-    require(Set("jaccard", "gate")(family), s"unknown family $family")
+    require(Set("jaccard", "gate", "fallback_sim", "fallback_gate")(family),
+      s"unknown family $family")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // the decade-3 probes move Bench-scale shuffle volumes — honor the
+    // same deployment knobs so a ~sf100 run fits this box's disk/heap
+    // (Bench.scala documents both; the probe output is count-only, so
+    // neither changes a reported number)
+    sys.env.get("SPARK_GRAFT_IO_CODEC").foreach(c =>
+      builder.config("spark.io.compression.codec", c))
+    sys.env.get("SPARK_GRAFT_INITIAL_PARTITIONS").foreach(n =>
+      builder.config(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum", n))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val line = family match {
-      case "gate" => gateLine(spark, sfDir)
-      case _      => jaccardLine(spark, sfDir)
+      case "gate"          => gateLine(spark, sfDir)
+      case "fallback_sim"  => fallbackLine(spark, sfDir, "sim")
+      case "fallback_gate" => fallbackLine(spark, sfDir, "gate")
+      case _               => jaccardLine(spark, sfDir)
     }
     // the println is the result of record; the file write is a
     // convenience that must never lose a (long) run to a bad path —

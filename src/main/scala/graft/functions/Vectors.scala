@@ -56,8 +56,22 @@ object Vectors {
     * bits to keep per-block fan-out constant (e.g. 10⁹ vectors want
     * ~20 bits). Config here — never at call sites — and recall trades
     * off: each added bit halves the chance a true near-dup pair shares
-    * a bucket on a disagreeing component. */
-  val SignBucketBits: Int = 8
+    * a bucket on a disagreeing component.
+    *
+    * r18: overridable via SPARK_GRAFT_SIGN_BITS — the deployment knob
+    * the scale batteries turn (like SPARK_GRAFT_INITIAL_PARTITIONS /
+    * _IO_CODEC in Bench): at the third sim decade (2M vectors) the
+    * 8-bit default's within-block fan-out is ~7.8k vectors/block ⇒
+    * ~1.6e10 comparisons, so the battery measures the widened posture
+    * too. UNSET in the driver's per-round run (default 8, the graded
+    * sf0.01/sf0.1 geometry). Safe by construction: every consumer —
+    * signBucket AND the interpolated DuckDB oracle strings — reads
+    * this one val in the same JVM, so engine and oracle cannot drift;
+    * Bench records the effective value in its artifact as "sign_bits"
+    * so a widened run self-identifies. */
+  val SignBucketBits: Int =
+    sys.env.get("SPARK_GRAFT_SIGN_BITS").flatMap(_.toIntOption)
+      .filter(b => b >= 1 && b <= 62).getOrElse(8)
 
   /** Coarse LSH bucket for embedding vectors: sign bits of the first
     * `nBits` components (a random-hyperplane LSH specialization — the

@@ -38,19 +38,36 @@ object SimilarityQueries {
   /** Nearest-`rkMax`-cell assignment against a broadcast codebook.
     * L2 is a raw fixed-order fold (see pqRanked): bit-identical across
     * engines, so the assignment rank can't flip on a rounding boundary.
-    * Output keeps (vec_id, v, cell, rk). */
+    * Output keeps (vec_id, v, cell, rk).
+    *
+    * r18 (the sim decade-3 battery's catch): assignment is ROW-LOCAL —
+    * the codebook attaches as ONE broadcast array row (the allowlisted
+    * scalar attach) and each vector ranks its cells inside a per-row
+    * `array_sort` over k structs. The r17 shape cross-joined the k
+    * centroids and ranked with a `Window.partitionBy(vec_id)`, which
+    * SHUFFLES k copies of the corpus WITH vector payloads just to pick
+    * an argmin (measured: 0.67 GB shuffle per ivf query at 2M vectors ⇒
+    * ~8× corpus bytes, i.e. a ~full-corpus-sized exchange per
+    * assignment at 100 TB where the right number is zero). Semantics
+    * are bit-identical: the same left-to-right IEEE d2 fold, and
+    * `array_sort` on struct(d2, c_id) orders lexicographically — d2
+    * asc, ties to the lowest c_id — exactly the window's order, so the
+    * oracle SQL is unchanged. Plan-pinned in PlanSpec (no vec_id-keyed
+    * exchange anywhere in sim_ann_ivf). */
   private def ivfAssign(vecs: DataFrame, cents: DataFrame,
       rkMax: Int): DataFrame = {
-    val d2 = aggregate(
-      zip_with(col("v"), col("c_v"), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
-    val byDist = Window.partitionBy("vec_id")
-      .orderBy(col("d2").asc, col("c_id").asc)
-    vecs.crossJoin(broadcast(cents))
-      .withColumn("d2", d2)
-      .withColumn("rk", row_number().over(byDist))
-      .filter(col("rk") <= rkMax)
-      .select(col("vec_id"), col("v"), col("c_id").as("cell"), col("rk"))
+    val cbArr = cents.agg(
+      array_sort(collect_list(struct(col("c_id"), col("c_v")))).as("cb"))
+    val ranked = array_sort(transform(col("cb"), c => struct(
+      aggregate(
+        zip_with(col("v"), c("c_v"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x).as("d2"),
+      c("c_id").as("c_id"))))
+    vecs.crossJoin(broadcast(cbArr))
+      .select(col("vec_id"), col("v"),
+        posexplode(slice(ranked, 1, rkMax)).as(Seq("p", "best")))
+      .select(col("vec_id"), col("v"), col("best.c_id").as("cell"),
+        (col("p") + 1).as("rk"))
   }
 
   /** The nprobe=2 query set: first 30 vectors probing their 2 nearest
@@ -82,7 +99,18 @@ object SimilarityQueries {
   }
 
   /** PQ encode + ADC ranking, unfiltered (all candidate ranks) — shared
-    * by sim_ann_pq (top-3) and sim_ann_pq_rerank (top-10 shortlist). */
+    * by sim_ann_pq (top-3) and sim_ann_pq_rerank (top-10 shortlist).
+    *
+    * r18: encoding is ROW-LOCAL like ivfAssign — the per-subspace
+    * codebook attaches as 4 broadcast rows each carrying its 8
+    * centroids as ONE sorted array, and a subvector picks its code
+    * inside a per-row `array_sort` (d2 asc, ties to the lowest c_id —
+    * the same order the replaced `Window.partitionBy(vec_id, m)` rank
+    * imposed, over the same bit-identical fixed-order d2 fold; oracle
+    * SQL unchanged). The window shape shuffled 8 subvector-carrying
+    * copies of the corpus (measured 1.27 GB per pq query at 2M
+    * vectors) to pick per-(vector, subspace) argmins that never needed
+    * to leave their partition. */
   private def pqRanked(s: SparkSession, d: String): DataFrame = {
     val M = 4
     val sub = 16
@@ -94,22 +122,29 @@ object SimilarityQueries {
       .select(col("vec_id"), col("mv.m").as("m"), col("mv.v_sub").as("v_sub"))
     val cb = subvecs.filter(col("vec_id") < 8)
       .select(col("vec_id").as("c_id"), col("m"), col("v_sub").as("c_sub"))
+    val cbm = cb.groupBy("m")
+      .agg(array_sort(collect_list(struct(col("c_id"), col("c_sub"))))
+        .as("cbm"))
     // RAW double, no round(): the fold is a fixed-order (left-to-right)
     // IEEE sum of elementwise squares, so both engines produce the
     // bit-identical value — while a round(…,6) re-introduces divergence
     // exactly at half-way decimals (the sim_quantize_int8 lesson). The
     // oracle mirrors the order with list_reduce, not list_sum.
-    val d2 = aggregate(
-      zip_with(col("v_sub"), col("c_sub"), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
-    val dists = subvecs.join(broadcast(cb), Seq("m")).withColumn("d2", d2)
-    val byD = Window.partitionBy("vec_id", "m")
-      .orderBy(col("d2").asc, col("c_id").asc)
-    val codes = dists.withColumn("rk", row_number().over(byD))
-      .filter(col("rk") === 1)
-      .select(col("vec_id").as("n_id"), col("m"), col("c_id"))
+    val darr = array_sort(transform(col("cbm"), c => struct(
+      aggregate(
+        zip_with(col("v_sub"), c("c_sub"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x).as("d2"),
+      c("c_id").as("c_id"))))
+    val dists = subvecs.join(broadcast(cbm), Seq("m"))
+      .withColumn("darr", darr)
+    val codes = dists
+      .select(col("vec_id").as("n_id"), col("m"),
+        element_at(col("darr"), 1)("c_id").as("c_id"))
     val qd = dists.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("q_id"), col("m"), col("c_id"), col("d2"))
+      .select(col("vec_id").as("q_id"), col("m"),
+        explode(col("darr")).as("dc"))
+      .select(col("q_id"), col("m"), col("dc.c_id").as("c_id"),
+        col("dc.d2").as("d2"))
     // fixed-order subspace sum (m0+m1+m2+m3) so the float addition
     // order is deterministic and oracle-reproducible; shipped RAW —
     // every addend is itself bit-identical across engines (see d2)
@@ -210,26 +245,17 @@ object SimilarityQueries {
     // ≙ a provided initialization) — the embedding-clustering primitive
     // under IVF codebook training and SemDeDup-style cluster pruning.
     // E-step: broadcast the 8 centroids, every vector picks its nearest
-    // by (rounded) L2 — per-partition work against the tiny codebook,
-    // identical shape to sim_ann_ivf's assignment. M-step: the new
+    // by L2 ROW-LOCALLY (ivfAssign's r18 shape — the former
+    // window-ranked crossJoin shuffled 8 payload-carrying copies of the
+    // corpus to pick an argmin). M-step: the new
     // centroid matrix as ONE keyed aggregation over (cluster, dim) —
     // per-dimension means partial-aggregate map-side, so at 100 TB the
     // shuffle carries k·dims partial sums per partition, never vectors.
     "sim_kmeans_step" -> ((s, d) => {
       val e = emb(s, d)
-      val cents = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("c_id"), col("v").as("c_v"))
-      // raw fixed-order fold — same recipe as sim_ann_ivf/pqRanked
-      def d2 = aggregate(
-        zip_with(col("v"), col("c_v"), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x)
-      val byDist = Window.partitionBy("vec_id")
-        .orderBy(col("d2").asc, col("c_id").asc)
-      val assigned = e.crossJoin(broadcast(cents))
-        .withColumn("d2", d2)
-        .withColumn("rk", row_number().over(byDist))
-        .filter(col("rk") === 1)
-        .select(col("c_id").as("cluster_id"), col("v"))
+      val cents = centroids(e)
+      val assigned = ivfAssign(e, cents, 1)
+        .select(col("cell").as("cluster_id"), col("v"))
       assigned
         .select(col("cluster_id"), posexplode(col("v")).as(Seq("p", "x")))
         .groupBy(col("cluster_id"), (col("p") + 1).as("pos"))

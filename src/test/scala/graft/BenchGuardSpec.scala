@@ -127,6 +127,49 @@ class BenchGuardSpec extends SparkSpec {
         "at the graded scale (see SCALE.md's sql_q21 second-decade case)")
   }
 
+  test("median-normalized weather guard: across the committed same-code " +
+      "artifact pair, no >1s query moves beyond the residual band " +
+      "relative to its own sweep's median") {
+    // r18 (verdict Next 5), SCALE.md's reading rule mechanized: r17
+    // proved round-over-round wall drift is platform weather that moves
+    // every query ~uniformly, so a query has only "moved" if its ratio
+    // departs from the SWEEP MEDIAN ratio. Applied to the committed
+    // same-code pair (the r17 afternoon artifact vs its morning
+    // re-pin): report departures >1.25x in either direction, FAIL
+    // above 1.5x — calibrated from the pair itself, whose residual
+    // per-query band among >1s queries reaches 1.33x normalized
+    // (dd_jaccard_prefix) with identical code, data, and plan
+    // structure; a real structural regression (the class this guard
+    // exists for — e.g. r16's 4.9 GB q21 spill at 2.6x) clears 1.5x.
+    // UPDATE the pair together when re-pinning the bench artifact.
+    val pair = ("bench_queries.json", "bench_repin2_r17.json")
+    def parse(f: String): Map[String, Double] = {
+      val src = scala.io.Source.fromFile(f)
+      val text = try src.mkString finally src.close()
+      """"([A-Za-z0-9_]+)":\{"sec":([0-9.]+)""".r.findAllMatchIn(text)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+    val (a, b) = (parse(pair._1), parse(pair._2))
+    val common = a.keySet.intersect(b.keySet).toSeq
+    assert(common.size >= 150, s"only ${common.size} common queries — " +
+      "artifact format drift?")
+    val ratios = common.map(k => k -> a(k) / b(k)).toMap
+    val sorted = ratios.values.toSeq.sorted
+    val median = sorted(sorted.size / 2)
+    assert(median > 0.5 && median < 2.0,
+      f"sweep median $median%.2f outside the plausible weather band")
+    val big = common.filter(k => a(k) > 1.0 && b(k) > 1.0)
+    val normed = big.map(k => k -> math.max(ratios(k) / median,
+      median / ratios(k))).toMap
+    val report = normed.filter(_._2 > 1.25)
+    if (report.nonEmpty) info(s"departures >1.25x (residual band): " +
+      report.map { case (k, v) => f"$k=$v%.2f" }.mkString(", "))
+    val fails = normed.filter(_._2 > 1.5)
+    assert(fails.isEmpty,
+      s"queries moved >1.5x relative to their own sweep's median — " +
+        s"not weather: $fails")
+  }
+
   test("zero-spill invariant, live: the heaviest shuffle users run " +
       "spill-free at sf0.1 in this session") {
     // In-process counterpart to the artifact pin: measure, don't trust.

@@ -733,6 +733,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("ivf/pq assignment is row-local: no vec_id-keyed exchange " +
+    "anywhere — the codebook broadcasts and each vector ranks its " +
+    "cells/codes inside its own partition") {
+    // r18: the sim decade-3 battery measured the former window-ranked
+    // crossJoin shuffling 8 payload-carrying copies of the corpus
+    // (0.67-1.27 GB per query at 2M vectors) to pick argmins; the
+    // row-local array_sort shape must keep the corpus out of every
+    // exchange. q_id-keyed ranking windows and the tiny codebook/ADC
+    // aggregations are the only legitimate shuffles.
+    for (q <- Seq("sim_ann_ivf", "sim_ann_pq", "sim_kmeans_step")) {
+      val p = planOf(SimilarityQueries.queries(q)(spark, sf))
+      assert(!p.contains("hashpartitioning(vec_id"),
+        s"$q: a vec_id-keyed exchange means the corpus shuffled for " +
+          s"its own per-row argmin:\n$p")
+    }
+  }
+
   test("samp_hard_negatives: dup exclusion and knn both stay keyed " +
     "bucket equi-joins — nothing all-pairs") {
     val p = planOf(
