@@ -186,10 +186,14 @@ object ScaleProbe {
           x.toString.contains(marker))
     // the gate fixture's delta is the node_id % 7 == 0 late tranche;
     // its base carries the NEGATED filter, so a subtree is delta-side
-    // iff some plan line has the positive form without the NOT wrapper
+    // iff some node's own line has the positive form without the NOT
+    // wrapper (walked via allNodes — a query-stage boundary hides its
+    // subtree from the parent's toString)
     def deltaFiltered(n: SparkPlan): Boolean =
-      n.toString.linesIterator.exists(l =>
-        l.contains("% 7) = 0") && !l.contains("NOT (("))
+      allNodes(n).exists { x =>
+        val l = x.toString.linesIterator.next()
+        l.contains("% 7) = 0") && !l.contains("NOT ((")
+      }
     val joins = allNodes(df.queryExecution.executedPlan).filter(n =>
       n.getClass.getSimpleName
         .matches(".*(HashJoin|SortMergeJoin|NestedLoop)\\w*Exec"))

@@ -888,7 +888,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("partial_avg"),
       "per-dimension means must combine map-side")
     assert(p.contains("hashpartitioning(cluster_id"))
-    assert(!p.contains("Exchange SinglePartition"))
+    // r18: exactly ONE single-partition exchange is legitimate — the
+    // 8-row codebook collapse feeding CellRank's broadcast array (its
+    // input is the vec_id < 8 slice, bounded at any corpus size). The
+    // corpus-sized M-step must stay on the keyed exchange above.
+    assert(p.linesIterator.count(_.contains("Exchange SinglePartition")) <= 1,
+      s"corpus-sized work reached a single-partition reduce:\n$p")
+    assert(p.contains("LessThan(vec_id,8)"),
+      "the codebook collapse must read the pushed-down 8-row slice, " +
+        "not the corpus")
   }
 
   test("sk_kmv_overlap: per-source sketch window prunes map-side; the " +

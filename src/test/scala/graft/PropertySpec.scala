@@ -254,6 +254,35 @@ class PropertySpec extends SparkSpec {
       "self-similarity")
   }
 
+  test("native cell_rank matches the interpreted array_sort/transform " +
+    "chain bit-for-bit, including d2 ties (duplicated centroids)") {
+    // the HOF chain cell_rank replaced (r18) — kept inline as the
+    // independent oracle; the duplicate centroid forces an exact d2
+    // tie, so the (d2 asc, c_id asc) total order is exercised
+    def randVec() = Seq.fill(16)(rnd.nextDouble() * 2 - 1)
+    val cb = (0L until 8L).map { c =>
+      (c, if (c == 5L) Seq.fill(16)(0.25) else randVec())
+    } :+ (8L, Seq.fill(16)(0.25)) // duplicate of c_id 5 → guaranteed tie
+    val df = Seq.fill(2000)(randVec()).toDF("v")
+      .crossJoin(broadcast(cb.toDF("c_id", "c_v")
+        .agg(array_sort(collect_list(struct($"c_id", $"c_v"))).as("cb"))))
+    val interpreted = array_sort(transform($"cb", c => struct(
+      aggregate(zip_with($"v", c("c_v"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x).as("d2"),
+      c("c_id").as("c_id"))))
+    val checked = df.select(
+      graft.plans.Native.cell_rank($"v", $"cb").as("n"),
+      interpreted.as("i"))
+    assert(checked.filter($"n" =!= $"i").count() == 0,
+      "native cell_rank must equal the interpreted chain bit-for-bit")
+    // the tied pair must rank c_id 5 before its duplicate 8 everywhere
+    assert(checked.filter(
+      exists($"n", e => e("c_id") === 8L) &&
+        !exists(slice(filter($"n", e => e("c_id").isin(5L, 8L)), 1, 1),
+          e => e("c_id") === 5L)).count() == 0,
+      "d2 ties must break to the lowest c_id")
+  }
+
   test("the Jaccard encoded-verify injectivity guard FIRES on a " +
     "colliding encoder (and is silent under the production hash)") {
     import graft.operators.DedupQueries
