@@ -106,6 +106,15 @@ object Bench {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // r18: the knn family's per-key top-k heaps (CollectTopK, bounded
+      // at k=3 elements per group by construction) must stay on the
+      // hash path — the 128-key default fallback exists for UNBOUNDED
+      // collect buffers and would re-introduce exactly the candidate-
+      // stream sort the aggregate replaces (SCALE.md r18: that sort
+      // exhausted this box's disk at ~1.56e10 candidates). 8M keys ×
+      // (3 structs + key) is comfortably in-memory at any tested scale.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "8388608")
       .config("spark.ui.enabled", "false")
     initParts.foreach(n => builder.config(
       "spark.sql.adaptive.coalescePartitions.initialPartitionNum", n))

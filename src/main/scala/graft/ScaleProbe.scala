@@ -226,6 +226,10 @@ object ScaleProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
+      // bounded CollectTopK heaps stay on the hash-agg path (see
+      // Bench.scala's identical knob for the rationale)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "8388608")
       .config("spark.ui.enabled", "false")
     // the decade-3 probes move Bench-scale shuffle volumes — honor the
     // same deployment knobs so a ~sf100 run fits this box's disk/heap

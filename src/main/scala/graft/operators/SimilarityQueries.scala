@@ -314,11 +314,20 @@ object SimilarityQueries {
     // All-pairs k-NN graph (k=3) over the WHOLE corpus — the SemDeDup /
     // embedding-clustering precursor, i.e. sim_ann_bucketed with every
     // vector as a query. The sign-bucket blocks the self-join so the
-    // candidate set per vector is corpus/2^8 in expectation regardless
-    // of labels; the per-vector top-k is a keyed window that Spark
-    // prunes map-side (WindowGroupLimit). At 100 TB the same two-stage
-    // key (bucket join, vec_id window) holds — widen the bucket to more
-    // sign bits to keep per-block fan-out constant as the corpus grows.
+    // candidate set per vector is corpus/2^bits in expectation
+    // regardless of labels; the per-vector top-k is a keyed window that
+    // Spark prunes map-side (WindowGroupLimit). At 100 TB the same
+    // two-stage key (bucket join, vec_id window) holds — widen the
+    // bucket (SPARK_GRAFT_SIGN_BITS) to keep per-block fan-out constant
+    // as the corpus grows; at right-sized fan-out the window's sort is
+    // bounded and fast. r18 measured the alternative — a bounded
+    // CollectTopK heap per key (Native.collect_top_k, kept for callers
+    // with un-sizable fan-out) — oracle-identical but ~4× slower at
+    // decade-2 fan-out (51.3 s vs 12.1 s,
+    // bench_scale_sim_syn10_topk_r18.json): the boxed-queue inserts
+    // with interpreted struct ordering lose to Tungsten's unsafe sort,
+    // so the WIDTH KNOB, not the aggregate, is the production answer
+    // to the 8-bit decade-3 sort-spill death (SCALE.md r18).
     "sim_knn_graph" -> ((s, d) => {
       val e = emb(s, d).withColumn("bucket", Vectors.signBucket(col("v")))
       val a = e.select(col("vec_id"), col("v").as("a_v"), col("bucket"))

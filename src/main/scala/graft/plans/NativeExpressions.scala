@@ -641,6 +641,26 @@ object Native {
     column(CosineSim(expression(a), expression(b)))
   def cell_rank(v: Column, cb: Column): Column =
     column(CellRank(expression(v), expression(cb)))
+
+  /** Bounded per-group top-k collection (Spark's own CollectTopK — a
+    * BoundedPriorityQueue aggregate): keeps the k smallest elements by
+    * the element type's natural ordering when `reverse` is true, the k
+    * largest otherwise, in CONSTANT memory per group with map-side
+    * partial merge. Output array order is unspecified — callers
+    * array_sort before ranking.
+    *
+    * When to use it, MEASURED (r18): only when per-group fan-out
+    * cannot be sized. Its working set is k·|groups| rows at any
+    * fan-out — it cannot die the disk death the 8-bit decade-3 knn
+    * window did (SCALE.md r18) — but the boxed-queue inserts with
+    * interpreted struct ordering ran ~4× slower than the rank window's
+    * Tungsten sort at decade-2 fan-out (51.3 s vs 12.1 s,
+    * bench_scale_sim_syn10_topk_r18.json), so on every sizable-fan-out
+    * path the window + the width knob is the right plan and this stays
+    * the escape hatch. PropertySpec pins rank parity. */
+  def collect_top_k(e: Column, k: Int, reverse: Boolean): Column =
+    column(org.apache.spark.sql.graftbridge.Bridge
+      .collectTopK(expression(e), k, reverse))
   def minhash_sig(c: Column, numPerms: Int = 256, k: Int = 5): Column =
     column(MinHashSig(expression(c), numPerms, k))
   def simhash64(c: Column): Column = column(SimHash64(expression(c)))

@@ -25,4 +25,13 @@ object Bridge {
   def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
     try sc.listenerBus.waitUntilEmpty()
     catch { case _: java.util.concurrent.TimeoutException => () }
+
+  /** Bounded per-group top-k collection — Spark's own `CollectTopK`
+    * aggregate (a k-element BoundedPriorityQueue per group with
+    * map-side partial merge), `private[aggregate]` upstream so exposed
+    * through the same shim technique. `reverse = true` keeps the k
+    * SMALLEST elements by the element type's natural ordering. */
+  def collectTopK(child: Expression, k: Int, reverse: Boolean): Expression =
+    org.apache.spark.sql.catalyst.expressions.aggregate
+      .GraftTopK(child, k, reverse)
 }

@@ -750,6 +750,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("sim_knn_graph: the per-vector top-k window prunes map-side " +
+    "(WindowGroupLimit) so each block's candidate run truncates " +
+    "before the exchange") {
+    // r18 measured both top-k shapes at scale: the rank window (kept)
+    // and a bounded CollectTopK heap (Native.collect_top_k — oracle-
+    // identical but ~4x slower at decade-2 fan-out: boxed-queue
+    // inserts vs Tungsten's unsafe sort). The width knob, not the
+    // aggregate, is the answer to over-full buckets (SCALE.md r18).
+    val p = planOf(SimilarityQueries.queries("sim_knn_graph")(spark, sf))
+    assert(p.contains("WindowGroupLimit"),
+      s"rk <= 3 must push down as a rank limit:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("samp_hard_negatives: dup exclusion and knn both stay keyed " +
     "bucket equi-joins — nothing all-pairs") {
     val p = planOf(

@@ -283,6 +283,36 @@ class PropertySpec extends SparkSpec {
       "d2 ties must break to the lowest c_id")
   }
 
+  test("collect_top_k top-3 equals the rank window's rows exactly " +
+    "(random groups, including ±0.0 sims)") {
+    // the escape-hatch aggregate for un-sizable fan-out (see
+    // Native.collect_top_k) must stay rank-parity with row_number over
+    // (sim DESC, id ASC): heap keeps the 3 smallest struct(-sim, id) —
+    // negation reverses Double.compare totally, including across ±0.0
+    import org.apache.spark.sql.expressions.Window
+    val rows = Seq.tabulate(4000) { i =>
+      val sim = rnd.nextInt(8) match {
+        case 0 => 0.0
+        case 1 => -0.0
+        case _ => math.rint(rnd.nextDouble() * 2000 - 1000) / 1000.0
+      }
+      (i % 97L, i.toLong, sim)
+    }
+    val df = rows.toDF("g", "id", "sim")
+    val w = Window.partitionBy("g").orderBy($"sim".desc, $"id".asc)
+    val windowed = df.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3).select("g", "id", "sim", "rk")
+    val heaped = df.groupBy("g")
+      .agg(graft.plans.Native.collect_top_k(
+        struct((-$"sim").as("negsim"), $"id"), 3, reverse = true).as("t"))
+      .select($"g", posexplode(array_sort($"t")).as(Seq("p", "e")))
+      .select($"g", $"e.id".as("id"), (-$"e.negsim").as("sim"),
+        ($"p" + 1).as("rk"))
+    assert(heaped.exceptAll(windowed).isEmpty &&
+      windowed.exceptAll(heaped).isEmpty,
+      "heap top-3 must equal the window's rows exactly")
+  }
+
   test("the Jaccard encoded-verify injectivity guard FIRES on a " +
     "colliding encoder (and is silent under the production hash)") {
     import graft.operators.DedupQueries
