@@ -60,7 +60,7 @@ import org.apache.spark.storage.StorageLevel
   * scale) on real frames at a real decade.
   *
   * Usage: `runMain graft.ScaleProbe <sfDir> [out.json] [family]` with
-  * family ∈ {jaccard, gate, fallback_sim, fallback_gate} (default
+  * family ∈ {jaccard, gate, sim, fallback_sim, fallback_gate} (default
   * jaccard) — prints one JSON line
   * (and optionally writes it, newline-terminated) so runs land next to
   * the bench artifacts.
@@ -141,6 +141,74 @@ object ScaleProbe {
       s""""corpus_hit_rows":$corpusHitRows,"corpus_pairs":$corpusPairs}"""
   }
 
+  /** `sim` (r18) — the similarity family's counted quantities at a
+    * scale decade, mirroring the jaccard/gate discipline (integer
+    * counts a loaded box cannot contaminate):
+    *  - `n_vectors`: corpus rows.
+    *  - per sign-LSH width w ∈ {8, 12}: `n_buckets_w` / `max_bucket_w`
+    *    (occupancy skew) and `cand_pairs_w` = Σ s·(s−1) over buckets —
+    *    the EXACT ordered-candidate count of the knn/semdedup
+    *    self-join, computed from the occupancy aggregate alone (the
+    *    pair stream is never materialized to count it). This is the
+    *    number behind SCALE.md r18's "~1.56e10 candidates at 8 bits"
+    *    narrative and the width knob's 16×-per-4-bits arithmetic.
+    *  - `ivf_cell_min`/`ivf_cell_max`: occupancy extremes of the
+    *    8-cell frozen-codebook assignment (CellRank, row-local) — the
+    *    skew bound on the IVF probe join's per-cell volume.
+    *  - `chance_rate`: measured cross-replica chance-similarity rate
+    *    P(cos ≥ 0.4) on a deterministic sample (replica 0 × hash-picked
+    *    ~1000 later vectors) — the per-pair rate behind the semdedup
+    *    chance-mass model (r18: 1 − (1−p)^occupancy). −1 when the dir
+    *    has no synthetic replicas.
+    */
+  private def simLine(spark: SparkSession, sfDir: String): String = {
+    import graft.functions.Vectors
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = e.count()
+    def bucketStats(bits: Int): (Long, Long, Long) = {
+      val r = e.select(Vectors.signBucket(col("v"), bits).as("b"))
+        .groupBy("b").count()
+        .agg(count(lit(1)), max("count"),
+          sum(col("count") * (col("count") - 1))).head
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val (b8, m8, p8) = bucketStats(8)
+    val (b12, m12, p12) = bucketStats(12)
+    val cents = e.filter(col("vec_id") < 8)
+      .agg(array_sort(collect_list(struct(col("vec_id").as("c_id"),
+        col("v").as("c_v")))).as("cb"))
+    val cellOcc = e.crossJoin(broadcast(cents))
+      .select(element_at(
+        graft.plans.Native.cell_rank(col("v"), col("cb")), 1)("c_id")
+        .as("cell"))
+      .groupBy("cell").count()
+      .agg(min("count"), max("count")).head
+    val rep0 = e.filter(col("vec_id") < 30000000L)
+    val nLater = n - rep0.count()
+    val (sampleN, hits) = if (nLater <= 0) (0L, 0L) else {
+      val k = math.max(1L, nLater / 1000L)
+      val sample = e.filter(col("vec_id") >= 30000000L)
+        .filter(pmod(xxhash64(col("vec_id")), lit(k)) === 0)
+        .select(col("vec_id").as("s_id"), col("v").as("s_v"))
+      val sn = sample.count()
+      val h = rep0.crossJoin(broadcast(sample))
+        .filter(Vectors.cosineRounded(col("v"), col("s_v")) >= 0.4)
+        .count()
+      (sn * rep0.count(), h)
+    }
+    e.unpersist()
+    val rate = if (sampleN == 0) -1.0 else hits.toDouble / sampleN
+    s"""{"family":"sim","sf":"$sfDir","n_vectors":$n,""" +
+      s""""n_buckets_8":$b8,"max_bucket_8":$m8,"cand_pairs_8":$p8,""" +
+      s""""n_buckets_12":$b12,"max_bucket_12":$m12,"cand_pairs_12":$p12,""" +
+      s""""ivf_cell_min":${cellOcc.getLong(0)},""" +
+      s""""ivf_cell_max":${cellOcc.getLong(1)},""" +
+      s""""chance_sample_pairs":$sampleN,"chance_hits":$hits,""" +
+      f""""chance_rate":$rate%.6f}"""
+  }
+
   /** Every node of a final adaptive plan, descending through the AQE
     * wrappers — the main-side twin of PlanSpec's walker (ReusedExchange
     * not descended: its target is reached via the original stage). */
@@ -217,7 +285,8 @@ object ScaleProbe {
     val sfDir = args(0)
     val outFile = if (args.length > 1) Some(args(1)) else None
     val family = if (args.length > 2) args(2) else "jaccard"
-    require(Set("jaccard", "gate", "fallback_sim", "fallback_gate")(family),
+    require(
+      Set("jaccard", "gate", "sim", "fallback_sim", "fallback_gate")(family),
       s"unknown family $family")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val builder = SparkSession.builder()
@@ -245,6 +314,7 @@ object ScaleProbe {
 
     val line = family match {
       case "gate"          => gateLine(spark, sfDir)
+      case "sim"           => simLine(spark, sfDir)
       case "fallback_sim"  => fallbackLine(spark, sfDir, "sim")
       case "fallback_gate" => fallbackLine(spark, sfDir, "gate")
       case _               => jaccardLine(spark, sfDir)
