@@ -196,7 +196,15 @@ object SimilarityQueries {
       val cents = centroids(e)
       val assigned = ivfAssign(e, cents, 1)
         .select(col("vec_id").as("n_id"), col("v").as("n_v"), col("cell"))
-      ivfTop3(ivfCandidates(ivfQueries(e, cents), assigned))
+      // broadcast(probe): BOUNDED by construction (nprobe × |queries| =
+      // 2 × 30 rows at any corpus size) — a static hint WITH a size
+      // contract, unlike the unbounded-frame hints r17/r18 removed.
+      // Without it the probe's post-window stats are unknown at plan
+      // time, so the planner keys the join on cell and the computed
+      // index pays a corpus-sized exchange that materializes before
+      // AQE can convert (measured: 652 MB shuffle write per query at
+      // 2M vectors for a join whose small side is 60 rows).
+      ivfTop3(ivfCandidates(broadcast(ivfQueries(e, cents)), assigned))
     }),
 
     // IVF index in the DELTA posture — the gate's base+delta story
