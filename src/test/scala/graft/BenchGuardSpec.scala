@@ -164,9 +164,15 @@ class BenchGuardSpec extends SparkSpec {
     val report = normed.filter(_._2 > 1.25)
     if (report.nonEmpty) info(s"departures >1.25x (residual band): " +
       report.map { case (k, v) => f"$k=$v%.2f" }.mkString(", "))
-    val fails = normed.filter(_._2 > 1.5)
+    // FAIL only on the regression side (pair._1 slower than its own
+    // sweep's median predicts): a >1.5x one-sided IMPROVEMENT is
+    // news to report (first firing: pipe_mm_refinery 3.17 -> 1.66 s
+    // with identical structure — the r17 morning sweep's inflation on
+    // that query receding), never a reason to break the build.
+    val fails = big.filter(k => ratios(k) / median > 1.5)
+      .map(k => k -> ratios(k) / median).toMap
     assert(fails.isEmpty,
-      s"queries moved >1.5x relative to their own sweep's median — " +
+      s"queries REGRESSED >1.5x relative to their own sweep's median — " +
         s"not weather: $fails")
   }
 
