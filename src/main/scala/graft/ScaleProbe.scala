@@ -243,25 +243,45 @@ object ScaleProbe {
   private def fallbackLine(spark: SparkSession, sfDir: String,
       which: String): String = {
     import org.apache.spark.sql.execution.SparkPlan
+    // marker-search walker: unlike allNodes (used for COUNTS, where
+    // descending a ReusedExchange would double-count), existence checks
+    // must follow reuse — the gate's delta branch reaches its join
+    // through a reused exchange, and stopping at the reuse node hides
+    // its filters
+    def allThroughReuse(p: SparkPlan): Seq[SparkPlan] = {
+      import org.apache.spark.sql.execution.adaptive._
+      import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+      p match {
+        case a: AdaptiveSparkPlanExec => allThroughReuse(a.executedPlan)
+        case q: QueryStageExec => q +: allThroughReuse(q.plan)
+        case r: ReusedExchangeExec => r +: allThroughReuse(r.child)
+        case other => other +: other.children.flatMap(allThroughReuse)
+      }
+    }
     val name = if (which == "sim") "sim_ivf_delta" else "dg_gate_delta"
     val df = SparkEntry.queries(name)(spark, sfDir)
     val t0 = System.nanoTime()
     val rows = df.queryExecution.executedPlan.execute().count()
     val secs = (System.nanoTime() - t0) / 1e9
     def scanWith(n: SparkPlan, marker: String): Boolean =
-      allNodes(n).exists(x =>
+      allThroughReuse(n).exists(x =>
         x.getClass.getSimpleName.contains("FileSourceScan") &&
           x.toString.contains(marker))
     // the gate fixture's delta is the node_id % 7 == 0 late tranche;
-    // its base carries the NEGATED filter, so a subtree is delta-side
-    // iff some node's own line has the positive form without the NOT
-    // wrapper (walked via allNodes — a query-stage boundary hides its
-    // subtree from the parent's toString)
+    // its base carries the NEGATED form, so a subtree is delta-side iff
+    // some plan line has the POSITIVE form after NOT-wrapped % 7 terms
+    // are stripped (the fixture's own NOT((id % 10) = 9) predicate
+    // AND-combines onto the same Filter line, so a bare "no NOT (("
+    // line test would reject the delta's own filter). Renderings
+    // combine two walks: allThroughReuse descends query stages and
+    // reused exchanges, and each node's FULL tree string is scanned
+    // because cached subtrees hide behind InMemoryTableScan leaves
+    // that `children` never descends but toString reprints.
+    val notPat = """NOT \(\([A-Za-z_]+#\d+L? % 7\) = 0\)""".r
     def deltaFiltered(n: SparkPlan): Boolean =
-      allNodes(n).exists { x =>
-        val l = x.toString.linesIterator.next()
-        l.contains("% 7) = 0") && !l.contains("NOT ((")
-      }
+      allThroughReuse(n).exists(_.toString.linesIterator.exists { l0 =>
+        notPat.replaceAllIn(l0, "").contains("% 7) = 0")
+      })
     val joins = allNodes(df.queryExecution.executedPlan).filter(n =>
       n.getClass.getSimpleName
         .matches(".*(HashJoin|SortMergeJoin|NestedLoop)\\w*Exec"))
