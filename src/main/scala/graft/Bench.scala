@@ -106,15 +106,16 @@ object Bench {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      // r18: the knn family's per-key top-k heaps (CollectTopK, bounded
-      // at k=3 elements per group by construction) must stay on the
-      // hash path — the 128-key default fallback exists for UNBOUNDED
-      // collect buffers and would re-introduce exactly the candidate-
-      // stream sort the aggregate replaces (SCALE.md r18: that sort
-      // exhausted this box's disk at ~1.56e10 candidates). 8M keys ×
-      // (3 structs + key) is comfortably in-memory at any tested scale.
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        "8388608")
+      // r19 (ADVICE): the r18 sweep-global objectHashAggregate
+      // fallbackThreshold=8M is GONE — it existed for the bounded
+      // CollectTopK heap, which no shipped query uses (the r18 A/B
+      // kept the rank window; the heap is the documented escape
+      // hatch), while the blanket setting also disabled the 128-key
+      // sort-based spill fallback for every UNBOUNDED collect_list/
+      // collect_set aggregate in the sweep — re-introducing the
+      // no-size-contract OOM class the rest of the tree removes. A
+      // future bounded-heap query must scope the threshold to itself
+      // (spark.conf.set before / restore after), never sweep-global.
       .config("spark.ui.enabled", "false")
     initParts.foreach(n => builder.config(
       "spark.sql.adaptive.coalescePartitions.initialPartitionNum", n))

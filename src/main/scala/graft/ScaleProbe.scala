@@ -185,11 +185,11 @@ object ScaleProbe {
         .as("cell"))
       .groupBy("cell").count()
       .agg(min("count"), max("count")).head
-    val rep0 = e.filter(col("vec_id") < 30000000L)
+    val rep0 = e.filter(col("vec_id") < ScaleSynth.IdOffset)
     val nLater = n - rep0.count()
     val (sampleN, hits) = if (nLater <= 0) (0L, 0L) else {
       val k = math.max(1L, nLater / 1000L)
-      val sample = e.filter(col("vec_id") >= 30000000L)
+      val sample = e.filter(col("vec_id") >= ScaleSynth.IdOffset)
         .filter(pmod(xxhash64(col("vec_id")), lit(k)) === 0)
         .select(col("vec_id").as("s_id"), col("v").as("s_v"))
       val sn = sample.count()
@@ -207,6 +207,104 @@ object ScaleProbe {
       s""""ivf_cell_max":${cellOcc.getLong(1)},""" +
       s""""chance_sample_pairs":$sampleN,"chance_hits":$hits,""" +
       f""""chance_rate":$rate%.6f}"""
+  }
+
+  /** `mm` (r19) — the multimodal phash family's counted quantities at
+    * a scale decade, the gate/sim discipline applied to the LAST
+    * fixed-width candidate-stream class in the tree (the r18 verdict's
+    * lead item: mm_phash_dedup's dHash band LSH is the same shape that
+    * wedged knn at 8 bits). All integer counts; the pair stream is
+    * NEVER materialized to count it:
+    *  - `n_docs` / `n_ghosts`: corpus rows and planted
+    *    length-preserving mutations (the true-pair floor the operator
+    *    must find — output linearity baseline).
+    *  - `band_rows`: rows of the production band table (4 per doc,
+    *    counted over `Multimodal.phashBands` itself).
+    *  - `n_buckets` / `max_bucket`: occupancy of the (band_id,
+    *    band_val) key space — 4 × 2^16 cells TOTAL at any corpus
+    *    size, the fixed-width property under scrutiny.
+    *  - `cand_rows_ordered`: exact Σ s·(s−1) over buckets = the
+    *    ordered a≠b hit stream of the band self-join (the a<b filter
+    *    halves it; distinct then collapses multi-band hits) — computed
+    *    from the occupancy aggregate alone. */
+  private def mmLine(spark: SparkSession, sfDir: String): String = {
+    import graft.operators.Multimodal
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val nDocs = docs.count()
+    val nGhosts = docs
+      .filter(col("doc_id") % 25 === 0 && length(col("text")) > 101)
+      .count()
+    val bands = Multimodal.phashBands(spark, sfDir)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bandRows = bands.count()
+    val occ = bands.groupBy("band_id", "band_val").count()
+      .agg(count(lit(1)).as("nb"), max("count").as("mx"),
+        sum(col("count") * (col("count") - 1)).as("pairs")).head
+    bands.unpersist()
+    s"""{"family":"mm","sf":"$sfDir","n_docs":$nDocs,""" +
+      s""""n_ghosts":$nGhosts,"band_rows":$bandRows,""" +
+      s""""n_buckets":${occ.getLong(0)},"max_bucket":${occ.getLong(1)},""" +
+      s""""cand_rows_ordered":${occ.getLong(2)}}"""
+  }
+
+  /** `knn_recall` (r19) — the width knob's RECALL side, measured (the
+    * r18 verdict's "each bit halves true-pair co-bucketing" was
+    * analytic only): exact top-3 neighbors for a deterministic
+    * hash-picked ~100-query sample (the only brute-force scan, bounded
+    * by the sample — the sim_ann_recall discipline), then the
+    * bucketed-knn top-3 at each width ∈ {8, 12, derived}; recall =
+    * integer hit count / exact count, engine-exact. One JSON line with
+    * a row per width, so SCALE.md's recall-per-width table is a
+    * committed artifact, not an assertion. */
+  private def knnRecallLine(spark: SparkSession, sfDir: String): String = {
+    import graft.functions.Vectors
+    import org.apache.spark.sql.expressions.Window
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = e.count()
+    val k = math.max(1L, n / 100L)
+    val q = e.filter(pmod(xxhash64(col("vec_id")), lit(k)) === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+    val nQ = q.count()
+    val cand = e.select(col("vec_id").as("n_id"), col("v").as("n_v"))
+    val partial = Window.partitionBy("q_id", "pt")
+      .orderBy(col("sim").desc, col("n_id").asc)
+    val fin = Window.partitionBy("q_id")
+      .orderBy(col("sim").desc, col("n_id").asc)
+    val exact = broadcast(q)
+      .join(cand, col("q_id") =!= col("n_id"))
+      .withColumn("sim", Vectors.cosineRounded(col("q_v"), col("n_v")))
+      .withColumn("pt", spark_partition_id())
+      .withColumn("rk1", row_number().over(partial)).filter(col("rk1") <= 3)
+      .withColumn("rk", row_number().over(fin)).filter(col("rk") <= 3)
+      .select("q_id", "n_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val totalExact = exact.count()
+    def hitsAt(bits: Int): Long = {
+      val qb = q.withColumn("bucket", Vectors.signBucket(col("q_v"), bits))
+      val cb = e.select(col("vec_id").as("n_id"), col("v").as("n_v"),
+        Vectors.signBucket(col("v"), bits).as("bucket"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("sim").desc, col("n_id").asc)
+      val approx = broadcast(qb).join(cb, Seq("bucket"))
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("sim", Vectors.cosineRounded(col("q_v"), col("n_v")))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+        .select("q_id", "n_id")
+      exact.join(approx, Seq("q_id", "n_id")).count()
+    }
+    val derived = Vectors.sizedSignBits(n)
+    val widths = Seq(8, 12, derived).distinct.sorted
+    val rows = widths.map { b =>
+      val h = hitsAt(b)
+      val r = if (totalExact == 0) 0.0 else h.toDouble / totalExact
+      s"""{"bits":$b,"derived":${b == derived},"hits":$h,""" +
+        f""""recall_at_3":$r%.4f}"""
+    }.mkString("[", ",", "]")
+    exact.unpersist(); e.unpersist()
+    s"""{"family":"knn_recall","sf":"$sfDir","n_vectors":$n,""" +
+      s""""n_queries":$nQ,"exact_pairs":$totalExact,"widths":$rows}"""
   }
 
   /** Every node of a final adaptive plan, descending through the AQE
@@ -306,7 +404,8 @@ object ScaleProbe {
     val outFile = if (args.length > 1) Some(args(1)) else None
     val family = if (args.length > 2) args(2) else "jaccard"
     require(
-      Set("jaccard", "gate", "sim", "fallback_sim", "fallback_gate")(family),
+      Set("jaccard", "gate", "sim", "fallback_sim", "fallback_gate",
+        "mm", "knn_recall")(family),
       s"unknown family $family")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val builder = SparkSession.builder()
@@ -315,10 +414,10 @@ object ScaleProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
-      // bounded CollectTopK heaps stay on the hash-agg path (see
-      // Bench.scala's identical knob for the rationale)
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        "8388608")
+      // no objectHashAggregate fallbackThreshold override: no probed
+      // query uses the bounded CollectTopK heap, and the blanket
+      // setting would disable the spill fallback for every unbounded
+      // collect buffer (see Bench.scala r19)
       .config("spark.ui.enabled", "false")
     // the decade-3 probes move Bench-scale shuffle volumes — honor the
     // same deployment knobs so a ~sf100 run fits this box's disk/heap
@@ -337,6 +436,8 @@ object ScaleProbe {
       case "sim"           => simLine(spark, sfDir)
       case "fallback_sim"  => fallbackLine(spark, sfDir, "sim")
       case "fallback_gate" => fallbackLine(spark, sfDir, "gate")
+      case "mm"            => mmLine(spark, sfDir)
+      case "knn_recall"    => knnRecallLine(spark, sfDir)
       case _               => jaccardLine(spark, sfDir)
     }
     // the println is the result of record; the file write is a

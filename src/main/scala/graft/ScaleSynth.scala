@@ -109,6 +109,16 @@ import org.apache.spark.sql.functions._
   */
 object ScaleSynth {
 
+  /** Per-replica id offset: every replica r shifts its key columns by
+    * r·IdOffset. Divisible by lcm(5,10,15)=30 so `id % k` residues the
+    * fixtures key on survive replication; large enough that no source
+    * id crosses into the next replica's range. SHARED single source of
+    * truth (r19, ADVICE): `dd_embed_decontaminate`'s eval-set bound and
+    * ScaleProbe's chance-rate sample both mean "the first replica" as
+    * `id < IdOffset` — a drifting copy of this constant would silently
+    * break the eval-bounded contract on synthetic corpora. */
+  val IdOffset: Long = 30L * 1000 * 1000
+
   private val alpha = "abcdefghijklmnopqrstuvwxyz"
 
   /** Seeded Fisher–Yates permutation of the lowercase alphabet. The
@@ -190,8 +200,7 @@ object ScaleSynth {
     require(!scaleEmb || factor <= 64,
       s"embedding shift is distinct only below the 64-dim vector — " +
         s"factor=$factor needs mode=text or a new embedding transform")
-    // offset divisible by lcm(5,10,15)=30 keeps doc_id % k residues
-    val idOffset = 30L * 1000 * 1000
+    val idOffset = IdOffset
 
     if (scaleDocs) {
       val docs = spark.read.parquet(s"$srcDir/documents.parquet")

@@ -1205,9 +1205,12 @@ object DedupQueries {
     }),
 
     "dd_embed_cosine" -> ((s, d) => {
+      // bucket width self-sized from the corpus count (r19) — same
+      // derivation (and memo) as the sim family's consumers
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        .withColumn("bucket", graft.functions.Vectors.signBucket(col("v")))
+        .withColumn("bucket", graft.functions.Vectors.signBucket(col("v"),
+          SimilarityQueries.effBits(s, d)))
       val a = e.select(col("vec_id").as("a_id"), col("bucket"), col("v").as("a_v"))
       val b = e.select(col("vec_id").as("b_id"), col("bucket"), col("v").as("b_v"))
       a.join(b, Seq("bucket"))

@@ -185,6 +185,30 @@ object Multimodal {
     withGhostDups(Tables.documents(s, d))
       .select(col("doc_id"), col("text").cast("binary").as("content"))
 
+  /** The dHash band table (doc_id, band_id, band_val) the phash dedup
+    * self-joins — factored so ScaleProbe's `mm` family counts the
+    * PRODUCTION band stream (occupancy → exact Σ s·(s−1) candidate
+    * count) rather than a restatement (r19; the gate-probe discipline,
+    * `DedupGate.probeStreams` precedent). Semantics unchanged: this is
+    * verbatim the hash build that lived inline in mm_phash_dedup. */
+  private[graft] def phashBands(s: SparkSession, d: String): DataFrame = {
+    val rs = resize(phashSrc(s, d), 9, 8)
+      .select(col("doc_id"), upper(hex(col("resized"))).as("h"))
+    def px(i: Int) = conv(substring(col("h"), 2 * i + 1, 2), 16, 10)
+      .cast("long")
+    def band(b: Int) = (0 until 16).map { j =>
+      val k = b * 16 + j
+      val (r, c) = (k / 8, k % 8)
+      when(px(r * 9 + c) < px(r * 9 + c + 1), lit(1L << j))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    rs.select(col("doc_id"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band_id"), band(b).as("band_val"))): _*))
+        .as("e"))
+      .select(col("doc_id"), col("e.band_id"), col("e.band_val"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_media_meta" -> ((s, d) => {
       withMediaMeta(binDocs(s, d))
@@ -244,26 +268,12 @@ object Multimodal {
     // planted pairs are what the operator must find, and random band
     // collisions are what the Hamming gate must reject.
     "mm_phash_dedup" -> ((s, d) => {
-      val rs = resize(phashSrc(s, d), 9, 8)
-        .select(col("doc_id"), upper(hex(col("resized"))).as("h"))
-      def px(i: Int) = conv(substring(col("h"), 2 * i + 1, 2), 16, 10)
-        .cast("long")
-      def band(b: Int) = (0 until 16).map { j =>
-        val k = b * 16 + j
-        val (r, c) = (k / 8, k % 8)
-        when(px(r * 9 + c) < px(r * 9 + c + 1), lit(1L << j))
-          .otherwise(lit(0L))
-      }.reduce(_ + _)
       // persisted: the frame feeds THREE join branches (candidates +
       // both sides of the Hamming verify) — without this the codec
       // resize pass recomputes per reference, exactly the cost the
       // signature-table posture exists to avoid (slim rows: doc_id +
       // two ints per band)
-      val hashed = rs.select(col("doc_id"),
-        explode(array((0 until 4).map(b =>
-          struct(lit(b).as("band_id"), band(b).as("band_val"))): _*))
-          .as("e"))
-        .select(col("doc_id"), col("e.band_id"), col("e.band_val"))
+      val hashed = phashBands(s, d)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cand = hashed.select(col("doc_id").as("a_id"),
           col("band_id"), col("band_val"))

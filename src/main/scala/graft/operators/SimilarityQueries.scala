@@ -28,6 +28,14 @@ object SimilarityQueries {
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
 
+  /** Effective sign-LSH width for the dir's embeddings corpus —
+    * derived from the corpus count at plan build (r19; see
+    * [[Vectors.sizedSignBitsFor]]). Equals [[Vectors.SignBucketBits]]
+    * at the graded scales, so the static oracle strings below (which
+    * interpolate the floor) stay exact where they run. */
+  private[operators] def effBits(s: SparkSession, d: String): Int =
+    Vectors.sizedSignBitsFor(emb(s, d), col("v"), d)
+
   /** The frozen 8-cell IVF codebook (first 8 vectors ≙ a trained
     * coarse quantizer) — shared by sim_ann_ivf and sim_ivf_delta so
     * the monolithic and delta postures assign against the SAME cells. */
@@ -301,10 +309,12 @@ object SimilarityQueries {
         .select("q_id", "n_id", "sim", "rr")
     }),
 
-    // LSH-bucketed ANN: 8 sign bits of the leading components as the
-    // coarse bucket; top-3 within bucket.
+    // LSH-bucketed ANN: sign bits of the leading components as the
+    // coarse bucket (width self-sized from the corpus count, r19);
+    // top-3 within bucket.
     "sim_ann_bucketed" -> ((s, d) => {
-      val e = emb(s, d).withColumn("bucket", Vectors.signBucket(col("v")))
+      val e = emb(s, d)
+        .withColumn("bucket", Vectors.signBucket(col("v"), effBits(s, d)))
       val q = e.filter(col("vec_id") < 50)
         .select(col("vec_id").as("q_id"), col("v").as("q_v"), col("bucket"))
       val cand = e.select(col("vec_id").as("n_id"), col("v").as("n_v"),
@@ -325,9 +335,12 @@ object SimilarityQueries {
     // candidate set per vector is corpus/2^bits in expectation
     // regardless of labels; the per-vector top-k is a keyed window that
     // Spark prunes map-side (WindowGroupLimit). At 100 TB the same
-    // two-stage key (bucket join, vec_id window) holds — widen the
-    // bucket (SPARK_GRAFT_SIGN_BITS) to keep per-block fan-out constant
-    // as the corpus grows; at right-sized fan-out the window's sort is
+    // two-stage key (bucket join, vec_id window) holds — the bucket
+    // width SELF-SIZES from the corpus count at plan build (r19,
+    // Vectors.sizedSignBitsFor; SPARK_GRAFT_SIGN_BITS is now the
+    // override, not the only control), so per-block fan-out stays
+    // constant as the corpus grows without a human reading SCALE.md;
+    // at right-sized fan-out the window's sort is
     // bounded and fast. r18 measured the alternative — a bounded
     // CollectTopK heap per key (Native.collect_top_k, kept for callers
     // with un-sizable fan-out) — oracle-identical but ~4× slower at
@@ -337,7 +350,8 @@ object SimilarityQueries {
     // so the WIDTH KNOB, not the aggregate, is the production answer
     // to the 8-bit decade-3 sort-spill death (SCALE.md r18).
     "sim_knn_graph" -> ((s, d) => {
-      val e = emb(s, d).withColumn("bucket", Vectors.signBucket(col("v")))
+      val e = emb(s, d)
+        .withColumn("bucket", Vectors.signBucket(col("v"), effBits(s, d)))
       val a = e.select(col("vec_id"), col("v").as("a_v"), col("bucket"))
       val b = e.select(col("vec_id").as("nbr_id"), col("v").as("b_v"),
         col("bucket"))
@@ -361,10 +375,11 @@ object SimilarityQueries {
     // embeddings are near-orthogonal) is a parameter, not structure.
     "dd_semdedup" -> ((s, d) => {
       val e = emb(s, d)
+      val bits = effBits(s, d)
       val victim = e.select(col("vec_id"), col("v").as("a_v"),
-        Vectors.signBucket(col("v")).as("bucket"))
+        Vectors.signBucket(col("v"), bits).as("bucket"))
       val keeper = e.select(col("vec_id").as("kept_id"), col("v").as("b_v"),
-        Vectors.signBucket(col("v")).as("bucket"))
+        Vectors.signBucket(col("v"), bits).as("bucket"))
       victim.join(keeper, Seq("bucket"))
         .filter(col("kept_id") < col("vec_id"))
         .withColumn("sim", Vectors.cosineRounded(col("a_v"), col("b_v")))
@@ -385,20 +400,22 @@ object SimilarityQueries {
     // corpus exchange; only the (flag-sized) argmax shuffles. 0.4 gate
     // matches dd_semdedup (synthetic embeddings are near-orthogonal).
     // r18: the eval slice is BOUNDED to the first ScaleSynth replica
-    // (vec_id < 30M — a no-op at the graded scales, whose ids all sit
-    // below it) so the fixture honors the operator's own contract: an
-    // eval set is benchmark-sized at ANY corpus size. Without the
-    // bound, ScaleSynth's id offsets (multiples of 30M, ≡ 0 mod 25)
-    // made every replica's copies eval too — the decade batteries
-    // would have measured a quadratic workload the operator's design
-    // explicitly rules out.
+    // (vec_id < ScaleSynth.IdOffset — a no-op at the graded scales,
+    // whose ids all sit below it) so the fixture honors the operator's
+    // own contract: an eval set is benchmark-sized at ANY corpus size.
+    // Without the bound, ScaleSynth's id offsets (≡ 0 mod 25) made
+    // every replica's copies eval too — the decade batteries would
+    // have measured a quadratic workload the operator's design
+    // explicitly rules out. r19 (ADVICE): the boundary reads the ONE
+    // shared constant (here, in the oracle SQL below, and in
+    // ScaleProbe) so a future offset change cannot silently break it.
     "dd_embed_decontaminate" -> ((s, d) => {
       val e = emb(s, d)
       val ev = e.filter(col("vec_id") % 25 === 0 &&
-          col("vec_id") < 30000000L)
+          col("vec_id") < graft.ScaleSynth.IdOffset)
         .select(col("vec_id").as("eval_id"), col("v").as("e_v"))
       val corp = e.filter(col("vec_id") % 25 =!= 0 ||
-          col("vec_id") >= 30000000L)
+          col("vec_id") >= graft.ScaleSynth.IdOffset)
         .select(col("vec_id"), col("v").as("c_v"))
       corp.crossJoin(broadcast(ev))
         .withColumn("sim", Vectors.cosineRounded(col("c_v"), col("e_v")))
@@ -498,7 +515,8 @@ object SimilarityQueries {
     // rows each.
     "samp_hard_negatives" -> ((s, d) => {
       val knn = queries("sim_knn_graph")(s, d)
-      val e = emb(s, d).withColumn("bucket", Vectors.signBucket(col("v")))
+      val e = emb(s, d)
+        .withColumn("bucket", Vectors.signBucket(col("v"), effBits(s, d)))
       val a = e.select(col("vec_id"), col("v").as("a_v"), col("bucket"))
       val b = e.select(col("vec_id").as("nbr_id"), col("v").as("b_v"),
         col("bucket"))
@@ -883,12 +901,12 @@ object SimilarityQueries {
         |SELECT node_id, count(*) AS n_triangles
         |FROM un GROUP BY node_id""".stripMargin,
     "dd_embed_decontaminate" ->
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |ev AS (SELECT vec_id AS eval_id, v FROM e
-        |       WHERE vec_id % 25 = 0 AND vec_id < 30000000),
+        |       WHERE vec_id % 25 = 0 AND vec_id < ${graft.ScaleSynth.IdOffset}),
         |corp AS (SELECT vec_id, v FROM e
-        |         WHERE vec_id % 25 <> 0 OR vec_id >= 30000000),
+        |         WHERE vec_id % 25 <> 0 OR vec_id >= ${graft.ScaleSynth.IdOffset}),
         |hits AS (
         |  SELECT c.vec_id, ev.eval_id,
         |    round(list_cosine_similarity(c.v, ev.v), 4) AS sim

@@ -657,7 +657,18 @@ object Native {
     * Tungsten sort at decade-2 fan-out (51.3 s vs 12.1 s,
     * bench_scale_sim_syn10_topk_r18.json), so on every sizable-fan-out
     * path the window + the width knob is the right plan and this stays
-    * the escape hatch. PropertySpec pins rank parity. */
+    * the escape hatch. PropertySpec pins rank parity.
+    *
+    * ±0.0 (r19, ADVICE): the aggregate compares with Scala's TOTAL
+    * Double order (-0.0 < 0.0) while window/sort comparators use
+    * primitive compare (-0.0 == 0.0) — a divergence that turns out to
+    * be UNREACHABLE for column-borne zeros because UnsafeRowWriter
+    * normalizes -0.0 → 0.0 on every write (SPARK-26021): both zeros
+    * present identical ordering keys to both operators and the id
+    * tie-break decides, identically. MEASURED, not assumed —
+    * PropertySpec forces ±0.0 ties at the rank boundary and pins
+    * plain-negation parity (the test that catches a Spark upgrade
+    * dropping write-time normalization). */
   def collect_top_k(e: Column, k: Int, reverse: Boolean): Column =
     column(org.apache.spark.sql.graftbridge.Bridge
       .collectTopK(expression(e), k, reverse))

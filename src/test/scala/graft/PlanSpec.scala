@@ -42,6 +42,24 @@ class PlanSpec extends SparkSpec {
     * join key under scrutiny — a downstream ranking exchange (e.g. the
     * per-query top-k window) legitimately has the whole plan in its
     * subtree and must not trip the pin. */
+  /** allNodes twin that DESCENDS ReusedExchangeExec — for EXISTENCE
+    * checks only (r19, ADVICE): an exchange whose subtree reaches the
+    * marked base scan only through a reused exchange would otherwise be
+    * invisible to the overBase pin, letting a real re-shuffle pass. The
+    * outer COUNTING walk stays reuse-blind (descending both the
+    * original stage and its reuse would double-count). */
+  private def allThroughReuse(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive._
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    p match {
+      case a: AdaptiveSparkPlanExec => allThroughReuse(a.executedPlan)
+      case q: QueryStageExec => q +: allThroughReuse(q.plan)
+      case r: ReusedExchangeExec => r +: allThroughReuse(r.child)
+      case other => other +: other.children.flatMap(allThroughReuse)
+    }
+  }
+
   private def shufflesOverScan(df: DataFrame, marker: String,
       key: String = ""): Int = {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
@@ -49,7 +67,7 @@ class PlanSpec extends SparkSpec {
       case e: ShuffleExchangeLike =>
         (key.isEmpty ||
           e.outputPartitioning.toString.contains(key)) &&
-        allNodes(e).exists(n =>
+        allThroughReuse(e).exists(n =>
           n.getClass.getSimpleName.contains("FileSourceScan") &&
             n.toString.contains(marker))
       case _ => false

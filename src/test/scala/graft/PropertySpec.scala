@@ -284,11 +284,10 @@ class PropertySpec extends SparkSpec {
   }
 
   test("collect_top_k top-3 equals the rank window's rows exactly " +
-    "(random groups, including ±0.0 sims)") {
+    "(random groups; ±0.0 boundary covered by the dedicated test below)") {
     // the escape-hatch aggregate for un-sizable fan-out (see
     // Native.collect_top_k) must stay rank-parity with row_number over
-    // (sim DESC, id ASC): heap keeps the 3 smallest struct(-sim, id) —
-    // negation reverses Double.compare totally, including across ±0.0
+    // (sim DESC, id ASC): heap keeps the 3 smallest struct(-sim, id)
     import org.apache.spark.sql.expressions.Window
     val rows = Seq.tabulate(4000) { i =>
       val sim = rnd.nextInt(8) match {
@@ -311,6 +310,50 @@ class PropertySpec extends SparkSpec {
     assert(heaped.exceptAll(windowed).isEmpty &&
       windowed.exceptAll(heaped).isEmpty,
       "heap top-3 must equal the window's rows exactly")
+  }
+
+  test("collect_top_k ±0.0 AT the rank boundary: plain-negation parity " +
+    "holds (Spark normalizes -0.0 at row-write time — measured, not " +
+    "assumed)") {
+    // r19 (ADVICE): the random-groups test above essentially never puts
+    // a ±0.0 tie AT the top-3 boundary, so this fixture forces it —
+    // per group: sims {1.0, 0.9, -0.0, +0.0} with the -0.0 row on the
+    // LOWER id, both zeros competing for rank 3. The theorized
+    // divergence (window comparators treat -0.0 == 0.0 while the
+    // heap's interpreted struct ordering is Scala's TOTAL Double order
+    // with -0.0 < 0.0) turns out to be UNREACHABLE for column-borne
+    // values: UnsafeRowWriter normalizes -0.0 → 0.0 on every write
+    // (SPARK-26021), so by the time either operator compares, the
+    // signed-zero distinction no longer exists — negating 0.0 does
+    // produce -0.0 inside the aggregate's key, but BOTH zeros negate
+    // to the SAME -0.0, keeping the ordering keys equal and the id
+    // tie-break in charge, exactly like the window. This fixture pins
+    // that parity (and the windowed side of the fixture itself) as an
+    // executable fact; if a Spark upgrade ever drops write-time
+    // normalization, this is the test that catches it.
+    import org.apache.spark.sql.expressions.Window
+    val rows = (0L until 50L).flatMap { g =>
+      Seq((g, g * 10 + 1, 1.0), (g, g * 10 + 2, 0.9),
+        (g, g * 10 + 3, -0.0), (g, g * 10 + 4, 0.0))
+    }
+    val df = rows.toDF("g", "id", "sim")
+    val w = Window.partitionBy("g").orderBy($"sim".desc, $"id".asc)
+    val windowed = df.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3).select("g", "id", "rk")
+    def heaped(negsim: org.apache.spark.sql.Column) = df.groupBy("g")
+      .agg(graft.plans.Native.collect_top_k(
+        struct(negsim.as("negsim"), $"id"), 3, reverse = true).as("t"))
+      .select($"g", posexplode(array_sort($"t")).as(Seq("p", "e")))
+      .select($"g", $"e.id".as("id"), ($"p" + 1).as("rk"))
+    // the window keeps each group's lower-id zero row (zeros tie; id
+    // breaks it) — the boundary the random test never exercised
+    assert(windowed.filter($"rk" === 3 && $"id" % 10 === 3).count() == 50,
+      "fixture: the window's rank-3 row must be the lower-id zero row")
+    val naive = heaped(-$"sim")
+    assert(naive.exceptAll(windowed).isEmpty &&
+      windowed.exceptAll(naive).isEmpty,
+      "plain negation must equal the window's rows exactly at the " +
+        "±0.0 boundary (write-time normalization guarantees it)")
   }
 
   test("the Jaccard encoded-verify injectivity guard FIRES on a " +
