@@ -59,8 +59,14 @@ import org.apache.spark.storage.StorageLevel
   * runtime strategy (broadcast at ingest scale, keyed at backfill
   * scale) on real frames at a real decade.
   *
+  * `fallback_store` (r19) — see [[fallbackStoreLine]]: the same
+  * executed-join-kind record for the three r18 de-hinted STORE-LOOP
+  * sites (compaction fold, tombstone-union minus, cc LSM overlay) over
+  * an on-disk store with one BACKFILL-scale generation.
+  *
   * Usage: `runMain graft.ScaleProbe <sfDir> [out.json] [family]` with
-  * family ∈ {jaccard, gate, sim, fallback_sim, fallback_gate} (default
+  * family ∈ {jaccard, gate, sim, fallback_sim, fallback_gate,
+  * fallback_store, mm, knn_recall} (default
   * jaccard) — prints one JSON line
   * (and optionally writes it, newline-terminated) so runs land next to
   * the bench artifacts.
@@ -338,33 +344,40 @@ object ScaleProbe {
     * degradation the r17 fix exists to provide, demonstrated rather
     * than predicted. Wall seconds and row count ride along so the
     * artifact also proves completion. */
+  /** Marker-search walker: unlike allNodes (used for COUNTS, where
+    * descending a ReusedExchange would double-count), existence checks
+    * must follow reuse — the gate's delta branch reaches its join
+    * through a reused exchange, and stopping at the reuse node hides
+    * its filters. */
+  private def allThroughReuse(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive._
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    p match {
+      case a: AdaptiveSparkPlanExec => allThroughReuse(a.executedPlan)
+      case q: QueryStageExec => q +: allThroughReuse(q.plan)
+      case r: ReusedExchangeExec => r +: allThroughReuse(r.child)
+      case other => other +: other.children.flatMap(allThroughReuse)
+    }
+  }
+
+  /** True when `n`'s subtree (descending reused exchanges) contains a
+    * file scan whose rendering carries `marker` — e.g. a store path
+    * segment or a catalog table name. */
+  private def scanWith(n: org.apache.spark.sql.execution.SparkPlan,
+      marker: String): Boolean =
+    allThroughReuse(n).exists(x =>
+      x.getClass.getSimpleName.contains("FileSourceScan") &&
+        x.toString.contains(marker))
+
   private def fallbackLine(spark: SparkSession, sfDir: String,
       which: String): String = {
     import org.apache.spark.sql.execution.SparkPlan
-    // marker-search walker: unlike allNodes (used for COUNTS, where
-    // descending a ReusedExchange would double-count), existence checks
-    // must follow reuse — the gate's delta branch reaches its join
-    // through a reused exchange, and stopping at the reuse node hides
-    // its filters
-    def allThroughReuse(p: SparkPlan): Seq[SparkPlan] = {
-      import org.apache.spark.sql.execution.adaptive._
-      import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
-      p match {
-        case a: AdaptiveSparkPlanExec => allThroughReuse(a.executedPlan)
-        case q: QueryStageExec => q +: allThroughReuse(q.plan)
-        case r: ReusedExchangeExec => r +: allThroughReuse(r.child)
-        case other => other +: other.children.flatMap(allThroughReuse)
-      }
-    }
     val name = if (which == "sim") "sim_ivf_delta" else "dg_gate_delta"
     val df = SparkEntry.queries(name)(spark, sfDir)
     val t0 = System.nanoTime()
     val rows = df.queryExecution.executedPlan.execute().count()
     val secs = (System.nanoTime() - t0) / 1e9
-    def scanWith(n: SparkPlan, marker: String): Boolean =
-      allThroughReuse(n).exists(x =>
-        x.getClass.getSimpleName.contains("FileSourceScan") &&
-          x.toString.contains(marker))
     // the gate fixture's delta is the node_id % 7 == 0 late tranche;
     // its base carries the NEGATED form, so a subtree is delta-side iff
     // some plan line has the POSITIVE form after NOT-wrapped % 7 terms
@@ -399,13 +412,136 @@ object ScaleProbe {
       s""""rows":$rows,"joins":$joinJson}"""
   }
 
+  /** `fallback_store` (r19) — the runtime-strategy record for the three
+    * r18 DE-HINTED STORE-LOOP sites, closing the r18 verdict's "their
+    * backfill-generation keyed path is still a prediction" item with
+    * the same discipline that closed the delta paths in r18
+    * (`probe_fallback_gate_syn100.json`): build an on-disk store whose
+    * ONE open generation is BACKFILL-scale (1/7 of the corpus — no
+    * ingest-size contract holds), execute the three production read
+    * paths, and emit every join of each FINAL adaptive plan with its
+    * executed kind:
+    *
+    *  - `gate_fold`: [[graft.streaming.GateStoreLoop.foldedBase]] — the
+    *    compaction fold's per-generation tombstone anti-joins
+    *    (`StreamStoreLoop.scala` `compact`; de-hinted r18). The frame
+    *    is the exact one `compact` writes, factored out because a write
+    *    command's executed plan is not inspectable after the fact.
+    *  - `gate_minus`: [[graft.operators.DedupGate.classifyStoredDeltas]]
+    *    with an ingest-sized batch against the same store — the
+    *    all-generations tombstone-union anti-join (`DedupGate.minus`,
+    *    de-hinted r18) plus the per-generation delta probes.
+    *  - `cc_overlay`: [[graft.streaming.CcStoreLoop.state]] — the LSM
+    *    overlay's per-layer anti-joins (de-hinted r18), over a
+    *    backfill-scale layer of the production `(doc_id, canonical_id)`
+    *    assignment schema.
+    *
+    * At ingest scale (sf0.1: tombstones/layers are KB-size id sets) the
+    * artifact must show runtime BroadcastHashJoins — AQE preserving the
+    * behavior the removed hints used to force; at backfill scale
+    * (~sf100: 2.9M-id tombstone set, ~23 MB raw — no broadcast
+    * contract) it must show the anti-joins EXECUTING keyed
+    * (SortMergeJoin) and the reads completing. Wall seconds and row
+    * counts ride along so the artifact also proves completion. The
+    * fixtures are built by the PRODUCTION builders (MinHash signatures
+    * → `bandedSigStore` → `GateStoreLoop.init`; the cc assignment is
+    * written directly in `ccAssignments`' output schema because the
+    * probe's subject is `state()`'s overlay READ plan, not the cc
+    * computation). */
+  private def fallbackStoreLine(spark: SparkSession, sfDir: String)
+      : String = {
+    import graft.operators.DedupGate
+    import graft.streaming.{CcStoreLoop, GateStoreLoop}
+    val tag = sfDir.replace('/', '_')
+    val gateDir = s"/tmp/graft-probe-gatestore-$tag"
+    val ccDir = s"/tmp/graft-probe-ccstore-$tag"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    rm(new java.io.File(gateDir)); rm(new java.io.File(ccDir))
+
+    // ---- gate store: base minus the %7 tranche; gen_5 = the tranche's
+    // banded rows as delta + a 1/7-corpus tombstone id set (the
+    // production tombs shape: node_id only) ----
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id").as("node_id"), col("text"),
+        col("lang").as("meta_key"), lit("published").as("status"))
+    val sig = graft.operators.MinHashPipeline.signatures(
+      docs.select("node_id", "text"), "node_id", col("text"))
+    val corp = docs.join(sig, "node_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nDocs = corp.count()
+    GateStoreLoop.init(
+      DedupGate.bandedSigStore(corp.filter(col("node_id") % 7 =!= 0), 4, 4),
+      gateDir)
+    DedupGate.bandedSigStore(corp.filter(col("node_id") % 7 === 0), 4, 4)
+      .write.mode("overwrite").parquet(s"$gateDir/gen_5/delta")
+    docs.filter(col("node_id") % 7 === 3).select("node_id")
+      .write.mode("overwrite").parquet(s"$gateDir/gen_5/tombs")
+    val tombRows = spark.read.parquet(s"$gateDir/gen_5/tombs").count()
+
+    def runAndJoins(df: DataFrame, layerMarkers: Seq[String]): String = {
+      val t0 = System.nanoTime()
+      val rows = df.queryExecution.executedPlan.execute().count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val joins = allNodes(df.queryExecution.executedPlan).filter(n =>
+        n.getClass.getSimpleName
+          .matches(".*(HashJoin|SortMergeJoin|NestedLoop)\\w*Exec"))
+      val joinJson = joins.map { j =>
+        val kind = j.getClass.getSimpleName.stripSuffix("Exec")
+        val line = j.toString.linesIterator.next()
+          .replace("\\", "\\\\").replace("\"", "'").take(200)
+        val anti = line.contains("LeftAnti")
+        val overLayer = layerMarkers.exists(m => scanWith(j, m))
+        s"""{"kind":"$kind","left_anti":$anti,""" +
+          s""""over_layer":$overLayer,"line":"$line"}"""
+      }.mkString("[", ",", "]")
+      f"""{"secs":$secs%.1f,"rows":$rows,"joins":$joinJson}"""
+    }
+
+    val gateFold = {
+      val (_, folded) = GateStoreLoop.foldedBase(spark, gateDir).get
+      runAndJoins(folded, Seq("tombs"))
+    }
+    val gateMinus = {
+      // ingest-sized batch (every 997th doc) probing the store — the
+      // per-batch posture with a backfill generation outstanding
+      val incoming = corp.filter(col("node_id") % 997 === 0)
+        .select(col("node_id").as("uid"), col("text").as("itext"),
+          col("meta_key"), col("sig"))
+      val (base, gens) = GateStoreLoop.state(spark, gateDir)
+      runAndJoins(
+        DedupGate.classifyStoredDeltas(incoming, base,
+          gens.map(g => (g._2, g._3)), 4, 4),
+        Seq("tombs"))
+    }
+
+    // ---- cc store: full assignment + one backfill-scale layer ----
+    val assign = docs.select(col("node_id").as("doc_id"),
+      (col("node_id") - pmod(col("node_id"), lit(5L))).as("canonical_id"))
+    assign.write.mode("overwrite").parquet(s"$ccDir/assign_-1")
+    assign.filter(col("doc_id") % 7 === 3)
+      .withColumn("canonical_id", lit(0L))
+      .write.mode("overwrite").parquet(s"$ccDir/gen_7")
+    val layerRows = spark.read.parquet(s"$ccDir/gen_7").count()
+    val ccOverlay = runAndJoins(
+      CcStoreLoop.state(spark, ccDir), Seq("gen_7"))
+
+    corp.unpersist()
+    s"""{"family":"fallback_store","sf":"$sfDir","n_docs":$nDocs,""" +
+      s""""tomb_rows":$tombRows,"layer_rows":$layerRows,""" +
+      s""""gate_fold":$gateFold,"gate_minus":$gateMinus,""" +
+      s""""cc_overlay":$ccOverlay}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val outFile = if (args.length > 1) Some(args(1)) else None
     val family = if (args.length > 2) args(2) else "jaccard"
     require(
       Set("jaccard", "gate", "sim", "fallback_sim", "fallback_gate",
-        "mm", "knn_recall")(family),
+        "fallback_store", "mm", "knn_recall")(family),
       s"unknown family $family")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val builder = SparkSession.builder()
@@ -436,6 +572,7 @@ object ScaleProbe {
       case "sim"           => simLine(spark, sfDir)
       case "fallback_sim"  => fallbackLine(spark, sfDir, "sim")
       case "fallback_gate" => fallbackLine(spark, sfDir, "gate")
+      case "fallback_store" => fallbackStoreLine(spark, sfDir)
       case "mm"            => mmLine(spark, sfDir)
       case "knn_recall"    => knnRecallLine(spark, sfDir)
       case _               => jaccardLine(spark, sfDir)

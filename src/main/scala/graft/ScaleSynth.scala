@@ -106,6 +106,12 @@ import org.apache.spark.sql.functions._
   *  - `emb`: ONLY the embeddings table (signed-permutation transform,
   *    any factor) — the similarity/ANN decades without paying for
   *    text or relational rows the sim family never reads.
+  *  - `textrel` (r19): documents AND the relational tables at the same
+  *    factor (embeddings copied unchanged) — the corpus the mixed
+  *    governance battery needs: `dq_audit` spans orders+customer+
+  *    documents and `layout_zorder_key` reads lineitem, so measuring
+  *    the dq family at a decade requires BOTH sides scaled while the
+  *    sim tables (which none of these queries read) stay small.
   */
 object ScaleSynth {
 
@@ -179,7 +185,8 @@ object ScaleSynth {
     val dstDir = args(1)
     val factor = if (args.length > 2) args(2).toInt else 10
     val mode = if (args.length > 3) args(3) else "all"
-    require(Set("all", "rel", "text", "emb")(mode), s"unknown mode $mode")
+    require(Set("all", "rel", "text", "emb", "textrel")(mode),
+      s"unknown mode $mode")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -190,10 +197,10 @@ object ScaleSynth {
     spark.sparkContext.setLogLevel("WARN")
 
     val ALPHA = alpha.toUpperCase
-    val scaleDocs = mode == "all" || mode == "text"
+    val scaleDocs = mode == "all" || mode == "text" || mode == "textrel"
     val scaleEmb = mode == "all"
     val scaleEmbPerm = mode == "emb"
-    val scaleRel = mode == "all" || mode == "rel"
+    val scaleRel = mode == "all" || mode == "rel" || mode == "textrel"
     require(!scaleDocs || factor <= vettedPermSeeds.size,
       s"only ${vettedPermSeeds.size} vetted perm seeds — re-vet " +
         s"(tools/vet_rotations.py <src> perm <maxSeed>) before factor=$factor")

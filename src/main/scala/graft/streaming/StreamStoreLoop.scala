@@ -231,15 +231,28 @@ object GateStoreLoop {
     * anti-join of two generation-sized sides.
     */
   def compact(spark: SparkSession, dir: String,
-      upTo: Long = Long.MaxValue): Unit = {
+      upTo: Long = Long.MaxValue): Unit =
+    foldedBase(spark, dir, upTo).foreach { case (g, folded) =>
+      folded.write.mode("overwrite").parquet(s"$dir/base_$g")
+    }
+
+  /** The fold compact writes, as `(target generation, frame)` — None
+    * when nothing is open below `upTo`. Factored out of [[compact]]
+    * (r19) so ScaleProbe's fallback_store family can materialize the
+    * PRODUCTION fold and read its final adaptive plan (the executed
+    * join kinds of the per-generation tombstone anti-joins) — a write
+    * command's plan is not inspectable after the fact, and the probe
+    * must measure this code path, not a restatement of it. */
+  def foldedBase(spark: SparkSession, dir: String,
+      upTo: Long = Long.MaxValue): Option[(Long, DataFrame)] = {
     val (base, gensAll) = state(spark, dir)
     val gens = gensAll.filter(_._1 < upTo)
-    if (gens.isEmpty) return
-    val folded = gens.foldLeft(base) { case (s, (_, append, tombs)) =>
-      s.join(tombs, Seq("node_id"), "left_anti")
-        .unionByName(append)
-    }
-    folded.write.mode("overwrite").parquet(s"$dir/base_${gens.map(_._1).max}")
+    if (gens.isEmpty) None
+    else Some((gens.map(_._1).max,
+      gens.foldLeft(base) { case (s, (_, append, tombs)) =>
+        s.join(tombs, Seq("node_id"), "left_anti")
+          .unionByName(append)
+      }))
   }
 
   /** All COMMITTED outcomes written so far (the loop's queryable API

@@ -1186,4 +1186,50 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("bkt"))
     assert(p.contains("tok"))
   }
+
+  test("store-loop fallback sites at ingest scale: the de-hinted fold " +
+      "and cc-overlay anti-joins execute as runtime broadcasts (the " +
+      "backfill-keyed regime is the probe artifact's half: " +
+      "probe_fallback_store_*.json)") {
+    import graft.streaming.{CcStoreLoop, GateStoreLoop}
+    import graft.operators.{DedupGate, MinHashPipeline}
+    import spark.implicits._
+    // gate store: base minus the %7 tranche, one open generation whose
+    // tombstones are an ingest-sized id set — the exact store shape the
+    // fallback_store probe builds at backfill scale
+    val corpus = (1 to 40).map(i => (i.toLong,
+      s"fold pin store doc $i words p${i}q p${i}r tail ${i * 31}",
+      "en", "published")).toDF("node_id", "text", "meta_key", "status")
+    val sigged = corpus.join(
+      MinHashPipeline.signatures(corpus, "node_id", col("text")), "node_id")
+    val dir = java.nio.file.Files.createTempDirectory("graft-foldpin")
+      .toString
+    GateStoreLoop.init(DedupGate.bandedSigStore(
+      sigged.filter(col("node_id") % 7 =!= 0), 4, 4), dir)
+    DedupGate.bandedSigStore(sigged.filter(col("node_id") % 7 === 0), 4, 4)
+      .write.parquet(s"$dir/gen_0/delta")
+    corpus.filter(col("node_id") % 7 === 3).select("node_id")
+      .write.parquet(s"$dir/gen_0/tombs")
+    val (_, folded) = GateStoreLoop.foldedBase(spark, dir).get
+    val p = executedPlanOf(folded)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"ingest-scale fold anti-join did not broadcast at runtime:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"ingest-scale fold fell back to a keyed join:\n$p")
+
+    // cc LSM overlay: one ingest-sized layer over the assignment base
+    val ccDir = java.nio.file.Files.createTempDirectory("graft-ccpin")
+      .toString
+    val assign = (1 to 40).map(i => (i.toLong, (i - i % 5).toLong))
+      .toDF("doc_id", "canonical_id")
+    assign.write.parquet(s"$ccDir/assign_-1")
+    assign.filter(col("doc_id") % 7 === 3)
+      .withColumn("canonical_id", lit(0L))
+      .write.parquet(s"$ccDir/gen_3")
+    val pc = executedPlanOf(CcStoreLoop.state(spark, ccDir))
+    assert(pc.contains("BroadcastHashJoin") && pc.contains("LeftAnti"),
+      s"ingest-scale cc overlay anti-join did not broadcast at runtime:\n$pc")
+    assert(!pc.contains("SortMergeJoin"),
+      s"ingest-scale cc overlay fell back to a keyed join:\n$pc")
+  }
 }
