@@ -117,6 +117,17 @@ object Bench {
       // future bounded-heap query must scope the threshold to itself
       // (spark.conf.set before / restore after), never sweep-global.
       .config("spark.ui.enabled", "false")
+    // r19 (verdict Next 5): the primitive top-k aggregate path
+    // (SPARK_GRAFT_KNN_IMPL=topk) holds one k-slot buffer per group in
+    // the ObjectHashAggregate hash map; the default 128-key sort-based
+    // fallback would re-sort the candidate stream — the exact death the
+    // aggregate exists to avoid. SCOPED to the knob (the r18 ADVICE
+    // fix stands: never set in the default sweep, where no query uses
+    // a bounded heap and unbounded collects need their spill fallback).
+    val knnImpl = sys.env.get("SPARK_GRAFT_KNN_IMPL")
+    if (knnImpl.contains("topk")) builder.config(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      "16777216")
     initParts.foreach(n => builder.config(
       "spark.sql.adaptive.coalescePartitions.initialPartitionNum", n))
     ioCodec.foreach(c => builder.config("spark.io.compression.codec", c))
@@ -287,16 +298,22 @@ object Bench {
     // index. null when no comparable ref exists (missing file,
     // different sf dir — a decade battery must not "normalize" against
     // the sf0.1 pin — or <20 common queries).
+    // r19 (verdict item 7): when no comparable ref exists the field
+    // carries an explicit REASON string instead of a bare null — a
+    // decade-battery artifact must say "different corpus than the pin"
+    // rather than leave the reader to reconstruct why it didn't
+    // normalize. Left = reason, Right = the index.
     val refFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF",
       "bench_queries.json")
-    val medianVsRef: Option[Double] = try {
+    val medianVsRef: Either[String, Double] = try {
       val p = Paths.get(refFile)
-      if (!Files.exists(p)) None
+      if (!Files.exists(p)) Left(s"no_ref_artifact:$refFile")
       else {
         val text = Files.readString(p)
         val refSf = "\"sf\":\"([^\"]+)\"".r
           .findFirstMatchIn(text).map(_.group(1))
-        if (!refSf.contains(sfDir)) None
+        if (!refSf.contains(sfDir))
+          Left(s"ref_is_for_${refSf.getOrElse("unknown")}_not_$sfDir")
         else {
           val entry = "\"([A-Za-z0-9_]+)\":\\{\"sec\":([0-9.]+)".r
           val ref = entry.findAllMatchIn(text)
@@ -305,15 +322,16 @@ object Bench {
             case (k, m) if m.ok && ref.get(k).exists(_ > 0) =>
               m.sec / ref(k)
           }.sorted
-          if (ratios.size < 20) None
-          else if (ratios.size % 2 == 1) Some(ratios(ratios.size / 2))
-          else Some((ratios(ratios.size / 2 - 1) +
+          if (ratios.size < 20)
+            Left(s"only_${ratios.size}_common_queries_lt_20")
+          else if (ratios.size % 2 == 1) Right(ratios(ratios.size / 2))
+          else Right((ratios(ratios.size / 2 - 1) +
             ratios(ratios.size / 2)) / 2)
         }
       }
     } catch { case NonFatal(e) =>
       System.err.println(s"[bench] median_vs_ref unavailable: $e")
-      None
+      Left("ref_parse_error")
     }
     val qsFlat = results.map { case (k, m) => "\"" + k + "\":" + f"${m.sec}%.3f" }
       .mkString("{", ",", "}")
@@ -345,8 +363,9 @@ object Bench {
         s""""initial_partitions":${initParts.getOrElse(cpus)},""" +
         s""""io_codec":"${ioCodec.getOrElse("lz4")}",""" +
         s""""sign_bits":${graft.functions.Vectors.SignBucketBits},""" +
+        s""""knn_impl":"${knnImpl.getOrElse("window")}",""" +
         s""""median_vs_ref":${
-          medianVsRef.map(v => f"$v%.3f").getOrElse("null")},""" +
+          medianVsRef.fold(r => "\"" + r + "\"", v => f"$v%.3f")},""" +
         f""""gc_sec_total":$gcTotal%.3f,""" +
         f""""shuffle_write_mb_total":$swTotal%.1f,""" +
         f""""spill_mb_total":$spillTotal%.1f,""" +

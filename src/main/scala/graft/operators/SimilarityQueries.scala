@@ -355,14 +355,30 @@ object SimilarityQueries {
       val a = e.select(col("vec_id"), col("v").as("a_v"), col("bucket"))
       val b = e.select(col("vec_id").as("nbr_id"), col("v").as("b_v"),
         col("bucket"))
-      val w = Window.partitionBy("vec_id")
-        .orderBy(col("sim").desc, col("nbr_id").asc)
-      a.join(b, Seq("bucket"))
+      val cand = a.join(b, Seq("bucket"))
         .filter(col("vec_id") =!= col("nbr_id"))
         .withColumn("sim", Vectors.cosineRounded(col("a_v"), col("b_v")))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 3)
-        .select("vec_id", "nbr_id", "sim", "rk")
+      // r19 (verdict Next 5): SPARK_GRAFT_KNN_IMPL=topk swaps the rank
+      // window for the PRIMITIVE top-k aggregate (Native.top_k_pairs —
+      // constant k-slot memory per group at any fan-out; output already
+      // rank-sorted, pos+1 IS the rank). Rank-parity with the window is
+      // pinned in PropertySpec incl. ±0.0/NaN ties; the A/B artifacts
+      // and the which-shape-when rule live in SCALE.md r19. Default
+      // stays the window pending the measured verdict.
+      if (sys.env.get("SPARK_GRAFT_KNN_IMPL").contains("topk"))
+        cand.groupBy("vec_id")
+          .agg(graft.plans.Native.top_k_pairs(col("sim"), col("nbr_id"), 3)
+            .as("t"))
+          .select(col("vec_id"), posexplode(col("t")))
+          .select(col("vec_id"), col("col.nbr").as("nbr_id"),
+            col("col.sim").as("sim"), (col("pos") + 1).as("rk"))
+      else {
+        val w = Window.partitionBy("vec_id")
+          .orderBy(col("sim").desc, col("nbr_id").asc)
+        cand.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select("vec_id", "nbr_id", "sim", "rk")
+      }
     }),
 
     // SemDeDup-style drop list: greedy keep-lowest-id within embedding

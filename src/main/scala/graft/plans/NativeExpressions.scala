@@ -592,6 +592,148 @@ case class SigMin(child: Expression,
   override def prettyName: String = "sig_min"
 }
 
+/** Mutable aggregation state of [[TopKPairs]]: the current top-k
+  * (score DESC, id ASC) pairs in two fixed PRIMITIVE slot arrays, kept
+  * rank-sorted by an O(k) insertion with an early exit on the current
+  * worst slot — no boxing, no struct allocation, no comparator
+  * dispatch per row. Ordering matches Spark's own double sort
+  * semantics exactly (`Utils.nanSafeCompareDoubles`: NaN greatest,
+  * -0.0 == 0.0), so the result is bit-identical to
+  * `row_number().over(orderBy(score.desc, id.asc))`. */
+final class TopKPairsBuf(val k: Int) {
+  val scores = new Array[Double](k)
+  val ids = new Array[Long](k)
+  var n = 0
+  // Spark's nan-safe double compare (NaN greatest; -0.0 == 0.0 — what
+  // both the Tungsten sort and codegen'd comparisons use)
+  private def cmpD(x: Double, y: Double): Int = {
+    val xn = java.lang.Double.isNaN(x)
+    val yn = java.lang.Double.isNaN(y)
+    if ((xn && yn) || (x == y)) 0
+    else if (xn) 1
+    else if (yn) -1
+    else if (x > y) 1 else -1
+  }
+  /** (s, i) ranks strictly before slot j (score DESC, id ASC). */
+  private def before(s: Double, i: Long, j: Int): Boolean = {
+    val c = cmpD(s, scores(j))
+    c > 0 || (c == 0 && i < ids(j))
+  }
+  /** Insert keeping rank order; false iff rejected (buffer full and
+    * (s, i) not before the current worst — the usual case in a hot
+    * stream, one compare). */
+  def insert(s: Double, i: Long): Boolean = {
+    if (n == k) {
+      if (!before(s, i, k - 1)) return false
+      n = k - 1
+    }
+    var pos = n
+    while (pos > 0 && before(s, i, pos - 1)) {
+      scores(pos) = scores(pos - 1); ids(pos) = ids(pos - 1)
+      pos -= 1
+    }
+    scores(pos) = s; ids(pos) = i
+    n += 1
+    true
+  }
+}
+
+/** top_k_pairs(score double, id long; k) → array<struct<sim, nbr>> in
+  * RANK order (score DESC, id ASC, nan-safe) — the r18 "declined heap"
+  * done right (r18 verdict Next 5): where Spark's `CollectTopK` keeps a
+  * boxed `BoundedPriorityQueue` of struct rows under interpreted
+  * ordering (measured ~4× slower than the rank window at right-sized
+  * fan-out, `bench_scale_sim_syn10_topk_r18.json`), this aggregate
+  * keeps two fixed primitive slot arrays per group (the [[SigMin]]
+  * pattern). Per input row: one O(k) primitive insertion, usually one
+  * compare (early exit on the current worst). Memory is k slots per
+  * group at ANY fan-out — the property the rank window lacks: its sort
+  * buffers the whole candidate stream, which at an undersized LSH
+  * width is the 8-bit decade-3 disk death (SCALE.md r18). Map-side
+  * partial merge ships at most k pairs per (task, group). Output is
+  * already rank-sorted: callers `posexplode` and use `pos + 1` as the
+  * rank — no array_sort, no window. */
+case class TopKPairs(score: Expression, id: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate
+    .TypedImperativeAggregate[TopKPairsBuf]
+  with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression]
+  with ExpectsInputTypes {
+  require(k > 0, s"top_k_pairs: k must be positive, got $k")
+
+  override def left: Expression = score
+  override def right: Expression = id
+  override def inputTypes = Seq(DoubleType, LongType)
+
+  override def createAggregationBuffer(): TopKPairsBuf = new TopKPairsBuf(k)
+
+  override def update(buf: TopKPairsBuf, input: InternalRow): TopKPairsBuf = {
+    val s = score.eval(input)
+    if (s != null) {
+      val i = id.eval(input)
+      if (i != null)
+        buf.insert(s.asInstanceOf[Double], i.asInstanceOf[Long])
+    }
+    buf
+  }
+
+  override def merge(b1: TopKPairsBuf, b2: TopKPairsBuf): TopKPairsBuf = {
+    var j = 0
+    // b2's slots are rank-sorted, so the first REJECTED slot ends the
+    // merge: every later slot ranks after it and would be rejected too
+    while (j < b2.n && b1.insert(b2.scores(j), b2.ids(j))) j += 1
+    b1
+  }
+
+  override def eval(buf: TopKPairsBuf): Any = {
+    val out = new Array[Any](buf.n)
+    var j = 0
+    while (j < buf.n) {
+      out(j) = new GenericInternalRow(
+        Array[Any](buf.scores(j), buf.ids(j)))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: TopKPairsBuf): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 16 * buf.n)
+    bb.putInt(buf.n)
+    var j = 0
+    while (j < buf.n) {
+      bb.putDouble(buf.scores(j)); bb.putLong(buf.ids(j)); j += 1
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKPairsBuf = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val b = new TopKPairsBuf(k)
+    val n = bb.getInt
+    var j = 0
+    // slots arrive rank-sorted — write them straight in
+    while (j < n) {
+      b.scores(j) = bb.getDouble; b.ids(j) = bb.getLong; j += 1
+    }
+    b.n = n
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKPairs =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKPairs =
+    copy(inputAggBufferOffset = newOffset)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("sim", DoubleType, nullable = false),
+    StructField("nbr", LongType, nullable = false))),
+    containsNull = false)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TopKPairs =
+    copy(score = newLeft, id = newRight)
+  override def prettyName: String = "top_k_pairs"
+}
+
 /** Column-level entry points + SQL registration. */
 /** bloom_might_contain(text) → boolean — the sketch membership probe as
   * a NATIVE expression instead of a Scala UDF, so the Bloom prefilter
@@ -672,6 +814,16 @@ object Native {
   def collect_top_k(e: Column, k: Int, reverse: Boolean): Column =
     column(org.apache.spark.sql.graftbridge.Bridge
       .collectTopK(expression(e), k, reverse))
+
+  /** Per-group top-k `(score DESC, id ASC)` pairs over primitive slot
+    * arrays, already rank-sorted — see [[TopKPairs]]. The r19
+    * replacement for [[collect_top_k]] on (double score, long id)
+    * shapes: same constant k-slot memory at any fan-out, none of the
+    * boxed-queue overhead that made the r18 escape hatch ~4× slower
+    * than the rank window. */
+  def top_k_pairs(score: Column, id: Column, k: Int): Column =
+    column(TopKPairs(expression(score), expression(id), k)
+      .toAggregateExpression())
   def minhash_sig(c: Column, numPerms: Int = 256, k: Int = 5): Column =
     column(MinHashSig(expression(c), numPerms, k))
   def simhash64(c: Column): Column = column(SimHash64(expression(c)))

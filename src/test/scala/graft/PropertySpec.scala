@@ -356,6 +356,58 @@ class PropertySpec extends SparkSpec {
         "±0.0 boundary (write-time normalization guarantees it)")
   }
 
+  test("top_k_pairs top-3 equals the rank window's rows exactly " +
+    "(random groups incl. ±0.0 and NaN sims; output already " +
+    "rank-sorted, so pos+1 IS the rank)") {
+    // the r19 primitive slot-array aggregate (Native.top_k_pairs) must
+    // be bit-identical to row_number over (sim DESC, id ASC). Its
+    // comparator reimplements Spark's nan-safe double order (NaN
+    // greatest, -0.0 == 0.0) — the NaN rows pin the first half, the
+    // ±0.0 rows ride the same write-time normalization the
+    // collect_top_k boundary test above proves, and the dedicated
+    // boundary fixture below forces zeros AT rank 3.
+    import org.apache.spark.sql.expressions.Window
+    val rows = Seq.tabulate(4000) { i =>
+      val sim = rnd.nextInt(10) match {
+        case 0 => 0.0
+        case 1 => -0.0
+        case 2 => Double.NaN
+        case _ => math.rint(rnd.nextDouble() * 2000 - 1000) / 1000.0
+      }
+      (i % 97L, i.toLong, sim)
+    }
+    val df = rows.toDF("g", "id", "sim")
+    val w = Window.partitionBy("g").orderBy($"sim".desc, $"id".asc)
+    val windowed = df.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3).select("g", "id", "sim", "rk")
+    val agged = df.groupBy("g")
+      .agg(graft.plans.Native.top_k_pairs($"sim", $"id", 3).as("t"))
+      .select($"g", posexplode($"t"))
+      .select($"g", $"col.nbr".as("id"), $"col.sim".as("sim"),
+        ($"pos" + 1).as("rk"))
+    assert(agged.exceptAll(windowed).isEmpty &&
+      windowed.exceptAll(agged).isEmpty,
+      "top_k_pairs top-3 must equal the window's rows exactly")
+
+    // ±0.0 AT the rank-3 boundary (the collect_top_k boundary fixture,
+    // same shape): per group sims {1.0, 0.9, -0.0, +0.0}, the -0.0 row
+    // on the lower id — the window keeps the lower-id zero; so must we
+    val brows = (0L until 50L).flatMap { g =>
+      Seq((g, g * 10 + 1, 1.0), (g, g * 10 + 2, 0.9),
+        (g, g * 10 + 3, -0.0), (g, g * 10 + 4, 0.0))
+    }
+    val bdf = brows.toDF("g", "id", "sim")
+    val bwin = bdf.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3).select("g", "id", "rk")
+    val bagg = bdf.groupBy("g")
+      .agg(graft.plans.Native.top_k_pairs($"sim", $"id", 3).as("t"))
+      .select($"g", posexplode($"t"))
+      .select($"g", $"col.nbr".as("id"), ($"pos" + 1).as("rk"))
+    assert(bagg.exceptAll(bwin).isEmpty && bwin.exceptAll(bagg).isEmpty,
+      "top_k_pairs must keep the window's lower-id zero row at the " +
+        "±0.0 rank boundary")
+  }
+
   test("the Jaccard encoded-verify injectivity guard FIRES on a " +
     "colliding encoder (and is silent under the production hash)") {
     import graft.operators.DedupQueries
