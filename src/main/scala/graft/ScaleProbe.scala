@@ -256,8 +256,10 @@ object ScaleProbe {
   /** `knn_recall` (r19) — the width knob's RECALL side, measured (the
     * r18 verdict's "each bit halves true-pair co-bucketing" was
     * analytic only): exact top-3 neighbors for a deterministic
-    * hash-picked ~100-query sample (the only brute-force scan, bounded
-    * by the sample — the sim_ann_recall discipline), then the
+    * hash-picked ~500-query sample (the only brute-force scan, bounded
+    * by the sample — the sim_ann_recall discipline; ~500 rather than
+    * ~100 because the first run's single-digit hit counts made the
+    * per-bit ratio mostly noise), then the
     * bucketed-knn top-3 at each width ∈ {8, 12, derived}; recall =
     * integer hit count / exact count, engine-exact. One JSON line with
     * a row per width, so SCALE.md's recall-per-width table is a
@@ -269,7 +271,7 @@ object ScaleProbe {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = e.count()
-    val k = math.max(1L, n / 100L)
+    val k = math.max(1L, n / 500L)
     val q = e.filter(pmod(xxhash64(col("vec_id")), lit(k)) === 0)
       .select(col("vec_id").as("q_id"), col("v").as("q_v"))
     val nQ = q.count()

@@ -185,12 +185,18 @@ object Multimodal {
     withGhostDups(Tables.documents(s, d))
       .select(col("doc_id"), col("text").cast("binary").as("content"))
 
-  /** The dHash band table (doc_id, band_id, band_val) the phash dedup
-    * self-joins — factored so ScaleProbe's `mm` family counts the
+  /** The dHash band table (doc_id, h64, band_id, band_val) the phash
+    * dedup self-joins — factored so ScaleProbe's `mm` family counts the
     * PRODUCTION band stream (occupancy → exact Σ s·(s−1) candidate
     * count) rather than a restatement (r19; the gate-probe discipline,
-    * `DedupGate.probeStreams` precedent). Semantics unchanged: this is
-    * verbatim the hash build that lived inline in mm_phash_dedup. */
+    * `DedupGate.probeStreams` precedent).
+    *
+    * `h64` (r19 fix) is the FULL 64-bit dHash reassembled from its four
+    * band slices, riding every band row (+8 bytes on a slim row) so the
+    * Hamming verify can run ROW-LOCAL inside the band join —
+    * `bit_count(ha XOR hb)` over the two carried hashes equals the sum
+    * of per-band bit_counts the old re-attachment computed, without the
+    * pair stream ever touching an exchange (see mm_phash_dedup). */
   private[graft] def phashBands(s: SparkSession, d: String): DataFrame = {
     val rs = resize(phashSrc(s, d), 9, 8)
       .select(col("doc_id"), upper(hex(col("resized"))).as("h"))
@@ -203,10 +209,12 @@ object Multimodal {
         .otherwise(lit(0L))
     }.reduce(_ + _)
     rs.select(col("doc_id"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band_id"), band(b).as("band_val"))): _*))
-        .as("e"))
-      .select(col("doc_id"), col("e.band_id"), col("e.band_val"))
+        array((0 until 4).map(b => band(b)): _*).as("bs"))
+      .select(col("doc_id"),
+        (col("bs")(0) + shiftleft(col("bs")(1), 16) +
+          shiftleft(col("bs")(2), 32) + shiftleft(col("bs")(3), 48))
+          .as("h64"),
+        posexplode(col("bs")).as(Seq("band_id", "band_val")))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -257,10 +265,11 @@ object Multimodal {
     // bit-for-bit). Candidate generation is the SimHash trick: 4×16-bit
     // bands, equal band ⇒ candidate (Hamming ≤ 6 guarantees ≥1 band
     // equal by pigeonhole), then the full Hamming distance verifies via
-    // bit_count(xor) over the 4 band values. Scale shape: band_val is a
-    // derived equi-join key (expected block ≈ corpus/2^16 per band), so
-    // the self-join is keyed, never all-pairs; only (a_id, b_id)
-    // survivors ride the verify join. The corpus has no byte-identical
+    // bit_count(xor) over the carried 64-bit hash — ROW-LOCAL in the
+    // band join (r19, see the fix note below). Scale shape: band_val is
+    // a derived equi-join key (expected block ≈ corpus/2^16 per band),
+    // so the self-join is keyed, never all-pairs; only Hamming-passing
+    // survivors ever reach an exchange. The corpus has no byte-identical
     // payloads, so every 25th doc also enters as a DETERMINISTIC
     // LENGTH-PRESERVING mutation (two bytes spliced in place — the
     // pixel-noise stand-in for a re-encoded image; an append would
@@ -268,27 +277,48 @@ object Multimodal {
     // planted pairs are what the operator must find, and random band
     // collisions are what the Hamming gate must reject.
     "mm_phash_dedup" -> ((s, d) => {
-      // persisted: the frame feeds THREE join branches (candidates +
-      // both sides of the Hamming verify) — without this the codec
-      // resize pass recomputes per reference, exactly the cost the
-      // signature-table posture exists to avoid (slim rows: doc_id +
-      // two ints per band)
+      // persisted: the frame feeds both sides of the band self-join —
+      // without this the codec resize pass recomputes per reference,
+      // exactly the cost the signature-table posture exists to avoid
+      // (slim rows: doc_id + h64 + two ints per band)
+      //
+      // r19 SCALE FIX (the decade-3 battery's catch — the fourth
+      // consecutive round a family's first decade-3 run found a real
+      // defect): the original shape shuffled the RAW candidate pair
+      // stream twice — a corpus-quadratic `distinct()` over (a_id,
+      // b_id), then TWO re-attachment joins + a groupBy to recover the
+      // band values the join had just thrown away. At 500k docs that
+      // was already 2.5 GB shuffle / 10.4 GB spill / 66 s; at 5M docs
+      // the probe-counted 7.33e9-row candidate stream (exact Σ s·(s−1),
+      // probe_mm_syn100.json — 99.7× decade 2's, quadratic at fixed
+      // width by construction) attempted 747 GB of spill and DIED on
+      // disk at 802 s (bench_scale_mmphash_syn100_prefix_r19.json).
+      // The fix: each band row carries the full 64-bit dHash (h64), so
+      // the Hamming verify is bit_count(ha XOR hb) computed ROW-LOCAL
+      // in the band join's output and filtered MAP-SIDE — identical to
+      // the old sum of per-band bit_counts (the bands partition the 64
+      // bits), but the only pair rows that ever reach an exchange are
+      // the Hamming-passing survivors (planted near-dups + the rare
+      // true collision), which the final distinct collapses across
+      // multi-band hits. The candidate stream still flows (the LSH
+      // pigeonhole guarantee needs every band hit inspected) — it just
+      // flows through codegen'd integer arithmetic inside the join
+      // stage instead of through the shuffle system. 100 TB shape: the
+      // only corpus-sized exchange left is the band table's own
+      // (band_id, band_val) partitioning — linear, as a keyed LSH
+      // probe should be.
       val hashed = phashBands(s, d)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cand = hashed.select(col("doc_id").as("a_id"),
-          col("band_id"), col("band_val"))
-        .join(hashed.select(col("doc_id").as("b_id"),
-          col("band_id"), col("band_val")), Seq("band_id", "band_val"))
-        .filter(col("a_id") < col("b_id"))
-        .select("a_id", "b_id").distinct()
-      cand
-        .join(hashed.select(col("doc_id").as("a_id"), col("band_id"),
-          col("band_val").as("va")), Seq("a_id"))
+      hashed.select(col("doc_id").as("a_id"), col("band_id"),
+          col("band_val"), col("h64").as("ha"))
         .join(hashed.select(col("doc_id").as("b_id"), col("band_id"),
-          col("band_val").as("vb")), Seq("b_id", "band_id"))
-        .groupBy("a_id", "b_id")
-        .agg(sum(bit_count(col("va").bitwiseXOR(col("vb")))).as("hamming"))
+          col("band_val"), col("h64").as("hb")), Seq("band_id", "band_val"))
+        .filter(col("a_id") < col("b_id"))
+        .withColumn("hamming",
+          bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
         .filter(col("hamming") <= 6)
+        .select("a_id", "b_id", "hamming")
+        .distinct()
     }),
 
     // The multimodal INGEST composition as one plan — what a media
