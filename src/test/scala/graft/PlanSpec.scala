@@ -326,11 +326,16 @@ class PlanSpec extends SparkSpec {
   }
 
   test("sim_knn_graph: bucket self-join is a keyed equi-join with " +
-    "map-side rank pruning") {
+    "bounded map-side top-k aggregation") {
     val p = planOf(SimilarityQueries.queries("sim_knn_graph")(spark, sf))
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"))
-    assert(p.contains("WindowGroupLimit"))
+    // r19: the rank stage is the primitive bounded aggregate — partial
+    // (map-side) top_k_pairs under ObjectHashAggregate, so the shuffle
+    // carries <= k pairs per (task, group) at any fan-out
+    assert(p.contains("ObjectHashAggregate") &&
+      p.contains("partial_top_k_pairs"),
+      s"the knn rank stage must be the bounded aggregate:\n$p")
   }
 
   test("dd_chunk_dedup: first-occurrence agg and keep-join are keyed " +
@@ -768,17 +773,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("sim_knn_graph: the per-vector top-k window prunes map-side " +
-    "(WindowGroupLimit) so each block's candidate run truncates " +
-    "before the exchange") {
-    // r18 measured both top-k shapes at scale: the rank window (kept)
-    // and a bounded CollectTopK heap (Native.collect_top_k — oracle-
-    // identical but ~4x slower at decade-2 fan-out: boxed-queue
-    // inserts vs Tungsten's unsafe sort). The width knob, not the
-    // aggregate, is the answer to over-full buckets (SCALE.md r18).
+  test("sim_knn_graph: the per-vector top-k truncates before the " +
+    "exchange — partial top_k_pairs map-side by default, " +
+    "WindowGroupLimit under the window knob") {
+    // r18 measured the rank window vs a boxed CollectTopK heap (heap
+    // lost ~4x); r19's primitive slot-array rewrite (top_k_pairs)
+    // reversed it — 1.3-1.7x faster than the window at right-sized
+    // fan-out AND completes the 8-bit decade-3 geometry the window's
+    // sort died on (SCALE.md r19) — so the aggregate is the default
+    // and the window stays reachable for A/B (SPARK_GRAFT_KNN_IMPL=
+    // window). Either shape truncates to k rows per group before its
+    // exchange; this pin asserts the default's shape.
     val p = planOf(SimilarityQueries.queries("sim_knn_graph")(spark, sf))
-    assert(p.contains("WindowGroupLimit"),
-      s"rk <= 3 must push down as a rank limit:\n$p")
+    assert(p.contains("partial_top_k_pairs"),
+      s"the default rank stage must partial-aggregate map-side:\n$p")
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"))
   }
