@@ -419,8 +419,11 @@ object ScaleProbe {
     * backfill-generation keyed path is still a prediction" item with
     * the same discipline that closed the delta paths in r18
     * (`probe_fallback_gate_syn100.json`): build an on-disk store whose
-    * ONE open generation is BACKFILL-scale (1/7 of the corpus — no
-    * ingest-size contract holds), execute the three production read
+    * ONE open generation is BACKFILL-scale (its tombstone/layer id set
+    * is 5/7 of the corpus — a bulk re-ingest that replaces most of the
+    * store; no ingest-size contract holds, and at the ~sf100 corpus
+    * the id-only parquet sits well past any broadcast estimate),
+    * execute the three production read
     * paths, and emit every join of each FINAL adaptive plan with its
     * executed kind:
     *
@@ -464,7 +467,7 @@ object ScaleProbe {
     rm(new java.io.File(gateDir)); rm(new java.io.File(ccDir))
 
     // ---- gate store: base minus the %7 tranche; gen_5 = the tranche's
-    // banded rows as delta + a 1/7-corpus tombstone id set (the
+    // banded rows as delta + a 5/7-corpus tombstone id set (the
     // production tombs shape: node_id only) ----
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id").as("node_id"), col("text"),
@@ -479,7 +482,7 @@ object ScaleProbe {
       gateDir)
     DedupGate.bandedSigStore(corp.filter(col("node_id") % 7 === 0), 4, 4)
       .write.mode("overwrite").parquet(s"$gateDir/gen_5/delta")
-    docs.filter(col("node_id") % 7 === 3).select("node_id")
+    docs.filter(pmod(col("node_id"), lit(7L)) >= 2).select("node_id")
       .write.mode("overwrite").parquet(s"$gateDir/gen_5/tombs")
     val tombRows = spark.read.parquet(s"$gateDir/gen_5/tombs").count()
 
@@ -523,8 +526,13 @@ object ScaleProbe {
     val assign = docs.select(col("node_id").as("doc_id"),
       (col("node_id") - pmod(col("node_id"), lit(5L))).as("canonical_id"))
     assign.write.mode("overwrite").parquet(s"$ccDir/assign_-1")
-    assign.filter(col("doc_id") % 7 === 3)
-      .withColumn("canonical_id", lit(0L))
+    // the layer's canonicals are REAL re-assignments (a backfill merge
+    // regroups its docs), not a constant — a constant column RLE-packs
+    // to nothing and the pruned-scan size estimate then reads the
+    // whole layer as broadcast-sized, which is a fixture artifact, not
+    // the production shape
+    assign.filter(pmod(col("doc_id"), lit(7L)) >= 2)
+      .withColumn("canonical_id", col("doc_id") - pmod(col("doc_id"), lit(3L)))
       .write.mode("overwrite").parquet(s"$ccDir/gen_7")
     val layerRows = spark.read.parquet(s"$ccDir/gen_7").count()
     val ccOverlay = runAndJoins(
