@@ -48,6 +48,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("sig_min",
         "sig_min(sig) - element-wise min of long-array signatures (UDAF)"),
       (es: Seq[Expression]) => SigMin(es.head)))
+    e.injectFunction((FunctionIdentifier("top_k_pairs"),
+      info("top_k_pairs",
+        "top_k_pairs(score, id, k) - bounded per-group top-k " +
+          "(score DESC, id ASC) pairs, rank-ordered (UDAF)"),
+      // k parameterizes the buffer, so it must be a literal — eval at
+      // plan build, like the analyzer does for first/approx params
+      (es: Seq[Expression]) => TopKPairs(es(0), es(1),
+        es(2).eval().asInstanceOf[Number].intValue())))
     e.injectFunction((FunctionIdentifier("nfc_normalize"),
       info("nfc_normalize",
         "nfc_normalize(s) - Unicode NFC canonical composition"),

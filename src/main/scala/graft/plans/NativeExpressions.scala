@@ -791,15 +791,14 @@ object Native {
     * partial merge. Output array order is unspecified — callers
     * array_sort before ranking.
     *
-    * When to use it, MEASURED (r18): only when per-group fan-out
-    * cannot be sized. Its working set is k·|groups| rows at any
-    * fan-out — it cannot die the disk death the 8-bit decade-3 knn
-    * window did (SCALE.md r18) — but the boxed-queue inserts with
-    * interpreted struct ordering ran ~4× slower than the rank window's
-    * Tungsten sort at decade-2 fan-out (51.3 s vs 12.1 s,
-    * bench_scale_sim_syn10_topk_r18.json), so on every sizable-fan-out
-    * path the window + the width knob is the right plan and this stays
-    * the escape hatch. PropertySpec pins rank parity.
+    * When to use it, MEASURED (r18, r19): for a (double score, long
+    * id) rank shape, DON'T — [[TopKPairs]] ([[Native.top_k_pairs]])
+    * keeps the same constant k·|groups| working set over primitive
+    * slot arrays and beat both this heap (~4× slower than the window,
+    * bench_scale_sim_syn10_topk_r18.json) AND the rank window itself
+    * (SCALE.md r19). collect_top_k remains for element types the
+    * two-slot buffer can't carry (structs, strings, arbitrary k-tuple
+    * orderings). PropertySpec pins rank parity.
     *
     * ±0.0 (r19, ADVICE): the aggregate compares with Scala's TOTAL
     * Double order (-0.0 < 0.0) while window/sort comparators use
@@ -862,6 +861,9 @@ object Native {
     // from the registry into AggregateExpression itself
     reg.createOrReplaceTempFunction("sig_min",
       es => SigMin(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("top_k_pairs",
+      es => TopKPairs(es(0), es(1),
+        es(2).eval().asInstanceOf[Number].intValue()), "scala_udf")
     reg.createOrReplaceTempFunction("nfc_normalize",
       es => NfcNormalize(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("gear_boundaries",

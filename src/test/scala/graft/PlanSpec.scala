@@ -294,6 +294,15 @@ class PlanSpec extends SparkSpec {
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
     assert(r.getInt(2) == 256 && r.getInt(3) == 256)
     assert(r.getInt(4) == 2)
+    // top_k_pairs (r19): registered as a UDAF with a literal k; output
+    // arrives rank-ordered (score DESC, id ASC)
+    val tk = spark.sql(
+      """SELECT top_k_pairs(s, i, 2) AS t FROM VALUES
+        |  (0.9D, 1L), (0.5D, 2L), (0.95D, 3L) AS v(s, i)""".stripMargin)
+      .head.getSeq[org.apache.spark.sql.Row](0)
+    assert(tk.map(x => (x.getDouble(0), x.getLong(1))) ==
+      Seq((0.95, 3L), (0.9, 1L)),
+      "top_k_pairs must return the rank-ordered bounded top-k from SQL")
   }
 
   test("GraftExtensions installs the same functions at session build time") {
