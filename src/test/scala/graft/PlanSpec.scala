@@ -869,6 +869,24 @@ class PlanSpec extends SparkSpec {
     assert(!plans.exists(_.toString.contains("CartesianProduct")))
   }
 
+  test("mm_phash_dedup (r19 fix shape): exactly ONE band self-join — " +
+    "the Hamming verify rides the carried h64 row-local, never a " +
+    "pair-stream re-attachment join") {
+    // the pre-fix shape had THREE equi-joins (candidate self-join +
+    // two band-value re-attachments) and shuffled the raw
+    // corpus-quadratic pair stream through a distinct before them —
+    // the decade-3 disk death (SCALE.md r19). The fixed plan carries
+    // the full 64-bit hash through the one band self-join and filters
+    // map-side; only Hamming-passing survivors reach an exchange.
+    val p = planOf(Multimodal.queries("mm_phash_dedup")(spark, sf))
+    val equiJoins = p.linesIterator.count(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin"))
+    assert(equiJoins == 1,
+      s"expected exactly the band self-join, found $equiJoins " +
+        s"equi-join lines:\n$p")
+  }
+
   test("sig_store_refresh: the signature pipeline runs ONLY over the " +
     "mutated delta — one Generate in the whole plan, store rows pass " +
     "through as a projection") {
