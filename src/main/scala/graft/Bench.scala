@@ -216,6 +216,11 @@ object Bench {
       val prevThreshold =
         if (scopeHeap) Some(spark.conf.get(heapThresholdKey)) else None
       if (scopeHeap) spark.conf.set(heapThresholdKey, "16777216")
+      // r20 (ADVICE): the restore lives in a finally — an exception
+      // escaping the post-measurement cleanup (clearCache/unpersist)
+      // must not leak the raised threshold into every later query's
+      // spill behavior
+      try {
       // the previous query's task-end events must be consumed before we
       // snapshot, or its tail IO lands in this query's delta
       Bridge.drainListenerBus(spark.sparkContext)
@@ -258,9 +263,9 @@ object Bench {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       System.gc()
-      prevThreshold.foreach(spark.conf.set(heapThresholdKey, _))
       Meas(dt, ok, gcSec, heapDelta, rows, exchanges,
         (sw1 - sw0) / 1e6, (sr1 - sr0) / 1e6, (sp1 - sp0) / 1e6)
+      } finally prevThreshold.foreach(spark.conf.set(heapThresholdKey, _))
     }
     val firstPass = selected.map { case (name, fn) =>
       val m = timeOne(name, fn)
@@ -373,7 +378,13 @@ object Bench {
         s""""sign_bits":${graft.functions.Vectors.SignBucketBits},""" +
         s""""knn_impl":"$knnImpl",""" +
         s""""median_vs_ref":${
-          medianVsRef.fold(r => "\"" + r + "\"", v => f"$v%.3f")},""" +
+          // r20 (ADVICE): the reason interpolates refFile/sfDir paths —
+          // escape backslashes/quotes so a hostile path can't produce an
+          // invalid artifact. (Schema note, also artifact-visible: the
+          // field is a NUMBER when a comparable ref exists, else a
+          // reason STRING — never null.)
+          medianVsRef.fold(r => "\"" + r.replace("\\", "\\\\")
+            .replace("\"", "\\\"") + "\"", v => f"$v%.3f")},""" +
         f""""gc_sec_total":$gcTotal%.3f,""" +
         f""""shuffle_write_mb_total":$swTotal%.1f,""" +
         f""""spill_mb_total":$spillTotal%.1f,""" +

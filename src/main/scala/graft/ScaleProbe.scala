@@ -457,14 +457,16 @@ object ScaleProbe {
       : String = {
     import graft.operators.DedupGate
     import graft.streaming.{CcStoreLoop, GateStoreLoop}
+    // r20 (ADVICE): run-unique store roots (createTempDirectory, the
+    // PlanSpec discipline) instead of fixed /tmp paths keyed only on the
+    // sfDir — two concurrent probe runs over the same corpus must not
+    // clobber each other's fixtures mid-read
     val tag = sfDir.replace('/', '_')
-    val gateDir = s"/tmp/graft-probe-gatestore-$tag"
-    val ccDir = s"/tmp/graft-probe-ccstore-$tag"
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(); ()
-    }
-    rm(new java.io.File(gateDir)); rm(new java.io.File(ccDir))
+    val root = java.nio.file.Files
+      .createTempDirectory(s"graft-probe-store-$tag-").toFile
+    root.deleteOnExit()
+    val gateDir = new java.io.File(root, "gatestore").getAbsolutePath
+    val ccDir = new java.io.File(root, "ccstore").getAbsolutePath
 
     // ---- gate store: base minus the %7 tranche; gen_5 = the tranche's
     // banded rows as delta + a 5/7-corpus tombstone id set (the

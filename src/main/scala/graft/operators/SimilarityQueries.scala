@@ -363,9 +363,18 @@ object SimilarityQueries {
       val a = e.select(col("vec_id"), col("v").as("a_v"), col("bucket"))
       val b = e.select(col("vec_id").as("nbr_id"), col("v").as("b_v"),
         col("bucket"))
+      // r20 (ADVICE): drop null sim/nbr_id rows BEFORE the impl branch
+      // so both rank stages share the same null semantics — TopKPairs'
+      // update() silently skips null score/id rows, while the rank
+      // window (DESC = NULLS LAST) would still emit them at ranks ≤ 3
+      // in a group with fewer than 3 non-null candidates; without this
+      // filter an SPARK_GRAFT_KNN_IMPL A/B flip changes output on any
+      // corpus with null embeddings. PropertySpec pins the parity on a
+      // null-bearing fixture.
       val cand = a.join(b, Seq("bucket"))
         .filter(col("vec_id") =!= col("nbr_id"))
         .withColumn("sim", Vectors.cosineRounded(col("a_v"), col("b_v")))
+        .filter(col("sim").isNotNull && col("nbr_id").isNotNull)
       // r19 (verdict Next 5): the rank stage DEFAULTS to the PRIMITIVE
       // top-k aggregate (Native.top_k_pairs — two fixed slot arrays per
       // group, output already rank-sorted so pos+1 IS the rank), which

@@ -52,10 +52,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("top_k_pairs",
         "top_k_pairs(score, id, k) - bounded per-group top-k " +
           "(score DESC, id ASC) pairs, rank-ordered (UDAF)"),
-      // k parameterizes the buffer, so it must be a literal — eval at
-      // plan build, like the analyzer does for first/approx params
-      (es: Seq[Expression]) => TopKPairs(es(0), es(1),
-        es(2).eval().asInstanceOf[Number].intValue())))
+      // k parameterizes the buffer, so it must be a literal — validated
+      // by the shared builder (analyzer-style message on a non-foldable
+      // or NULL k, r20 ADVICE) the way first/approx params are
+      (es: Seq[Expression]) => TopKPairs.forSql(es)))
     e.injectFunction((FunctionIdentifier("nfc_normalize"),
       info("nfc_normalize",
         "nfc_normalize(s) - Unicode NFC canonical composition"),

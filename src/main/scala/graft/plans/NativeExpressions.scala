@@ -658,7 +658,10 @@ case class TopKPairs(score: Expression, id: Expression, k: Int,
   extends org.apache.spark.sql.catalyst.expressions.aggregate
     .TypedImperativeAggregate[TopKPairsBuf]
   with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression]
-  with ExpectsInputTypes {
+  // r20 (ADVICE): ImplicitCastInputTypes, not bare ExpectsInputTypes —
+  // an INT id column or FLOAT score coerces like it would under a
+  // built-in aggregate instead of failing analysis with a type error
+  with ImplicitCastInputTypes {
   require(k > 0, s"top_k_pairs: k must be positive, got $k")
 
   override def left: Expression = score
@@ -732,6 +735,32 @@ case class TopKPairs(score: Expression, id: Expression, k: Int,
       newLeft: Expression, newRight: Expression): TopKPairs =
     copy(score = newLeft, id = newRight)
   override def prettyName: String = "top_k_pairs"
+}
+
+object TopKPairs {
+  /** Shared SQL-registration builder (GraftExtensions + Native.register):
+    * k parameterizes the aggregation buffer, so it must be a foldable
+    * non-null integer literal — validated here with analyzer-style
+    * messages instead of the opaque eval error / NPE a bare
+    * `es(2).eval().asInstanceOf[Number]` produced (r20, ADVICE). */
+  def forSql(es: Seq[Expression]): TopKPairs = {
+    require(es.size == 3,
+      s"top_k_pairs requires 3 arguments (score, id, k); got ${es.size}")
+    val ke = es(2)
+    require(ke.foldable,
+      "top_k_pairs: parameter k must be a foldable integer literal " +
+        s"(it sizes the per-group aggregation buffer at plan build); " +
+        s"got the non-foldable expression ${ke.sql}")
+    val kv = ke.eval()
+    require(kv != null, "top_k_pairs: parameter k must not be NULL")
+    val k = kv match {
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"top_k_pairs: parameter k must be an integer literal; got " +
+          s"$other of type ${ke.dataType.sql}")
+    }
+    TopKPairs(es(0), es(1), k)
+  }
 }
 
 /** Column-level entry points + SQL registration. */
@@ -862,8 +891,7 @@ object Native {
     reg.createOrReplaceTempFunction("sig_min",
       es => SigMin(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("top_k_pairs",
-      es => TopKPairs(es(0), es(1),
-        es(2).eval().asInstanceOf[Number].intValue()), "scala_udf")
+      TopKPairs.forSql, "scala_udf")
     reg.createOrReplaceTempFunction("nfc_normalize",
       es => NfcNormalize(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("gear_boundaries",

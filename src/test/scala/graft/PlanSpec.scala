@@ -303,6 +303,25 @@ class PlanSpec extends SparkSpec {
     assert(tk.map(x => (x.getDouble(0), x.getLong(1))) ==
       Seq((0.95, 3L), (0.9, 1L)),
       "top_k_pairs must return the rank-ordered bounded top-k from SQL")
+    // r20 (ADVICE): arg validation + implicit casts at the SQL surface —
+    // an INT id / cast-able score coerces like a built-in aggregate...
+    val tkInt = spark.sql(
+      """SELECT top_k_pairs(s, i, 1) AS t FROM VALUES
+        |  (0.9D, 1), (0.95D, 3) AS v(s, i)""".stripMargin)
+      .head.getSeq[org.apache.spark.sql.Row](0)
+    assert(tkInt.map(x => (x.getDouble(0), x.getLong(1))) ==
+      Seq((0.95, 3L)), "INT ids must implicit-cast to LONG")
+    // ...a non-foldable k fails analysis with the parameter named...
+    val nf = intercept[Exception](spark.sql(
+      """SELECT top_k_pairs(s, i, CAST(i AS INT)) FROM VALUES
+        |  (0.9D, 1L) AS v(s, i)""".stripMargin))
+    assert(nf.getMessage.contains("foldable"),
+      s"non-foldable k must name the contract: ${nf.getMessage}")
+    // ...and a NULL k is rejected instead of NPE-ing the builder
+    val nk = intercept[Exception](spark.sql(
+      "SELECT top_k_pairs(1.0D, 1L, CAST(NULL AS INT))"))
+    assert(nk.getMessage.contains("NULL"),
+      s"null k must be named, not NPE: ${nk.getMessage}")
   }
 
   test("GraftExtensions installs the same functions at session build time") {

@@ -406,6 +406,25 @@ class PropertySpec extends SparkSpec {
     assert(bagg.exceptAll(bwin).isEmpty && bwin.exceptAll(bagg).isEmpty,
       "top_k_pairs must keep the window's lower-id zero row at the " +
         "±0.0 rank boundary")
+
+    // null semantics (r20, ADVICE): the aggregate DROPS null score/id
+    // rows in update() — the contract the knn branch's shared
+    // pre-filter (sim/nbr_id NOT NULL before the impl split) relies on
+    // so an SPARK_GRAFT_KNN_IMPL A/B flip can't change output on a
+    // corpus with null embeddings. A group with fewer than k non-null
+    // candidates returns only the non-null rows, never padded ranks.
+    val nrows = Seq[(Long, java.lang.Long, java.lang.Double)](
+      (1L, 10L, 0.9), (1L, null, 0.95), (1L, 12L, null), (1L, 13L, 0.5),
+      (2L, 20L, null), (2L, null, null))
+      .toDF("g", "id", "sim")
+    val nout = nrows.groupBy("g")
+      .agg(graft.plans.Native.top_k_pairs($"sim", $"id", 3).as("t"))
+      .select($"g", explode_outer($"t").as("e"))
+      .select($"g", $"e.nbr".as("id"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(nout == Set((1L, 10L), (1L, 13L), (2L, -1L)),
+      s"null score/id rows must be dropped, got $nout")
   }
 
   test("the Jaccard encoded-verify injectivity guard FIRES on a " +
