@@ -310,9 +310,78 @@ object ScaleProbe {
       s"""{"bits":$b,"derived":${b == derived},"hits":$h,""" +
         f""""recall_at_3":$r%.4f}"""
     }.mkString("[", ",", "]")
-    exact.unpersist(); e.unpersist()
+    exact.unpersist()
+
+    // Planted near-dup recall (r20, verdict Next 3): when the corpus
+    // was synthesized with mode=embg, the (orig, ghost) pairs are a
+    // KNOWN near-dup population at controlled angles (ScaleSynth
+    // .GhostNoise tiers, cosines ≈ 0.9996/0.993/0.96 — the 0.95-gate
+    // workload). Per width the contract quantity is CO-BUCKETING (a
+    // co-bucketed ghost at these cosines always outranks chance-level
+    // bucket-mates, so co-bucket ≈ top-k recall for this population) —
+    // measured over ALL planted pairs with ONE keyed equi-join: both
+    // sides carry their widest bucket key, and every narrower width is
+    // priced by re-masking (buckets nest), no per-width corpus rescan.
+    // Mean/min cosine per tier rides along as evidence the planted
+    // population sits where the plant says it does.
+    val ghostOff = graft.ScaleSynth.GhostIdOffset
+    val inRep = pmod(col("vec_id"), lit(graft.ScaleSynth.IdOffset))
+    val bMax = widths.max
+    val ghosts = e.filter(inRep >= ghostOff)
+      .select((col("vec_id") - ghostOff).as("o_id"),
+        pmod(col("vec_id") - ghostOff, lit(3L)).as("tier"),
+        col("v").as("g_v"),
+        Vectors.signBucket(col("v"), bMax).as("g_bk"))
+    val nGhosts = ghosts.count()
+    val planted = if (nGhosts == 0L) "null" else {
+      val origs = e.filter(inRep < ghostOff)
+        .select(col("vec_id").as("o_id"), col("v").as("o_v"),
+          Vectors.signBucket(col("v"), bMax).as("o_bk"))
+      val pairs = ghosts.join(origs, "o_id")
+        .select(col("tier"),
+          Vectors.cosineRounded(col("g_v"), col("o_v")).as("cos"),
+          col("g_bk"), col("o_bk"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val perTier = pairs.groupBy("tier").agg(
+        count(lit(1)).as("pairs"),
+        avg("cos").as("avg_cos"), min("cos").as("min_cos"))
+        .union(pairs.select(lit(-1L).as("tier"), col("cos"))
+          .groupBy("tier").agg(count(lit(1)).as("pairs"),
+            avg("cos").as("avg_cos"), min("cos").as("min_cos")))
+      val co = widths.map { b =>
+        val m = lit((1L << b) - 1)
+        pairs.groupBy("tier").agg(count(lit(1)).as("pairs"),
+          sum(when(col("g_bk").bitwiseAND(m) === col("o_bk").bitwiseAND(m),
+            1L).otherwise(0L)).as("co"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .sortBy(_._1)
+      }
+      val cosStats = perTier.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+        .sortBy(_._1)
+      pairs.unpersist()
+      val widthJson = widths.zip(co).map { case (b, tiers) =>
+        val total = tiers.map(_._2).sum
+        val coTotal = tiers.map(_._3).sum
+        val tj = tiers.map { case (t, p, c) =>
+          f"""{"tier":$t,"noise":${graft.ScaleSynth.GhostNoise(t.toInt)},""" +
+            f""""pairs":$p,"co_bucket":$c,"recall":${
+              if (p == 0) 0.0 else c.toDouble / p}%.4f}"""
+        }.mkString("[", ",", "]")
+        f"""{"bits":$b,"pairs":$total,"co_bucket":$coTotal,"recall":${
+          if (total == 0) 0.0 else coTotal.toDouble / total}%.4f,""" +
+          s""""tiers":$tj}"""
+      }.mkString("[", ",", "]")
+      val cosJson = cosStats.map { case (t, p, a, mn) =>
+        val label = if (t < 0) "\"all\"" else t.toString
+        f"""{"tier":$label,"pairs":$p,"avg_cos":$a%.4f,"min_cos":$mn%.4f}"""
+      }.mkString("[", ",", "]")
+      s"""{"n_ghosts":$nGhosts,"widths":$widthJson,"cos":$cosJson}"""
+    }
+    e.unpersist()
     s"""{"family":"knn_recall","sf":"$sfDir","n_vectors":$n,""" +
-      s""""n_queries":$nQ,"exact_pairs":$totalExact,"widths":$rows}"""
+      s""""n_queries":$nQ,"exact_pairs":$totalExact,"widths":$rows,""" +
+      s""""planted":$planted}"""
   }
 
   /** Every node of a final adaptive plan, descending through the AQE

@@ -106,6 +106,13 @@ import org.apache.spark.sql.functions._
   *  - `emb`: ONLY the embeddings table (signed-permutation transform,
   *    any factor) — the similarity/ANN decades without paying for
   *    text or relational rows the sim family never reads.
+  *  - `embg` (r20): `emb` plus PLANTED near-dup pairs — every
+  *    [[GhostEvery]]-th source vector gets a small-angle perturbed
+  *    twin at `src + GhostIdOffset` within its replica (noise tiers
+  *    [[GhostNoise]], cosines ≈ 0.9996/0.993/0.96). The knn_recall
+  *    probe measures recall-per-width over this KNOWN population —
+  *    the workload the 0.95-cosine near-dup gate actually serves —
+  *    alongside the random-pair (worst-case) numbers.
   *  - `textrel` (r19): documents AND the relational tables at the same
   *    factor (embeddings copied unchanged) — the corpus the mixed
   *    governance battery needs: `dq_audit` spans orders+customer+
@@ -124,6 +131,29 @@ object ScaleSynth {
     * `id < IdOffset` — a drifting copy of this constant would silently
     * break the eval-bounded contract on synthetic corpora. */
   val IdOffset: Long = 30L * 1000 * 1000
+
+  /** Ghost-vector id offset WITHIN a replica's id range (r20, verdict
+    * Next 3 — the mm ghost-mutation discipline applied to vectors):
+    * mode `embg` plants, for every `GhostEvery`-th source vector, a
+    * controlled small-angle perturbation copy at
+    * `replica·IdOffset + GhostIdOffset + src_id`. The planted (orig,
+    * ghost) pairs are the KNOWN near-dup population the knn_recall
+    * probe measures recall against — the r19 recall table covered only
+    * random pairs (near-orthogonal, the sign-LSH worst case); the
+    * operators' actual workload claim ("per-bit co-bucketing near 1
+    * for tiny angles") needs planted tiny angles to be measured. */
+  val GhostIdOffset: Long = IdOffset / 2
+
+  /** One ghost per this many source vectors (prime — avoids the %25
+    * eval-set and %6 delta-tranche residue classes lining up). */
+  val GhostEvery: Long = 37L
+
+  /** Relative noise amplitude per ghost tier (tier = src_id % 3):
+    * additive component noise of `tier · per-vector RMS`, giving
+    * expected cosines ≈ {0.9996, 0.993, 0.96} — all at or above the
+    * reference's 0.95 near-dup gate
+    * (`lambdas/check_duplicate/check_duplicate.py:128-151`). */
+  val GhostNoise: Seq[Double] = Seq(0.05, 0.2, 0.5)
 
   private val alpha = "abcdefghijklmnopqrstuvwxyz"
 
@@ -185,7 +215,7 @@ object ScaleSynth {
     val dstDir = args(1)
     val factor = if (args.length > 2) args(2).toInt else 10
     val mode = if (args.length > 3) args(3) else "all"
-    require(Set("all", "rel", "text", "emb", "textrel")(mode),
+    require(Set("all", "rel", "text", "emb", "embg", "textrel")(mode),
       s"unknown mode $mode")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
@@ -199,7 +229,8 @@ object ScaleSynth {
     val ALPHA = alpha.toUpperCase
     val scaleDocs = mode == "all" || mode == "text" || mode == "textrel"
     val scaleEmb = mode == "all"
-    val scaleEmbPerm = mode == "emb"
+    val scaleEmbPerm = mode == "emb" || mode == "embg"
+    val plantGhosts = mode == "embg"
     val scaleRel = mode == "all" || mode == "rel" || mode == "textrel"
     require(!scaleDocs || factor <= vettedPermSeeds.size,
       s"only ${vettedPermSeeds.size} vetted perm seeds — re-vet " +
@@ -260,8 +291,39 @@ object ScaleSynth {
               (element_at(col("embedding"), p(i) + 1) * lit(s(i)))
                 .cast("float")
             }: _*)
-          emb.select((col("vec_id") + lit(r * idOffset)).as("vec_id"),
+          val rep = emb.select(
+            (col("vec_id") + lit(r * idOffset)).as("vec_id"),
             w.as("embedding"), col("label"))
+          if (!plantGhosts) rep
+          else {
+            // mode embg (r20): plant the known near-dup population —
+            // every GhostEvery-th source vector gets a perturbed twin
+            // at src + GhostIdOffset within the replica's range. Noise
+            // is additive per component, amplitude = tier · per-vector
+            // RMS (tier = src_id % 3 picking from GhostNoise), with the
+            // per-(vector, component, replica) jitter drawn from
+            // xxhash64 so the plant is deterministic. Two-step select:
+            // the signed-perm array materializes once as w0 instead of
+            // being duplicated 64× inside the noise array.
+            val src = emb
+              .filter(pmod(col("vec_id"), lit(GhostEvery)) === 0)
+              .select(col("vec_id").as("src_id"), w.as("w0"), col("label"))
+            val rms = sqrt(aggregate(transform(col("w0"),
+              x => x.cast("double") * x.cast("double")),
+              lit(0.0), (a, x) => a + x) / dim)
+            val tier = element_at(array(GhostNoise.map(lit): _*),
+              (pmod(col("src_id"), lit(3L)) + 1).cast("int"))
+            val ghost = array((0 until dim).map { i =>
+              (element_at(col("w0"), i + 1).cast("double") +
+                col("_amp") * ((pmod(xxhash64(col("src_id"), lit(i), lit(r)),
+                  lit(2001L)).cast("double") - 1000.0) / 1000.0))
+                .cast("float")
+            }: _*)
+            rep.unionByName(src
+              .withColumn("_amp", tier * rms)
+              .select((col("src_id") + lit(r * idOffset + GhostIdOffset))
+                .as("vec_id"), ghost.as("embedding"), col("label")))
+          }
         }.reduce(_ unionByName _)
           .write.mode(if (ci == 0) "overwrite" else "append")
           .parquet(s"$dstDir/embeddings.parquet")
@@ -302,6 +364,13 @@ object ScaleSynth {
           .parquet(s"$dstDir/$name")
       }
     }
+
+    // r20: regeneration invalidates persisted index metadata — a sign-
+    // width sidecar derived from a PREVIOUS corpus at this dst would
+    // otherwise be silently trusted by the next plan build
+    try java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
+      dstDir, graft.functions.Vectors.SignWidthSidecarName))
+    catch { case scala.util.control.NonFatal(_) => }
 
     // hard-copy the shared dims (and anything else) unchanged
     val names = new java.io.File(srcDir).listFiles()

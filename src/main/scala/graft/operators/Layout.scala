@@ -60,6 +60,35 @@ object Layout {
     files
   }
 
+  /** Embedding-corpus compaction (r20, verdict Next 2): fold delta
+    * parquet dirs into the stored corpus (the sim_ivf_delta story's
+    * "periodic compaction — the only corpus-sized event") and REFRESH
+    * the persisted sign-LSH width sidecar, because compaction is
+    * exactly the moment the corpus count changed: a store that grew a
+    * decade since its width was derived must not keep bucketing at the
+    * stale width (quadratic per-bucket fan-out is the 8-bit decade-3
+    * disk death, SCALE.md r18). `vecCol` names the embedding column;
+    * returns the refreshed width. The rewrite itself is the
+    * [[compact]] shape — balanced files at `targetBytes`. */
+  def compactEmbeddings(spark: SparkSession, inPaths: Seq[String],
+      outDir: String, targetBytes: Long, vecCol: String = "embedding"): Int = {
+    require(inPaths.nonEmpty, "compactEmbeddings: no inputs")
+    val unioned = inPaths.map(spark.read.parquet(_)).reduce(_ unionByName _)
+    val out = s"$outDir/embeddings.parquet"
+    // size the file count from the INPUT bytes (the output isn't
+    // written yet); one round-robin repartition rewrite, as compact()
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(inPaths.head), spark.sparkContext.hadoopConfiguration)
+    val bytes = inPaths.map(p =>
+      fs.getContentSummary(new org.apache.hadoop.fs.Path(p)).getLength).sum
+    val files = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    unioned.repartition(files).write.mode("overwrite").parquet(out)
+    graft.functions.Vectors.rederiveSignBits(
+      spark.read.parquet(out)
+        .select(col(vecCol).cast("array<double>").as("v")),
+      col("v"), outDir)
+  }
+
   /** Bucketed store write — the 1000×-scale posture SCALE.md promises:
     * a maintained table (signature store, ANN codes, postings) written
     * `bucketBy` its join key means every later join against another

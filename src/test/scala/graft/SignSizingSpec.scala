@@ -9,8 +9,10 @@ import org.apache.spark.sql.functions._
   * (b) reproduce the r18 battery's hand-set 12-bit posture at the
   * decade-3 count WITHOUT the env var, (c) escalate past the
   * count-derived width on skewed occupancy via the exact Σ s·(s−1)
-  * audit, and (d) FAIL LOUDLY instead of submitting a quadratic join
-  * when no width can bound the candidate stream. */
+  * audit, (d) FAIL LOUDLY instead of submitting a quadratic join
+  * when no width can bound the candidate stream, and (r20) (e) persist
+  * as a sidecar a second session reads back with zero jobs, refreshed
+  * by compaction after growth. */
 class SignSizingSpec extends SparkSpec {
   import spark.implicits._
 
@@ -56,6 +58,76 @@ class SignSizingSpec extends SparkSpec {
       s"expected escalation to ~16 bits, got $chosen")
     assert(chosen > Vectors.sizedSignBits(160000),
       "the audit must have escalated past the count-derived width")
+  }
+
+  test("sidecar persistence (r20, verdict Next 2): a derivation persists " +
+    "its width beside a writable corpus, and a SECOND session reads it " +
+    "back with ZERO jobs — the corpus frame is never even constructed") {
+    assume(!Vectors.SignBitsForced, "env override active — sizing is off")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-signwidth-").toString
+    // 140k vectors, dim 20, xxhash64-balanced signs: count-derived
+    // width is 9 (140000 >> 9 = 273 ≤ 512) and the occupancy audit
+    // accepts it (balanced buckets), so the derivation runs BOTH jobs
+    // once and must persist {bits=9, n, cand_pairs}
+    def vecs = spark.range(140000).select(
+      transform(sequence(lit(1), lit(20)), i =>
+        when(pmod(xxhash64(col("id"), i), lit(2)) === 0, lit(1.0))
+          .otherwise(lit(-1.0))).as("v"))
+    val first = Vectors.sizedSignBitsFor(vecs, col("v"), dir)
+    assert(first == 9, s"fixture geometry drifted: derived $first")
+    assert(Vectors.readSignWidthSidecar(dir).contains(9),
+      "the derivation must persist its width as a sidecar")
+    // second session: memo cold, sidecar present → the by-name corpus
+    // thunk must never be forced (zero count jobs, plan-pinned by
+    // construction: forcing it throws)
+    Vectors.forgetSizedWidth(dir)
+    val second = Vectors.sizedSignBitsFor(
+      throw new AssertionError("sidecar hit must not touch the corpus"),
+      throw new AssertionError("sidecar hit must not touch the column"),
+      dir)
+    assert(second == 9)
+    // a sidecar recorded under a DIFFERENT floor is ignored (the
+    // graded-scale oracle invariant is relative to the floor in force)
+    Vectors.forgetSizedWidth(dir)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, Vectors.SignWidthSidecarName),
+      """{"sign_bits":9,"floor":6,"n_rows":140000,"cand_pairs":1}""")
+    assert(Vectors.readSignWidthSidecar(dir).isEmpty,
+      "a floor-mismatched sidecar must not be trusted")
+  }
+
+  test("compaction re-derives after growth (r20): folding a decade of " +
+    "deltas into the stored corpus refreshes the persisted width") {
+    assume(!Vectors.SignBitsForced, "env override active — sizing is off")
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft-embstore-").toString
+    val dim = 20
+    def synth(from: Long, until: Long) =
+      spark.range(from, until).select(col("id").as("vec_id"),
+        transform(sequence(lit(1), lit(dim)), i =>
+          when(pmod(xxhash64(col("id"), i), lit(2)) === 0, lit(1.0f))
+            .otherwise(lit(-1.0f))).as("embedding"))
+    // T0: a 10k-vector store — floor width, persisted at build
+    synth(0, 10000).write.parquet(s"$root/base/embeddings.parquet")
+    val w0 = Vectors.sizedSignBitsFor(
+      spark.read.parquet(s"$root/base/embeddings.parquet")
+        .select(col("embedding").cast("array<double>").as("v")),
+      col("v"), s"$root/base")
+    assert(w0 == Vectors.SignBucketBits &&
+      Vectors.readSignWidthSidecar(s"$root/base").contains(w0))
+    // a decade-plus of growth arrives as a delta generation; compaction
+    // folds it in and must re-derive (140k total → 9 bits), leaving the
+    // refreshed width persisted for the next session
+    synth(10000, 140000).write.parquet(s"$root/gen_1/embeddings.parquet")
+    val w1 = graft.operators.Layout.compactEmbeddings(spark,
+      Seq(s"$root/base/embeddings.parquet",
+        s"$root/gen_1/embeddings.parquet"),
+      s"$root/compacted", targetBytes = 64L << 20)
+    assert(w1 == 9, s"post-growth width must re-derive, got $w1")
+    assert(Vectors.readSignWidthSidecar(s"$root/compacted").contains(9))
+    assert(spark.read.parquet(s"$root/compacted/embeddings.parquet")
+      .count() == 140000L, "compaction must fold every generation in")
   }
 
   test("pathological sign skew fails the plan build loudly instead of " +
