@@ -44,6 +44,20 @@ object Bench {
       (shuffleWrite.get, shuffleRead.get, spill.get)
   }
 
+  /** Short git revision for artifact stamping (r20, verdict Next 6a):
+    * calibration-pair staleness becomes machine-checkable forensics.
+    * Informational only — the weather guard must NOT assert equality
+    * on it, because the driver's refresh runs on the round commit,
+    * one rev after the committed re-pin by construction. Shared with
+    * ScaleProbe so every bench/probe artifact carries it. */
+  def codeRev: String = try {
+    val p = new ProcessBuilder("git", "rev-parse", "--short", "HEAD")
+      .redirectErrorStream(true).start()
+    val out = new String(p.getInputStream.readAllBytes()).trim
+    if (p.waitFor() == 0 && out.matches("[0-9a-f]{6,16}")) out
+    else "unknown"
+  } catch { case NonFatal(_) => "unknown" }
+
   private def gcMillis: Long = {
     import scala.jdk.CollectionConverters._
     java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
@@ -144,6 +158,7 @@ object Bench {
     // respects SPARK_DRIVER_MEM) — record the ceiling so a run under a
     // different memory regime identifies itself.
     val maxHeapMb = Runtime.getRuntime.maxMemory / 1e6
+    val codeRevNow = codeRev
     // JVM/codegen warmup: the first Spark job in a session pays ~3-4 s of
     // classloading, codegen, and scan setup — attribute that to startup,
     // not to whichever query sorts first alphabetically.
@@ -373,6 +388,7 @@ object Bench {
         f""""canary_warmup_sec":$warmupSec%.2f,""" +
         f""""canary_loadavg_at_start":$loadavg%.2f,""" +
         f""""canary_max_heap_mb":$maxHeapMb%.0f,""" +
+        s""""code_rev":"$codeRevNow",""" +
         s""""initial_partitions":${initParts.getOrElse(cpus)},""" +
         s""""io_codec":"${ioCodec.getOrElse("lz4")}",""" +
         s""""sign_bits":${graft.functions.Vectors.SignBucketBits},""" +

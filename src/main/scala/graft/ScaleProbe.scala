@@ -64,9 +64,15 @@ import org.apache.spark.storage.StorageLevel
   * sites (compaction fold, tombstone-union minus, cc LSM overlay) over
   * an on-disk store with one BACKFILL-scale generation.
   *
+  * `decade4_gate` / `decade4_cc` (r20) — see [[decade4GateLine]] /
+  * [[decade4CcLine]]: the dedup spine's fourth decade (≥50M store
+  * rows / edges), synthesized at the representation the spine
+  * consumes (replicated banded-signature store / replicated LSH edge
+  * set) because text replication is capped by the vetted-seed pool.
+  *
   * Usage: `runMain graft.ScaleProbe <sfDir> [out.json] [family]` with
   * family ∈ {jaccard, gate, sim, fallback_sim, fallback_gate,
-  * fallback_store, mm, knn_recall} (default
+  * fallback_store, mm, knn_recall, decade4_gate, decade4_cc} (default
   * jaccard) — prints one JSON line
   * (and optionally writes it, newline-terminated) so runs land next to
   * the bench artifacts.
@@ -441,6 +447,29 @@ object ScaleProbe {
       x.getClass.getSimpleName.contains("FileSourceScan") &&
         x.toString.contains(marker))
 
+  /** Execute `df`, record wall seconds + row count + every join of the
+    * FINAL adaptive plan (kind, LeftAnti flag, whether a layer-marker
+    * scan sits in its subtree) — the shared measurement of the
+    * fallback_store and decade4 families (hoisted r20). */
+  private def runAndJoins(df: DataFrame, layerMarkers: Seq[String]): String = {
+    val t0 = System.nanoTime()
+    val rows = df.queryExecution.executedPlan.execute().count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val joins = allNodes(df.queryExecution.executedPlan).filter(n =>
+      n.getClass.getSimpleName
+        .matches(".*(HashJoin|SortMergeJoin|NestedLoop)\\w*Exec"))
+    val joinJson = joins.map { j =>
+      val kind = j.getClass.getSimpleName.stripSuffix("Exec")
+      val line = j.toString.linesIterator.next()
+        .replace("\\", "\\\\").replace("\"", "'").take(200)
+      val anti = line.contains("LeftAnti")
+      val overLayer = layerMarkers.exists(m => scanWith(j, m))
+      s"""{"kind":"$kind","left_anti":$anti,""" +
+        s""""over_layer":$overLayer,"line":"$line"}"""
+    }.mkString("[", ",", "]")
+    f"""{"secs":$secs%.1f,"rows":$rows,"joins":$joinJson}"""
+  }
+
   private def fallbackLine(spark: SparkSession, sfDir: String,
       which: String): String = {
     import org.apache.spark.sql.execution.SparkPlan
@@ -557,25 +586,6 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(s"$gateDir/gen_5/tombs")
     val tombRows = spark.read.parquet(s"$gateDir/gen_5/tombs").count()
 
-    def runAndJoins(df: DataFrame, layerMarkers: Seq[String]): String = {
-      val t0 = System.nanoTime()
-      val rows = df.queryExecution.executedPlan.execute().count()
-      val secs = (System.nanoTime() - t0) / 1e9
-      val joins = allNodes(df.queryExecution.executedPlan).filter(n =>
-        n.getClass.getSimpleName
-          .matches(".*(HashJoin|SortMergeJoin|NestedLoop)\\w*Exec"))
-      val joinJson = joins.map { j =>
-        val kind = j.getClass.getSimpleName.stripSuffix("Exec")
-        val line = j.toString.linesIterator.next()
-          .replace("\\", "\\\\").replace("\"", "'").take(200)
-        val anti = line.contains("LeftAnti")
-        val overLayer = layerMarkers.exists(m => scanWith(j, m))
-        s"""{"kind":"$kind","left_anti":$anti,""" +
-          s""""over_layer":$overLayer,"line":"$line"}"""
-      }.mkString("[", ",", "]")
-      f"""{"secs":$secs%.1f,"rows":$rows,"joins":$joinJson}"""
-    }
-
     val gateFold = {
       val (_, folded) = GateStoreLoop.foldedBase(spark, gateDir).get
       runAndJoins(folded, Seq("tombs"))
@@ -616,13 +626,151 @@ object ScaleProbe {
       s""""cc_overlay":$ccOverlay}"""
   }
 
+  /** `decade4_gate` (r20, verdict Next 4): the dedup spine's STORE at
+    * its fourth decade — ≥50M banded signature rows folded, tombstone-
+    * filtered, and probed by the production store-loop code.
+    *
+    * Synthesis axis: the text-replication decades stop at the vetted
+    * perm-seed pool (factor ~1300 ≈ 6.5M docs; sweeping the ~30k more
+    * seeds a factor-10000 corpus needs would measure the vetting tool,
+    * not the engine), so the fourth decade replicates at the
+    * representation the spine actually consumes — the banded signature
+    * store, built ONCE from the given corpus (run against ~sf100: 5M
+    * docs through the production MinHash pipeline, 20M banded rows)
+    * and replicated by node-id offset with a per-replica band-key
+    * suffix. Intra-replica band/verify structure is EXACT;
+    * cross-replica collisions are ZERO by construction (band keys
+    * differ by suffix — stronger than text mode's chance level, and
+    * with no minhash-estimate landscape to vet). Everything downstream
+    * of signature computation — the generation fold, the per-
+    * generation tombstone anti-joins, the band probe join, class
+    * collapse, the verify — runs at full decade-4 volume.
+    *
+    * Measured: (a) `GateStoreLoop.foldedBase` over the replicated base
+    * plus one backfill generation (delta = the %7 tranche across all
+    * replicas; tombstones = the 5/7-corpus id set at decade-4 size),
+    * (b) `classifyStoredDeltas` with an ingest-sized batch probing the
+    * decade-4 store. Exact counts + wall + executed join kinds. */
+  private def decade4GateLine(spark: SparkSession, sfDir: String): String = {
+    import graft.operators.DedupGate
+    import graft.streaming.GateStoreLoop
+    val reps = sys.env.get("SPARK_GRAFT_D4_REPS")
+      .flatMap(_.toIntOption).getOrElse(4)
+    // per-replica id offset, above any ~sf100 id (999·IdOffset + src)
+    val repOff = 40L * 1000 * 1000 * 1000
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-decade4-gate-").toFile
+    root.deleteOnExit()
+    val gateDir = new java.io.File(root, "store").getAbsolutePath
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id").as("node_id"), col("text"),
+        col("lang").as("meta_key"), lit("published").as("status"))
+    val nDocs = docs.count()
+    val sig = graft.operators.MinHashPipeline.signatures(
+      docs.select("node_id", "text"), "node_id", col("text"))
+    val corp = docs.join(sig, "node_id")
+    // the ONE signature computation; replication re-reads its parquet
+    DedupGate.bandedSigStore(corp, 4, 4).write.parquet(s"$root/store1")
+    val s1 = spark.read.parquet(s"$root/store1")
+    val store1Rows = s1.count()
+    def replicated(df: DataFrame): DataFrame = (0 until reps).map { r =>
+      df.select((col("node_id") + lit(r * repOff)).as("node_id"),
+        col("sig"), col("meta_key"), col("band_id"),
+        (if (r == 0) col("bkey")
+         else concat(col("bkey"), lit(s"_r$r"))).as("bkey"))
+    }.reduce(_ unionByName _)
+    val t0 = System.nanoTime()
+    GateStoreLoop.init(
+      replicated(s1.filter(pmod(col("node_id"), lit(7L)) =!= 0)), gateDir)
+    val initSecs = (System.nanoTime() - t0) / 1e9
+    replicated(s1.filter(pmod(col("node_id"), lit(7L)) === 0))
+      .write.mode("overwrite").parquet(s"$gateDir/gen_5/delta")
+    (0 until reps).map { r =>
+      docs.filter(pmod(col("node_id"), lit(7L)) >= 2)
+        .select((col("node_id") + lit(r * repOff)).as("node_id"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$gateDir/gen_5/tombs")
+    val (base, gens) = GateStoreLoop.state(spark, gateDir)
+    val baseRows = base.count()
+    val deltaRows = gens.map(_._2.count()).sum
+    val tombRows = gens.map(_._3.count()).sum
+    val fold = runAndJoins(
+      GateStoreLoop.foldedBase(spark, gateDir).get._2, Seq("tombs"))
+    val incoming = corp.filter(pmod(col("node_id"), lit(997L)) === 0)
+      .select(col("node_id").as("uid"), col("text").as("itext"),
+        col("meta_key"), col("sig"))
+    val probe = runAndJoins(
+      DedupGate.classifyStoredDeltas(incoming, base,
+        gens.map(g => (g._2, g._3)), 4, 4),
+      Seq("tombs"))
+    f"""{"family":"decade4_gate","sf":"$sfDir","reps":$reps,""" +
+      s""""n_docs":$nDocs,"store1_rows":$store1Rows,""" +
+      s""""base_rows":$baseRows,"delta_rows":$deltaRows,""" +
+      f""""tomb_rows":$tombRows,"init_secs":$initSecs%.1f,""" +
+      s""""fold":$fold,"probe":$probe}"""
+  }
+
+  /** `decade4_cc` (r20): connected-components contraction at ≥50M
+    * edges. The edge set is computed ONCE by the production LSH path
+    * (`dd_minhash_lsh` est ≥ 0.75 — run this against the ~sf10
+    * corpus, where that computation is a measured known), then
+    * replicated by node-id offset: components replicate EXACTLY
+    * (cross-replica edges: none), so per-round WORK scales a true
+    * decade while contraction DEPTH is replica-invariant by
+    * construction. The linear-work-per-round claim is the one a
+    * fourth decade could crack first; the depth claim is structural
+    * (dense LSH cliques vanish in the Borůvka contraction) and is
+    * recorded here as the residue/assignment counts, not re-measured. */
+  private def decade4CcLine(spark: SparkSession, sfDir: String): String = {
+    import graft.operators.DedupQueries
+    val s = DedupQueries.ccSession(spark)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-decade4-cc-").toFile
+    root.deleteOnExit()
+    val edges1 = DedupQueries.queries("dd_minhash_lsh")(s, sfDir)
+      .filter(col("est_jac") >= 0.75)
+      .select(col("a_id"), col("b_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val e1 = edges1.count()
+    require(e1 > 0, s"decade4_cc: no ≥0.75 edges at $sfDir")
+    val target = sys.env.get("SPARK_GRAFT_D4_EDGES")
+      .flatMap(_.toLongOption).getOrElse(50L * 1000 * 1000)
+    val reps = math.max(1L, (target + e1 - 1) / e1).toInt
+    val repOff = 40L * 1000 * 1000 * 1000
+    // chunked replica writes (the ScaleSynth discipline — Catalyst must
+    // never plan a several-hundred-way union), then one read-back
+    (0 until reps).grouped(50).zipWithIndex.foreach { case (ris, ci) =>
+      ris.map { r =>
+        edges1.select((col("a_id") + lit(r * repOff)).as("a_id"),
+          (col("b_id") + lit(r * repOff)).as("b_id"))
+      }.reduce(_ unionByName _)
+        .write.mode(if (ci == 0) "overwrite" else "append")
+        .parquet(s"$root/edges")
+    }
+    edges1.unpersist()
+    val edges = s.read.parquet(s"$root/edges")
+    val nEdges = edges.count()
+    val t0 = System.nanoTime()
+    val assign = DedupQueries.ccAssignments(edges)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val rows = assign.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val comps = assign.select(countDistinct(col("canonical_id")))
+      .head.getLong(0)
+    assign.unpersist()
+    f"""{"family":"decade4_cc","sf":"$sfDir","edges_src":$e1,""" +
+      s""""reps":$reps,"n_edges":$nEdges,"assign_rows":$rows,""" +
+      f""""components":$comps,"cc_secs":$secs%.1f}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val outFile = if (args.length > 1) Some(args(1)) else None
     val family = if (args.length > 2) args(2) else "jaccard"
     require(
       Set("jaccard", "gate", "sim", "fallback_sim", "fallback_gate",
-        "fallback_store", "mm", "knn_recall")(family),
+        "fallback_store", "mm", "knn_recall", "decade4_gate",
+        "decade4_cc")(family),
       s"unknown family $family")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val builder = SparkSession.builder()
@@ -656,20 +804,29 @@ object ScaleProbe {
       case "fallback_store" => fallbackStoreLine(spark, sfDir)
       case "mm"            => mmLine(spark, sfDir)
       case "knn_recall"    => knnRecallLine(spark, sfDir)
+      case "decade4_gate"  => decade4GateLine(spark, sfDir)
+      case "decade4_cc"    => decade4CcLine(spark, sfDir)
       case _               => jaccardLine(spark, sfDir)
+    }
+    // r20 (verdict Next 6a): every probe artifact carries the code
+    // revision, same as the bench artifacts
+    val stamped = {
+      val i = line.lastIndexOf('}')
+      if (i < 0) line
+      else line.substring(0, i) + s""","code_rev":"${Bench.codeRev}"}"""
     }
     // the println is the result of record; the file write is a
     // convenience that must never lose a (long) run to a bad path —
     // newline-terminated so concatenated artifacts stay line-JSON
     outFile.foreach { p =>
       try java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(p), line + "\n")
+        java.nio.file.Paths.get(p), stamped + "\n")
       catch {
         case scala.util.control.NonFatal(e) =>
           System.err.println(s"[probe] artifact write to $p failed: $e")
       }
     }
-    println(line)
+    println(stamped)
     spark.stop()
   }
 }
