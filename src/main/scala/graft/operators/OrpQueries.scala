@@ -366,6 +366,42 @@ object OrpQueries {
           round(col("score"), 4).as("score"))
     }),
 
+    // Hybrid retrieval via Reciprocal Rank Fusion (Cormack, Clarke &
+    // Büttcher, SIGIR'09 — public method; the standard k = 60): fuse
+    // the lexical bm25 top-10 with the vector top-10 (cosine against
+    // one query embedding, vec_id 0) as Σ 1/(k + rank) over the lists
+    // a document appears in — THE hybrid first stage of an LLM
+    // retrieval/RAG pipeline, rank-only so the two scorers'
+    // incomparable scales never mix. Scale shape: each arm is already
+    // scan-shaped (bm25's postings prune map-side; the vector arm is a
+    // corpus scan + ONE broadcast query row + TakeOrdered — no corpus
+    // sort, no shuffle of vectors), and the fusion itself joins two
+    // ≤10-row frames — constant-size work at ANY corpus size, so the
+    // fused ranking costs exactly what its arms cost. r20.
+    "ix_rrf_fusion" -> ((s, d) => {
+      import graft.functions.Vectors
+      val lex = queries("ix_bm25")(s, d)
+        .select(col("doc_id"), col("rank").as("lex_rank"))
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val q = e.filter(col("vec_id") === 0).select(col("v").as("q_v"))
+      val vec = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q)) // bounded one-row attach
+        .withColumn("sim", Vectors.cosineRounded(col("v"), col("q_v")))
+        .orderBy(col("sim").desc, col("vec_id").asc).limit(10)
+        .withColumn("vec_rank", row_number().over(
+          Window.orderBy(col("sim").desc, col("vec_id").asc)))
+        .select(col("vec_id").as("doc_id"), col("vec_rank"))
+      lex.join(vec, Seq("doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("vec_rank")), lit(0.0)))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("rrf").desc, col("doc_id").asc)))
+        .select(col("rank"), col("doc_id"), round(col("rrf"), 6).as("rrf"),
+          col("lex_rank"), col("vec_rank"))
+    }),
+
     // ST3–ST6 SCD-2 merge: current store ⊕ incoming batch → versioned
     // rows with archive flips (record_handler.py:39-80). Incoming is a
     // deterministic mutation of documents: every 3rd doc re-ingested
@@ -546,7 +582,65 @@ object OrpQueries {
     })
   )
 
+  /** The bm25 oracle SQL, factored so ix_rrf_fusion composes the
+    * IDENTICAL lexical arm as a subquery (r20 — the sim_ann_recall
+    * discipline: a fused oracle must measure the same components the
+    * fused engine query reads, verbatim). */
+  private val bm25Sql: String =
+    """WITH dd AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |  FROM documents),
+      |dl AS (SELECT doc_id, len(toks) AS dl, toks FROM dd),
+      |cen AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+      |tf AS (
+      |  SELECT doc_id, dl, term, count(*) AS tf FROM (
+      |    SELECT doc_id, dl, unnest(toks) AS term FROM dl) t
+      |  WHERE term IN ('join', 'filter', 'hash')
+      |  GROUP BY 1, 2, 3),
+      |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+      |sc AS (
+      |  SELECT t.doc_id, t.term,
+      |    ln(1.0 + (c.n_docs - f.df + 0.5) / (f.df + 0.5)) *
+      |    (t.tf * 2.2) /
+      |    (t.tf + 1.2 * (0.25 + 0.75 * t.dl /
+      |                   (c.sum_dl::DOUBLE / c.n_docs))) AS s
+      |  FROM tf t JOIN df f USING (term) CROSS JOIN cen c),
+      |agg AS (
+      |  SELECT doc_id,
+      |    coalesce(sum(s) FILTER (term = 'join'), 0.0) +
+      |    coalesce(sum(s) FILTER (term = 'filter'), 0.0) +
+      |    coalesce(sum(s) FILTER (term = 'hash'), 0.0) AS score
+      |  FROM sc GROUP BY doc_id)
+      |SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+      |  doc_id, round(score, 4) AS score
+      |FROM agg ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "ix_rrf_fusion" ->
+      s"""WITH lex AS (SELECT doc_id, rank AS lex_rank FROM ($bm25Sql)),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT v AS q_v FROM e WHERE vec_id = 0),
+         |vs AS (
+         |  SELECT e.vec_id,
+         |    round(list_cosine_similarity(e.v, q.q_v), 4) AS sim
+         |  FROM e, q WHERE e.vec_id <> 0),
+         |vr AS (
+         |  SELECT vec_id AS doc_id,
+         |    row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS vec_rank
+         |  FROM vs ORDER BY sim DESC, vec_id ASC LIMIT 10),
+         |f AS (
+         |  SELECT coalesce(lex.doc_id, vr.doc_id) AS doc_id,
+         |    lex_rank, vec_rank
+         |  FROM lex FULL OUTER JOIN vr ON lex.doc_id = vr.doc_id),
+         |r AS (
+         |  SELECT doc_id, lex_rank, vec_rank,
+         |    coalesce(1.0::DOUBLE / (60 + lex_rank), 0.0) +
+         |    coalesce(1.0::DOUBLE / (60 + vec_rank), 0.0) AS rrf
+         |  FROM f)
+         |SELECT row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS rank,
+         |  doc_id, round(rrf, 6) AS rrf, lex_rank, vec_rank
+         |FROM r ORDER BY rrf DESC, doc_id ASC""".stripMargin,
     "orp_search" ->
       """SELECT rn, doc_id, lang, n_chars FROM (
         |  SELECT doc_id, lang, n_chars,
@@ -601,35 +695,7 @@ object OrpQueries {
         |    AS legislative_origins
         |FROM page p LEFT JOIN edge e USING (uid)
         |GROUP BY p.rn, p.uid, p.dt_pub""".stripMargin,
-    "ix_bm25" ->
-      """WITH dd AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
-        |  FROM documents),
-        |dl AS (SELECT doc_id, len(toks) AS dl, toks FROM dd),
-        |cen AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
-        |tf AS (
-        |  SELECT doc_id, dl, term, count(*) AS tf FROM (
-        |    SELECT doc_id, dl, unnest(toks) AS term FROM dl) t
-        |  WHERE term IN ('join', 'filter', 'hash')
-        |  GROUP BY 1, 2, 3),
-        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
-        |sc AS (
-        |  SELECT t.doc_id, t.term,
-        |    ln(1.0 + (c.n_docs - f.df + 0.5) / (f.df + 0.5)) *
-        |    (t.tf * 2.2) /
-        |    (t.tf + 1.2 * (0.25 + 0.75 * t.dl /
-        |                   (c.sum_dl::DOUBLE / c.n_docs))) AS s
-        |  FROM tf t JOIN df f USING (term) CROSS JOIN cen c),
-        |agg AS (
-        |  SELECT doc_id,
-        |    coalesce(sum(s) FILTER (term = 'join'), 0.0) +
-        |    coalesce(sum(s) FILTER (term = 'filter'), 0.0) +
-        |    coalesce(sum(s) FILTER (term = 'hash'), 0.0) AS score
-        |  FROM sc GROUP BY doc_id)
-        |SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
-        |  doc_id, round(score, 4) AS score
-        |FROM agg ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
+    "ix_bm25" -> bm25Sql,
     "g_extract_entities" ->
       """SELECT DISTINCT * FROM (
         |  SELECT ('0x' || substr(md5('user_' || user_id), 1, 15))::BIGINT AS node_id,
