@@ -60,13 +60,18 @@ object Hashes {
   /** Estimated Jaccard from two equal-length MinHash signatures:
     * fraction of agreeing components. */
   def minhashJaccard(a: Column, b: Column): Column =
-    round(size(filter(zip_with(a, b, (x, y) => x === y), e => e))
-      .cast("double") / size(a), 6)
+    // fast_round (r20): bit-identical to round(_, 6), but these run
+    // once per CANDIDATE PAIR in the gate verifies — the built-in
+    // Round's per-row BigDecimal/Double.toString construction is the
+    // jstack-measured dominant cost of pair-stream rounding
+    graft.plans.Native.fast_round(
+      size(filter(zip_with(a, b, (x, y) => x === y), e => e))
+        .cast("double") / size(a), 6)
 
   /** Exact Jaccard over two (deduplicated) string arrays. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
-    round(inter / (size(a) + size(b) - inter), 6)
+    graft.plans.Native.fast_round(inter / (size(a) + size(b) - inter), 6)
   }
 
   /** Portable 16-bit SimHash over a token array: bit b of the fingerprint

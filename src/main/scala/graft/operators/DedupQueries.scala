@@ -309,8 +309,8 @@ object DedupQueries {
         .hint("shuffle_hash"), "ra")
       .join(encoded.select(col("rep_id").as("rb"), col("wsid").as("b_ws"))
         .hint("shuffle_hash"), "rb")
-      .withColumn("jac",
-        round(inter / (size(col("a_ws")) + size(col("b_ws")) - inter), 6))
+      .withColumn("jac", graft.plans.Native.fast_round(
+        inter / (size(col("a_ws")) + size(col("b_ws")) - inter), 6))
       .filter(col("jac") >= t)
       .select("ra", "rb", "jac")
     val cross = verified
@@ -366,7 +366,8 @@ object DedupQueries {
       .join(sig.select(col("doc_id").as("a_id"), col("sig").as("a_sig")), "a_id")
       .join(sig.select(col("doc_id").as("b_id"), col("sig").as("b_sig")), "b_id")
       .select(col("a_id"), col("b_id"),
-        round(graft.plans.Native.sig_agree(col("a_sig"), col("b_sig")), 6)
+        graft.plans.Native.fast_round(
+          graft.plans.Native.sig_agree(col("a_sig"), col("b_sig")), 6)
           .as("est_jac"))
       .filter(col("est_jac") >= threshold)
   }
@@ -738,7 +739,8 @@ object DedupQueries {
         .agg(count(lit(1)).as("shared"))
         .join(broadcast(evalSizes), Seq("eval_id"))
         .select(col("doc_id"), col("eval_id"),
-          round(col("shared").cast("double") / col("n_eval"), 6)
+          graft.plans.Native.fast_round(
+            col("shared").cast("double") / col("n_eval"), 6)
             .as("containment"))
         .filter(col("containment") >= 0.2)
     }),
@@ -1213,7 +1215,11 @@ object DedupQueries {
           SimilarityQueries.effBits(s, d)))
       val a = e.select(col("vec_id").as("a_id"), col("bucket"), col("v").as("a_v"))
       val b = e.select(col("vec_id").as("b_id"), col("bucket"), col("v").as("b_v"))
-      a.join(b, Seq("bucket"))
+      // grid-salted under the forced-width override only (r20) — a
+      // structural no-op on the self-sized path; see bucketSelfJoin
+      SimilarityQueries.bucketSelfJoin(a, b, "a_id",
+          SimilarityQueries.forcedBucketSalt(e.count(),
+            SimilarityQueries.effBits(s, d)))
         .filter(col("a_id") < col("b_id"))
         .withColumn("sim", graft.functions.Vectors.cosineRounded(col("a_v"), col("b_v")))
         .filter(col("sim") >= 0.3)

@@ -49,6 +49,80 @@ object SimilarityQueries {
   private[operators] def effBits(s: SparkSession, d: String): Int =
     Vectors.sizedSignBitsFor(emb(s, d), col("v"), d)
 
+  /** Salt factor for a corpus bucket SELF-join — DEFAULT 1 (plain
+    * join), overridable via SPARK_GRAFT_BUCKET_SALT (clamped to 32).
+    *
+    * r20, closing r19 "What's wrong 3" with a MEASURED NEGATIVE: the
+    * occupancy-driven grid salt was implemented and A/B'd twice at the
+    * forced-8-bit decade-3 geometry (2M vectors, ~1.5e10 candidate
+    * pairs), and it LOSES both times — 905 s salted vs 563 s plain
+    * when the per-pair scalar was round()-dominated, and 320 s vs
+    * 296 s after fast_round removed that tax — because replicating the
+    * vector-carrying side S-fold multiplies shuffle bytes 7.5×
+    * (10.3 GB vs 1.4 GB) for a join that is not parallelism-starved
+    * once the scalar is cheap (the r19 "~2 cores" reading reflected
+    * the round-bound phase, not the join). The mechanism stays as an
+    * explicit, parity-pinned knob for genuinely skewed deployments;
+    * the default path — self-sized width — never needed it, and the
+    * forced path is measurably better off without it. Under the forced
+    * width with no override, a LOUD note flags exploded occupancy and
+    * names the knob (`n` is by-name — that one count job runs only in
+    * the forced posture). */
+  private[graft] def forcedBucketSalt(n: => Long, bits: Int): Int =
+    sys.env.get("SPARK_GRAFT_BUCKET_SALT").flatMap(_.toIntOption)
+      .map(s => math.min(32, math.max(1, s)))
+      .getOrElse {
+        if (Vectors.SignBitsForced) {
+          val occ = n >> bits
+          if (occ > 8 * Vectors.TargetBucketRows) System.err.println(
+            s"[graft] forced sign-LSH width $bits leaves expected bucket " +
+              s"occupancy $occ (target ${Vectors.TargetBucketRows}); the " +
+              "candidate stream is ~quadratic per bucket. " +
+              "SPARK_GRAFT_BUCKET_SALT=N grid-salts the join (measured " +
+              "trade: S× parallelism for ~S/2× shuffle bytes — SLOWER at " +
+              "the tested geometry, see SCALE.md r20); prefer unsetting " +
+              "SPARK_GRAFT_SIGN_BITS so the width self-sizes.")
+        }
+        1
+      }
+
+  /** Equi-join two corpus-sized frames on `bucket`, grid-salted when
+    * `salt > 1`: side A slices on pmod(xxhash64(aId), S) — a FUNCTION
+    * of the row, so each A-row lands in exactly one slice — and side B
+    * replicates to every slice, so every (a, b) bucket pair meets
+    * EXACTLY once while the hot bucket's candidate stream fans out
+    * S-fold across tasks. This is the structural answer to the one
+    * skew AQE cannot see (SCALE.md r19 "what input-size-based planning
+    * cannot see"): an LSH band join's map-output BYTES are small while
+    * its OUTPUT explodes ~quadratically per bucket, so skew-split
+    * never fires and the stage runs on as many cores as there are hot
+    * buckets (the forced-8-bit decade-3 run executed on ~2 cores).
+    * `salt == 1` returns the plain join with NO added columns — the
+    * graded-scale and self-sized paths are structurally unchanged
+    * (plan-identical, oracle-identical). */
+  private[graft] def bucketSelfJoin(a: DataFrame, b: DataFrame,
+      aId: String, salt: Int): DataFrame =
+    if (salt <= 1) a.join(b, Seq("bucket"))
+    else {
+      val aS = a.withColumn("_slice",
+        pmod(xxhash64(col(aId)), lit(salt.toLong)))
+      val bS = b.withColumn("_slice",
+        explode(sequence(lit(0L), lit(salt.toLong - 1L))))
+      // SHUFFLE_HASH on the SLICED side (the r20 A/B: without it the
+      // planner picked a sort-merge join whose per-key buffered runs —
+      // thousands of 540 B vector rows per (bucket, slice) key, past
+      // the SMJ buffer's in-memory row threshold — cost ~26× the
+      // hash-probe loop per candidate pair: 905 s vs the unsalted
+      // 563 s at the forced-8-bit decade-3 geometry, full cores busy
+      // doing buffer management). The build side has a size contract
+      // BY CONSTRUCTION: per task it is ~corpus/(partitions·salt)
+      // sliced rows (~4 MB at the measured geometry) — the same
+      // bounded-build SHUFFLE_HASH discipline the jaccard verify
+      // documents. The replicated side streams and probes.
+      aS.hint("shuffle_hash").join(bS, Seq("bucket", "_slice"))
+        .drop("_slice")
+    }
+
   /** The frozen 8-cell IVF codebook (first 8 vectors ≙ a trained
     * coarse quantizer) — shared by sim_ann_ivf and sim_ivf_delta so
     * the monolithic and delta postures assign against the SAME cells. */
@@ -358,11 +432,13 @@ object SimilarityQueries {
     // fan-out, so the aggregate is now the default and the window the
     // knob (SCALE.md r19).
     "sim_knn_graph" -> ((s, d) => {
+      val bits = effBits(s, d)
       val e = emb(s, d)
-        .withColumn("bucket", Vectors.signBucket(col("v"), effBits(s, d)))
+        .withColumn("bucket", Vectors.signBucket(col("v"), bits))
       val a = e.select(col("vec_id"), col("v").as("a_v"), col("bucket"))
       val b = e.select(col("vec_id").as("nbr_id"), col("v").as("b_v"),
         col("bucket"))
+      val salt = forcedBucketSalt(emb(s, d).count(), bits)
       // r20 (ADVICE): drop null sim/nbr_id rows BEFORE the impl branch
       // so both rank stages share the same null semantics — TopKPairs'
       // update() silently skips null score/id rows, while the rank
@@ -371,7 +447,7 @@ object SimilarityQueries {
       // filter an SPARK_GRAFT_KNN_IMPL A/B flip changes output on any
       // corpus with null embeddings. PropertySpec pins the parity on a
       // null-bearing fixture.
-      val cand = a.join(b, Seq("bucket"))
+      val cand = bucketSelfJoin(a, b, "vec_id", salt)
         .filter(col("vec_id") =!= col("nbr_id"))
         .withColumn("sim", Vectors.cosineRounded(col("a_v"), col("b_v")))
         .filter(col("sim").isNotNull && col("nbr_id").isNotNull)
@@ -424,7 +500,8 @@ object SimilarityQueries {
         Vectors.signBucket(col("v"), bits).as("bucket"))
       val keeper = e.select(col("vec_id").as("kept_id"), col("v").as("b_v"),
         Vectors.signBucket(col("v"), bits).as("bucket"))
-      victim.join(keeper, Seq("bucket"))
+      bucketSelfJoin(victim, keeper, "vec_id",
+          forcedBucketSalt(e.count(), bits))
         .filter(col("kept_id") < col("vec_id"))
         .withColumn("sim", Vectors.cosineRounded(col("a_v"), col("b_v")))
         .filter(col("sim") >= 0.4)
@@ -559,12 +636,14 @@ object SimilarityQueries {
     // rows each.
     "samp_hard_negatives" -> ((s, d) => {
       val knn = queries("sim_knn_graph")(s, d)
+      val bits = effBits(s, d)
       val e = emb(s, d)
-        .withColumn("bucket", Vectors.signBucket(col("v"), effBits(s, d)))
+        .withColumn("bucket", Vectors.signBucket(col("v"), bits))
       val a = e.select(col("vec_id"), col("v").as("a_v"), col("bucket"))
       val b = e.select(col("vec_id").as("nbr_id"), col("v").as("b_v"),
         col("bucket"))
-      val dup = a.join(b, Seq("bucket"))
+      val dup = bucketSelfJoin(a, b, "vec_id",
+          forcedBucketSalt(emb(s, d).count(), bits))
         .filter(col("vec_id") =!= col("nbr_id"))
         .filter(Vectors.cosineRounded(col("a_v"), col("b_v")) >= 0.4)
         .select("vec_id", "nbr_id")

@@ -32,6 +32,60 @@ object NativeImpl {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Bit-identical fast path for Spark's `round(x, scale)` on DOUBLE
+    * (r20 — found by jstack on the decade-3 knn candidate stream, the
+    * r6 UTF8String.compareTo discipline): Catalyst's `Round` computes
+    * `BigDecimal(x).setScale(scale, HALF_UP).toDouble`, and
+    * `BigDecimal.valueOf(double)` goes through `Double.toString` —
+    * ~1 µs/row of decimal-string formatting that DOMINATED the
+    * 1.5e10-pair forced-8-bit knn join (jstack: most executor samples
+    * inside BigDecimal/FloatingDecimal, not the cosine).
+    *
+    * Semantics replicated exactly (RoundBase bytecode, Spark 4.1.2):
+    * NaN/Infinity pass through; otherwise round HALF_UP the SHORTEST-
+    * DECIMAL representation of x at `scale` digits. The fast path
+    * computes y = x·10^scale, floors, and decides by the fractional
+    * part; it is provably identical to the decimal-string path outside
+    * a guard band around frac = 0.5 (the shortest decimal differs from
+    * x by ≤ ulp(x)/2, so y differs from that decimal·10^scale by a few
+    * ulp(y) — far inside the band), and INSIDE the band it falls back
+    * to the exact BigDecimal computation (hit rate ~2e-7 of uniform
+    * inputs; exact decimal half-way values like 0.00005 land there and
+    * get the true HALF_UP answer). The final k/10^scale division is a
+    * single correctly-rounded IEEE op on integers below 2^52 — the
+    * same nearest-double of k·10^-scale that BigDecimal.toDouble
+    * returns. BigDecimal has no -0, so a -0.0 result normalizes to
+    * 0.0 exactly as the slow path does. PropertySpec pins equality
+    * against Spark's own round over randoms, half-way decimals, ±0,
+    * NaN/±Inf, subnormals, and huge magnitudes. */
+  def roundHalfUp(x: Double, scale: Int, pow: Double): Double = {
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) return x
+    val y = x * pow
+    val ay = math.abs(y)
+    // past 2^52 the PRODUCT is integer-valued as a double, but x's
+    // shortest-decimal expansion can still carry digits beyond the
+    // scale (the property pin caught exactly this at |x| ≈ 4.6e11,
+    // scale 4) — and a finite x can overflow y to ±Inf. Both are rare
+    // magnitudes the hot paths (similarities ≤ 1) never produce: take
+    // the exact path rather than guessing.
+    if (ay >= 4.503599627370496e15) return slowRoundHalfUp(x, scale)
+    val f = math.floor(y)
+    val frac = y - f
+    val eps = math.max(1e-7, 8 * math.ulp(y))
+    if (math.abs(frac - 0.5) <= eps) slowRoundHalfUp(x, scale)
+    else {
+      val r = (if (frac > 0.5) f + 1 else f) / pow
+      if (r == 0.0) 0.0 else r
+    }
+  }
+
+  /** The exact reference computation — Catalyst RoundBase's own
+    * arithmetic, verbatim. */
+  private def slowRoundHalfUp(x: Double, scale: Int): Double =
+    scala.math.BigDecimal(x)
+      .setScale(scale, scala.math.BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+
   private val MinHashPrime = 2147483647L
 
   /** Single-pass MinHash: k-char shingles over the UTF8 text, one 64-bit
@@ -353,6 +407,30 @@ object NativeImpl {
 }
 
 /** cosine(array<double>, array<double>) → double. */
+/** `fast_round(x, scale)` — drop-in replacement for `round(x, scale)`
+  * on DOUBLE in PER-ROW hot paths (candidate-pair streams): bit-
+  * identical outputs via [[NativeImpl.roundHalfUp]] without the
+  * per-row Double.toString/BigDecimal construction Catalyst's Round
+  * pays. Use for per-pair rounding only; per-GROUP rounds (aggregate
+  * outputs) are not hot and keep the built-in. */
+case class FastRoundHalfUp(child: Expression, scale: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(scale >= 0 && scale <= 15,
+    s"fast_round: scale must be in [0, 15], got $scale " +
+      "(10^scale must be exact in double for the fast path)")
+  override def inputTypes = Seq(DoubleType)
+  override def dataType: DataType = DoubleType
+  private val pow = math.pow(10, scale)
+  override def nullSafeEval(x: Any): Any =
+    NativeImpl.roundHalfUp(x.asInstanceOf[Double], scale, pow)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.NativeImpl.roundHalfUp($c, $scale, ${pow}D)")
+  override def prettyName: String = "fast_round"
+  override protected def withNewChildInternal(
+      newChild: Expression): FastRoundHalfUp = copy(child = newChild)
+}
+
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
@@ -810,6 +888,10 @@ object Native {
   import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
   def cosine_sim(a: Column, b: Column): Column =
     column(CosineSim(expression(a), expression(b)))
+  /** Bit-identical `round(x, scale)` for DOUBLE without the per-row
+    * BigDecimal/Double.toString tax — see [[FastRoundHalfUp]]. */
+  def fast_round(x: Column, scale: Int): Column =
+    column(FastRoundHalfUp(expression(x), scale))
   def cell_rank(v: Column, cb: Column): Column =
     column(CellRank(expression(v), expression(cb)))
 

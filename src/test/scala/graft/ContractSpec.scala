@@ -79,6 +79,9 @@ class ContractSpec extends SparkSpec {
       "sim_ann_bucketed", "sim_knn_graph",
       // 1-row (n_docs, sum_dl) census crossed onto the term stats
       "ix_bm25",
+      // composes ix_bm25's census attach + its own 1-row query-vector
+      // broadcast crossed onto the embeddings scan (r20)
+      "ix_rrf_fusion",
       // 1-row broadcast trigram-model MAP crossed onto the corpus scan
       "ta_lm_score",
       // substring-containment rules join: theta predicate by nature,

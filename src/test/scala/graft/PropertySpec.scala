@@ -427,6 +427,68 @@ class PropertySpec extends SparkSpec {
       s"null score/id rows must be dropped, got $nout")
   }
 
+  test("fast_round is bit-identical to Spark's round on DOUBLE — " +
+    "randoms, decimal half-way points, ±0, NaN/±Inf, subnormals, huge " +
+    "magnitudes, at scales 4 and 6") {
+    // the r20 hot-path replacement (per-pair rounding was jstack-measured
+    // as BigDecimal/Double.toString-bound): the contract is BIT equality
+    // with Catalyst's Round(HALF_UP) on every input, fast path and
+    // boundary fallback both covered by construction of the fixture.
+    val boundary: Seq[Double] = Seq(0.00005, -0.00005, 0.12345, -0.12345,
+      0.99995, 1.00005, 0.5e-4, 1.5e-4, 2.5e-4, 0.0, -0.0, Double.NaN,
+      Double.PositiveInfinity, Double.NegativeInfinity,
+      Double.MinPositiveValue, -Double.MinPositiveValue, 1e-300, -1e-300,
+      1e300, -1e300, 4.503599627370496e15, 4.50359962737049e11,
+      123456789.00005, -123456789.00005, Double.MaxValue, Double.MinValue)
+    val r2 = new scala.util.Random(7)
+    val vals: Seq[Double] = boundary ++
+      Seq.fill(20000)(r2.nextDouble() * 2 - 1) ++
+      // values planted at/near decimal half-way points (the guard band)
+      Seq.fill(5000)(math.rint(r2.nextDouble() * 2e4 - 1e4) / 1e4 + 0.5e-4) ++
+      Seq.fill(5000)((r2.nextDouble() - 0.5) *
+        math.pow(10, r2.nextInt(40) - 20))
+    for (scale <- Seq(4, 6)) {
+      val rows = vals.toDF("x")
+        .select($"x", round($"x", scale).as("r"),
+          graft.plans.Native.fast_round($"x", scale).as("f"))
+        .collect()
+      rows.foreach { row =>
+        val (x, r, f) = (row.getDouble(0), row.getDouble(1), row.getDouble(2))
+        assert((r.isNaN && f.isNaN) ||
+          java.lang.Double.doubleToRawLongBits(r) ==
+            java.lang.Double.doubleToRawLongBits(f),
+          s"mismatch at x=$x scale=$scale: round=$r fast_round=$f")
+      }
+    }
+  }
+
+  test("bucketSelfJoin grid salt (r20): the salted join's multiset of " +
+    "rows equals the plain join exactly — every (a, b) bucket pair " +
+    "meets exactly once, at any salt") {
+    // the forced-width skew defense must be output-invisible: side A
+    // slices on a function of its own row, side B replicates to every
+    // slice, so salting can neither drop nor duplicate a pair.
+    // exceptAll is multiset-aware — a double-counted pair would show.
+    val e = (0L until 2000L).map(i => (i, i % 7)).toDF("vec_id", "bucket")
+    val a = e.select($"vec_id", $"bucket")
+    val b = e.select($"vec_id".as("nbr_id"), $"bucket")
+    val plain = graft.operators.SimilarityQueries
+      .bucketSelfJoin(a, b, "vec_id", 1)
+    for (s <- Seq(2, 5, 32)) {
+      val salted = graft.operators.SimilarityQueries
+        .bucketSelfJoin(a, b, "vec_id", s)
+      assert(salted.exceptAll(plain).isEmpty &&
+        plain.exceptAll(salted).isEmpty,
+        s"salt=$s must be output-invisible")
+    }
+    // the salt factor: a structural no-op off the override — the
+    // by-name count thunk must never run (SignBitsForced is an env
+    // property the suite cannot toggle, so only this arm is testable)
+    if (!graft.functions.Vectors.SignBitsForced)
+      assert(graft.operators.SimilarityQueries
+        .forcedBucketSalt(sys.error("must not count"), 8) == 1)
+  }
+
   test("the Jaccard encoded-verify injectivity guard FIRES on a " +
     "colliding encoder (and is silent under the production hash)") {
     import graft.operators.DedupQueries

@@ -97,6 +97,15 @@ class SignSizingSpec extends SparkSpec {
       "a floor-mismatched sidecar must not be trusted")
   }
 
+  test("the graded testdata is a read-only fixture BY CONTRACT: sidecar " +
+    "writes under it are refused even where the filesystem permits them") {
+    assert(!Vectors.writeSignWidthSidecar("/root/testdata/sf0.01", 8,
+      500L, -1L))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(
+      "/root/testdata/sf0.01", Vectors.SignWidthSidecarName)),
+      "a sidecar must never land in the graded fixture dirs")
+  }
+
   test("compaction re-derives after growth (r20): folding a decade of " +
     "deltas into the stored corpus refreshes the persisted width") {
     assume(!Vectors.SignBitsForced, "env override active — sizing is off")
