@@ -330,6 +330,14 @@ object ScaleProbe {
     // priced by re-masking (buckets nest), no per-width corpus rescan.
     // Mean/min cosine per tier rides along as evidence the planted
     // population sits where the plant says it does.
+    // r20 review: the planted population is DECLARED by the embg
+    // marker ScaleSynth writes beside the corpus, never inferred from
+    // id residues alone — on a non-embg corpus whose base ids happen
+    // to reach GhostIdOffset within a replica, the residue filter
+    // would pair unrelated vectors and report a fabricated "planted"
+    // section indistinguishable from a real measurement.
+    val embgDeclared = java.nio.file.Files.isRegularFile(
+      java.nio.file.Paths.get(sfDir, graft.ScaleSynth.GhostMarkerName))
     val ghostOff = graft.ScaleSynth.GhostIdOffset
     val inRep = pmod(col("vec_id"), lit(graft.ScaleSynth.IdOffset))
     val bMax = widths.max
@@ -338,7 +346,7 @@ object ScaleProbe {
         pmod(col("vec_id") - ghostOff, lit(3L)).as("tier"),
         col("v").as("g_v"),
         Vectors.signBucket(col("v"), bMax).as("g_bk"))
-    val nGhosts = ghosts.count()
+    val nGhosts = if (embgDeclared) ghosts.count() else 0L
     val planted = if (nGhosts == 0L) "null" else {
       val origs = e.filter(inRep < ghostOff)
         .select(col("vec_id").as("o_id"), col("v").as("o_v"),
@@ -551,6 +559,26 @@ object ScaleProbe {
     * written directly in `ccAssignments`' output schema because the
     * probe's subject is `state()`'s overlay READ plan, not the cc
     * computation). */
+  /** Run-unique fixture root that is ACTUALLY removed at JVM exit
+    * (r20 review): `File.deleteOnExit` is a no-op on a non-empty
+    * directory — it only unlinks an empty entry — so the decade-4
+    * probes' multi-GB replicated store trees survived every run and
+    * accumulated until /tmp filled. A shutdown hook walks the tree
+    * bottom-up instead; the probe is a dev/measurement main, so an
+    * exit-time recursive delete (not a library-code pattern) is the
+    * right scope. */
+  private def tempFixtureRoot(prefix: String): java.io.File = {
+    val root = java.nio.file.Files.createTempDirectory(prefix).toFile
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        val walk = java.nio.file.Files.walk(root.toPath)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+        finally walk.close()
+      } catch { case scala.util.control.NonFatal(_) => }))
+    root
+  }
+
   private def fallbackStoreLine(spark: SparkSession, sfDir: String)
       : String = {
     import graft.operators.DedupGate
@@ -560,9 +588,7 @@ object ScaleProbe {
     // sfDir — two concurrent probe runs over the same corpus must not
     // clobber each other's fixtures mid-read
     val tag = sfDir.replace('/', '_')
-    val root = java.nio.file.Files
-      .createTempDirectory(s"graft-probe-store-$tag-").toFile
-    root.deleteOnExit()
+    val root = tempFixtureRoot(s"graft-probe-store-$tag-")
     val gateDir = new java.io.File(root, "gatestore").getAbsolutePath
     val ccDir = new java.io.File(root, "ccstore").getAbsolutePath
 
@@ -658,9 +684,7 @@ object ScaleProbe {
       .flatMap(_.toIntOption).getOrElse(4)
     // per-replica id offset, above any ~sf100 id (999·IdOffset + src)
     val repOff = 40L * 1000 * 1000 * 1000
-    val root = java.nio.file.Files
-      .createTempDirectory("graft-decade4-gate-").toFile
-    root.deleteOnExit()
+    val root = tempFixtureRoot("graft-decade4-gate-")
     val gateDir = new java.io.File(root, "store").getAbsolutePath
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id").as("node_id"), col("text"),
@@ -724,9 +748,7 @@ object ScaleProbe {
   private def decade4CcLine(spark: SparkSession, sfDir: String): String = {
     import graft.operators.DedupQueries
     val s = DedupQueries.ccSession(spark)
-    val root = java.nio.file.Files
-      .createTempDirectory("graft-decade4-cc-").toFile
-    root.deleteOnExit()
+    val root = tempFixtureRoot("graft-decade4-cc-")
     val edges1 = DedupQueries.queries("dd_minhash_lsh")(s, sfDir)
       .filter(col("est_jac") >= 0.75)
       .select(col("a_id"), col("b_id"))
@@ -736,6 +758,15 @@ object ScaleProbe {
     val target = sys.env.get("SPARK_GRAFT_D4_EDGES")
       .flatMap(_.toLongOption).getOrElse(50L * 1000 * 1000)
     val reps = math.max(1L, (target + e1 - 1) / e1).toInt
+    // r20 review: ceil(target/e1) is unbounded below — a small/clean
+    // corpus (few ≥0.75 LSH edges) would demand hundreds of thousands
+    // of replicas, i.e. thousands of sequential chunked write jobs
+    // that LOOK like a hang. The probe's contract is "replicate a
+    // decade-sized source a bounded number of times" (~sf10 gives
+    // ~1.2M edges → ~42 reps); make misuse a loud error, not a stall.
+    require(reps <= 1000, s"decade4_cc: $sfDir yields only $e1 edges — " +
+      s"$reps replicas would be needed to reach $target; point the " +
+      "probe at a decade-2+ corpus (or lower SPARK_GRAFT_D4_EDGES)")
     val repOff = 40L * 1000 * 1000 * 1000
     // chunked replica writes (the ScaleSynth discipline — Catalyst must
     // never plan a several-hundred-way union), then one read-back

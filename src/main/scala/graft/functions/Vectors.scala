@@ -133,13 +133,50 @@ object Vectors {
   private def sidecarPath(dir: String): java.nio.file.Path =
     java.nio.file.Paths.get(dir, SignWidthSidecarName)
 
+  /** Filesystem fingerprint of the corpus parquet beside the sidecar —
+    * data-file count + total bytes of `$dir/embeddings.parquet`, a
+    * pure directory listing (ZERO Spark jobs, preserving the sidecar's
+    * zero-job read contract). None when no such directory exists (a
+    * corpus handed in as a frame with no canonical on-disk form — the
+    * spec fixtures — keeps the unfingerprinted sidecar semantics). */
+  private def corpusFingerprint(dir: String): Option[(Long, Long)] = {
+    val p = java.nio.file.Paths.get(dir, "embeddings.parquet")
+    if (!java.nio.file.Files.isDirectory(p)) None
+    else try {
+      val walk = java.nio.file.Files.walk(p)
+      try {
+        var files = 0L
+        var bytes = 0L
+        walk.forEach { q =>
+          val name = q.getFileName.toString
+          // data files only: _SUCCESS / .crc / _committed markers churn
+          // without the data changing
+          if (!name.startsWith("_") && !name.startsWith(".") &&
+              java.nio.file.Files.isRegularFile(q)) {
+            files += 1
+            bytes += java.nio.file.Files.size(q)
+          }
+        }
+        Some((files, bytes))
+      } finally walk.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** Read the persisted width for a corpus dir (r20, verdict Next 2 —
     * the width is index metadata, so a session must be able to read it
     * back with ZERO jobs instead of re-paying the corpus count +
-    * occupancy audit per JVM). None when absent/unreadable/malformed
-    * or recorded under a DIFFERENT floor (a floor change re-derives:
+    * occupancy audit per JVM). None when absent/unreadable/malformed,
+    * recorded under a DIFFERENT floor (a floor change re-derives:
     * the static-oracle invariant "derived == floor at graded scales"
-    * is relative to the floor in force). */
+    * is relative to the floor in force), or — r20 review — when the
+    * corpus parquet's filesystem fingerprint no longer matches the one
+    * recorded at write time: the two guarded writers
+    * ([[graft.operators.Layout.compactEmbeddings]], ScaleSynth) always
+    * invalidate explicitly, but a corpus REWRITTEN by any other tool
+    * must not keep its stale width silently — re-creating the
+    * quadratic hot-bucket stream self-sizing exists to prevent
+    * (the 8-bit decade-3 disk death, SCALE.md r18). The check is a
+    * directory listing, not a count job. */
   def readSignWidthSidecar(dir: String): Option[Int] = {
     val p = sidecarPath(dir)
     if (!java.nio.file.Files.isRegularFile(p)) None
@@ -148,9 +185,21 @@ object Vectors {
       def field(k: String): Option[Long] =
         ("\"" + k + "\":(-?[0-9]+)").r.findFirstMatchIn(text)
           .flatMap(_.group(1).toLongOption)
+      val fingerprintFresh =
+        (field("corpus_files"), field("corpus_bytes")) match {
+          case (Some(f), Some(b)) =>
+            val live = corpusFingerprint(dir)
+            val ok = live.contains((f, b))
+            if (!ok) System.err.println(s"[graft] sign-width sidecar " +
+              s"at $dir is STALE (corpus fingerprint moved: recorded " +
+              s"$f files/$b bytes, live $live) — re-deriving")
+            ok
+          case _ => true // recorded without an on-disk corpus
+        }
       for {
         bits <- field("sign_bits") if bits >= 1 && bits <= MaxSignBits
         floor <- field("floor") if floor == SignBucketBits
+        if fingerprintFresh
       } yield bits.toInt
     } catch { case scala.util.control.NonFatal(_) => None }
   }
@@ -172,10 +221,16 @@ object Vectors {
       candPairs: Long): Boolean =
     if (sidecarDeny.exists(dir.startsWith)) false
     else try {
+      // r20 review: record the corpus parquet's filesystem fingerprint
+      // (when one exists) so the read path can detect an out-of-band
+      // rewrite — see readSignWidthSidecar
+      val fp = corpusFingerprint(dir).map { case (f, b) =>
+        s""","corpus_files":$f,"corpus_bytes":$b"""
+      }.getOrElse("")
       java.nio.file.Files.writeString(sidecarPath(dir),
         s"""{"sign_bits":$bits,"floor":$SignBucketBits,""" +
           s""""target_bucket_rows":$TargetBucketRows,"n_rows":$n,""" +
-          s""""cand_pairs":$candPairs}""" + "\n")
+          s""""cand_pairs":$candPairs$fp}""" + "\n")
       true
     } catch {
       case scala.util.control.NonFatal(e) =>

@@ -1219,7 +1219,7 @@ object DedupQueries {
       // structural no-op on the self-sized path; see bucketSelfJoin
       SimilarityQueries.bucketSelfJoin(a, b, "a_id",
           SimilarityQueries.forcedBucketSalt(e.count(),
-            SimilarityQueries.effBits(s, d)))
+            SimilarityQueries.effBits(s, d), d))
         .filter(col("a_id") < col("b_id"))
         .withColumn("sim", graft.functions.Vectors.cosineRounded(col("a_v"), col("b_v")))
         .filter(col("sim") >= 0.3)

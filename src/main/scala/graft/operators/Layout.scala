@@ -75,6 +75,22 @@ object Layout {
     require(inPaths.nonEmpty, "compactEmbeddings: no inputs")
     val unioned = inPaths.map(spark.read.parquet(_)).reduce(_ unionByName _)
     val out = s"$outDir/embeddings.parquet"
+    // r20 review: the natural in-place call — folding $store/gen_* INTO
+    // $store — would lazily read the same path the overwrite targets
+    // and die at write time ("Cannot overwrite a path that is also
+    // being read from") AFTER the repartition job is planned, leaving
+    // the stale sidecar in place. Fail at entry with the contract
+    // instead: compaction writes to a FRESH dir (the LSM discipline
+    // the store loops use — new generation, then swap).
+    val outNorm = java.nio.file.Paths.get(out).toAbsolutePath.normalize
+    inPaths.foreach { p =>
+      val pn = java.nio.file.Paths.get(p).toAbsolutePath.normalize
+      require(!pn.startsWith(outNorm) && !outNorm.startsWith(pn),
+        s"compactEmbeddings: input $p overlaps the output $out — " +
+          "compaction must write a fresh generation dir and swap " +
+          "(in-place overwrite of a path being read is not a thing " +
+          "Spark can do)")
+    }
     // size the file count from the INPUT bytes (the output isn't
     // written yet); one round-robin repartition rewrite, as compact()
     val fs = org.apache.hadoop.fs.FileSystem.get(

@@ -66,25 +66,50 @@ object SimilarityQueries {
     * the default path — self-sized width — never needed it, and the
     * forced path is measurably better off without it. Under the forced
     * width with no override, a LOUD note flags exploded occupancy and
-    * names the knob (`n` is by-name — that one count job runs only in
-    * the forced posture). */
-  private[graft] def forcedBucketSalt(n: => Long, bits: Int): Int =
-    sys.env.get("SPARK_GRAFT_BUCKET_SALT").flatMap(_.toIntOption)
+    * names the knob.
+    *
+    * Two guards hardened by the r20 review:
+    *  - the knob applies ONLY under the forced width. It exists as the
+    *    forced posture's escape hatch; a leftover
+    *    `SPARK_GRAFT_BUCKET_SALT` export must not silently re-shape
+    *    every bucket self-join on the self-sized path (where the width
+    *    already bounds occupancy and both A/Bs measured the salt's
+    *    ~7.5× shuffle-byte tax buying nothing) — ignored with a loud
+    *    note instead.
+    *  - the advisory occupancy count is MEMOIZED per corpus dir: it
+    *    used to run as a fresh `count()` inside every timed query
+    *    build in the forced posture — a full corpus scan per min-of-N
+    *    bench rerun, and twice for the composed hard-negatives query.
+    *    One count per (JVM, corpus), like the width memo it advises
+    *    on. `n` stays by-name so the self-sized path never counts. */
+  private val forcedOccMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]
+
+  private[graft] def forcedBucketSalt(n: => Long, bits: Int,
+      memoKey: String): Int = {
+    val knob = sys.env.get("SPARK_GRAFT_BUCKET_SALT").flatMap(_.toIntOption)
       .map(s => math.min(32, math.max(1, s)))
-      .getOrElse {
-        if (Vectors.SignBitsForced) {
-          val occ = n >> bits
-          if (occ > 8 * Vectors.TargetBucketRows) System.err.println(
-            s"[graft] forced sign-LSH width $bits leaves expected bucket " +
-              s"occupancy $occ (target ${Vectors.TargetBucketRows}); the " +
-              "candidate stream is ~quadratic per bucket. " +
-              "SPARK_GRAFT_BUCKET_SALT=N grid-salts the join (measured " +
-              "trade: S× parallelism for ~S/2× shuffle bytes — SLOWER at " +
-              "the tested geometry, see SCALE.md r20); prefer unsetting " +
-              "SPARK_GRAFT_SIGN_BITS so the width self-sizes.")
-        }
-        1
-      }
+    if (!Vectors.SignBitsForced) {
+      knob.filter(_ > 1).foreach(s => System.err.println(
+        s"[graft] SPARK_GRAFT_BUCKET_SALT=$s ignored: the sign-LSH " +
+          "width is self-sized (the salt is the FORCED-width escape " +
+          "hatch — it applies only under SPARK_GRAFT_SIGN_BITS)"))
+      1
+    } else knob.getOrElse {
+      val occ = forcedOccMemo
+        .computeIfAbsent(memoKey, _ => java.lang.Long.valueOf(n))
+        .longValue >> bits
+      if (occ > 8 * Vectors.TargetBucketRows) System.err.println(
+        s"[graft] forced sign-LSH width $bits leaves expected bucket " +
+          s"occupancy $occ (target ${Vectors.TargetBucketRows}); the " +
+          "candidate stream is ~quadratic per bucket. " +
+          "SPARK_GRAFT_BUCKET_SALT=N grid-salts the join (measured " +
+          "trade: S× parallelism for ~S/2× shuffle bytes — SLOWER at " +
+          "the tested geometry, see SCALE.md r20); prefer unsetting " +
+          "SPARK_GRAFT_SIGN_BITS so the width self-sizes.")
+      1
+    }
+  }
 
   /** Equi-join two corpus-sized frames on `bucket`, grid-salted when
     * `salt > 1`: side A slices on pmod(xxhash64(aId), S) — a FUNCTION
@@ -438,7 +463,7 @@ object SimilarityQueries {
       val a = e.select(col("vec_id"), col("v").as("a_v"), col("bucket"))
       val b = e.select(col("vec_id").as("nbr_id"), col("v").as("b_v"),
         col("bucket"))
-      val salt = forcedBucketSalt(emb(s, d).count(), bits)
+      val salt = forcedBucketSalt(emb(s, d).count(), bits, d)
       // r20 (ADVICE): drop null sim/nbr_id rows BEFORE the impl branch
       // so both rank stages share the same null semantics — TopKPairs'
       // update() silently skips null score/id rows, while the rank
@@ -501,7 +526,7 @@ object SimilarityQueries {
       val keeper = e.select(col("vec_id").as("kept_id"), col("v").as("b_v"),
         Vectors.signBucket(col("v"), bits).as("bucket"))
       bucketSelfJoin(victim, keeper, "vec_id",
-          forcedBucketSalt(e.count(), bits))
+          forcedBucketSalt(e.count(), bits, d))
         .filter(col("kept_id") < col("vec_id"))
         .withColumn("sim", Vectors.cosineRounded(col("a_v"), col("b_v")))
         .filter(col("sim") >= 0.4)
@@ -643,7 +668,7 @@ object SimilarityQueries {
       val b = e.select(col("vec_id").as("nbr_id"), col("v").as("b_v"),
         col("bucket"))
       val dup = bucketSelfJoin(a, b, "vec_id",
-          forcedBucketSalt(emb(s, d).count(), bits))
+          forcedBucketSalt(emb(s, d).count(), bits, d))
         .filter(col("vec_id") =!= col("nbr_id"))
         .filter(Vectors.cosineRounded(col("a_v"), col("b_v")) >= 0.4)
         .select("vec_id", "nbr_id")

@@ -482,11 +482,15 @@ class PropertySpec extends SparkSpec {
         s"salt=$s must be output-invisible")
     }
     // the salt factor: a structural no-op off the override — the
-    // by-name count thunk must never run (SignBitsForced is an env
-    // property the suite cannot toggle, so only this arm is testable)
+    // by-name count thunk must never run, and (r20 review) a leftover
+    // SPARK_GRAFT_BUCKET_SALT export is IGNORED on the self-sized path
+    // rather than silently re-shaping every bucket join, so this pin
+    // holds in any environment (SignBitsForced is an env property the
+    // suite cannot toggle, so only this arm is testable)
     if (!graft.functions.Vectors.SignBitsForced)
       assert(graft.operators.SimilarityQueries
-        .forcedBucketSalt(sys.error("must not count"), 8) == 1)
+        .forcedBucketSalt(sys.error("must not count"), 8,
+          "propertyspec-nocount") == 1)
   }
 
   test("the Jaccard encoded-verify injectivity guard FIRES on a " +

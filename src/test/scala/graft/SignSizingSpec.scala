@@ -97,6 +97,53 @@ class SignSizingSpec extends SparkSpec {
       "a floor-mismatched sidecar must not be trusted")
   }
 
+  test("an out-of-band corpus rewrite invalidates the sidecar (r20 " +
+    "review): the recorded filesystem fingerprint no longer matches, " +
+    "so the next session re-derives instead of keeping a stale width") {
+    assume(!Vectors.SignBitsForced, "env override active — sizing is off")
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft-extwrite-").toString
+    val dim = 20
+    def synth(n: Long) =
+      spark.range(n).select(col("id").as("vec_id"),
+        transform(sequence(lit(1), lit(dim)), i =>
+          when(pmod(xxhash64(col("id"), i), lit(2)) === 0, lit(1.0f))
+            .otherwise(lit(-1.0f))).as("embedding"))
+    def corpus = spark.read.parquet(s"$root/embeddings.parquet")
+      .select(col("embedding").cast("array<double>").as("v"))
+    synth(10000).write.parquet(s"$root/embeddings.parquet")
+    val w0 = Vectors.sizedSignBitsFor(corpus, col("v"), root)
+    assert(w0 == Vectors.SignBucketBits &&
+      Vectors.readSignWidthSidecar(root).contains(w0),
+      "on-disk corpus: derivation must persist a fingerprinted sidecar")
+    // a writer OTHER than the two guarded paths (compactEmbeddings /
+    // ScaleSynth) replaces the corpus in place — a decade larger
+    synth(140000).write.mode("overwrite")
+      .parquet(s"$root/embeddings.parquet")
+    assert(Vectors.readSignWidthSidecar(root).isEmpty,
+      "a fingerprint-mismatched sidecar must not be trusted")
+    Vectors.forgetSizedWidth(root)
+    val w1 = Vectors.sizedSignBitsFor(corpus, col("v"), root)
+    assert(w1 == 9, s"the fresh session must re-derive from the " +
+      s"rewritten corpus (140k rows → 9 bits), got $w1")
+  }
+
+  test("compactEmbeddings refuses the in-place call (r20 review): an " +
+    "input overlapping the output dies at entry with the contract, not " +
+    "at write time after the plan is built") {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft-inplace-").toString
+    spark.range(10).select(col("id").as("vec_id"),
+      array(lit(1.0f), lit(-1.0f)).as("embedding"))
+      .write.parquet(s"$root/embeddings.parquet")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Layout.compactEmbeddings(spark,
+        Seq(s"$root/embeddings.parquet"), root, targetBytes = 64L << 20)
+    }
+    assert(e.getMessage.contains("fresh generation"),
+      s"the entry guard must state the write-fresh-and-swap contract: $e")
+  }
+
   test("the graded testdata is a read-only fixture BY CONTRACT: sidecar " +
     "writes under it are refused even where the filesystem permits them") {
     assert(!Vectors.writeSignWidthSidecar("/root/testdata/sf0.01", 8,
