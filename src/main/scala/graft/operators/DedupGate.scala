@@ -402,10 +402,11 @@ object DedupGate {
     * reference mints uids and node ids from one id space where equality
     * means same document). A collision would let the winner's vacuous
     * tombstone silently delete the unrelated node's rows — so this
-    * compaction-path entry point probes for it eagerly (delta-sized
-    * broadcast build against the store scan the anti-join pays anyway;
-    * applyOutcomes is periodic compaction, never the per-batch path)
-    * and refuses loudly instead.
+    * compaction-path entry point probes for it eagerly (a keyed join
+    * against the store scan the anti-join pays anyway — AQE
+    * runtime-broadcasts the ingest-sized case; applyOutcomes is
+    * periodic compaction, never the per-batch path) and refuses
+    * loudly instead.
     */
   def applyOutcomes(store: DataFrame, incoming: DataFrame,
       outcomes: DataFrame, archiveFlips: DataFrame,
@@ -413,7 +414,16 @@ object DedupGate {
     val (append, tombstones, newIds) =
       outcomesDeltaParts(incoming, outcomes, archiveFlips,
         numBands, rowsPerBand)
-    val clashes = store.join(broadcast(newIds), Seq("node_id"))
+    // r20 review: no static broadcast hints — tombstones/newIds are
+    // BATCH-sized frames with no size contract, and a bulk backfill
+    // batch (the decade-4 fold ran a 14.3M-id tombstone set) would
+    // build an unbounded hashed relation on every executor. This is
+    // the same no-size-contract class r18 removed from the delta
+    // probes; AQE runtime-broadcasts the ingest-scale case and
+    // degrades the backfill case to a keyed anti-join — both regimes
+    // executed facts for exactly this shape
+    // (probe_fallback_store_*.json, probe_decade4_gate_r20.json).
+    val clashes = store.join(newIds, Seq("node_id"))
       .select("node_id").distinct().limit(5).collect().map(_.get(0))
     require(clashes.isEmpty,
       s"applyOutcomes: batch uids ${clashes.mkString(", ")} classified " +
@@ -421,7 +431,7 @@ object DedupGate {
         "them would silently replace those nodes' rows. Batch uid space " +
         "must be disjoint from store node ids (same-id means same " +
         "document in the reference's id scheme).")
-    store.join(broadcast(tombstones), Seq("node_id"), "left_anti")
+    store.join(tombstones, Seq("node_id"), "left_anti")
       .unionByName(append)
   }
 

@@ -37,10 +37,35 @@ object GraphMerge {
     */
   def merge(current: DataFrame, incoming: DataFrame,
       payloadCols: Seq[String]): DataFrame = {
-    val live = current.filter(col("status") =!= "archive")
-    val archived = current.filter(col("status") === "archive")
+    // r20 review: a store row with NULL status must not vanish — both
+    // `=!= "archive"` and `=== "archive"` are null for it, which would
+    // silently drop it from the full-table rewrite. Policy: unknown
+    // status reads as live (published), the insert branches' own
+    // default.
+    val statusOrLive = coalesce(col("status"), lit("published"))
+    val live = current.filter(statusOrLive =!= "archive")
+    val archived = current.filter(statusOrLive === "archive")
 
-    val in = incoming.alias("in")
+    // r20 review: the store invariant is ONE live row per uid, so two
+    // incoming rows routed onto one uid within a single batch (the
+    // gate's coalesce(matched_node_id, uid) routing does this when two
+    // batch docs both match the same corpus node) must collapse BEFORE
+    // the branch joins — otherwise both match the same live row and
+    // the winning branch emits TWO live rows with the same version,
+    // fanning out every later merge. A batch has no arrival order, so
+    // the collapse is a deterministic rule, not last-writer-wins: the
+    // LOWEST-sim row survives (nulls first — the same "unknown ⇒
+    // materially changed" lossless bias as the fork policy below),
+    // ties broken by the payload columns' total order so replays agree
+    // bit-for-bit. The window partitions the INGEST-sized frame only.
+    val batchW = org.apache.spark.sql.expressions.Window.partitionBy("uid")
+      .orderBy(col("sim").asc_nulls_first +:
+        payloadCols.map(col(_).asc): _*)
+    val incomingOne = incoming
+      .withColumn("_rk", row_number().over(batchW))
+      .filter(col("_rk") === 1).drop("_rk")
+
+    val in = incomingOne.alias("in")
     val cur = live.alias("cur")
     val joined = in.join(cur, col("in.uid") === col("cur.uid"), "left")
 
@@ -59,16 +84,18 @@ object GraphMerge {
         lit(1L).as("version") :+ lit("published").as("status"): _*)
 
     // ST4: matched + changed materially → fork: new row version+1 …
-    val forked = joined
+    // (r20 review: ONE filtered frame feeds both the forked rows and
+    // the archive flip — the predicate written twice could silently
+    // desynchronize the two sets under a future edit)
+    val forkRows = joined
       .filter(col("cur.uid").isNotNull && simOrZero < VersionForkThreshold)
+    val forked = forkRows
       .select((col("in.uid").as("uid") +: inCols) :+
         (col("cur.version") + 1L).as("version") :+
         lit("published").as("status"): _*)
 
     // … and the superseded live row flips to archive.
-    val forkedUids = joined
-      .filter(col("cur.uid").isNotNull && simOrZero < VersionForkThreshold)
-      .select(col("cur.uid").as("uid"))
+    val forkedUids = forkRows.select(col("cur.uid").as("uid"))
     val newlyArchived = live.join(forkedUids, Seq("uid"), "left_semi")
       .withColumn("status", lit("archive"))
 

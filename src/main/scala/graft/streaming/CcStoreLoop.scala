@@ -57,11 +57,10 @@ object CcStoreLoop {
 
   private def fs(dir: String) = new java.io.File(dir)
 
+  // r20 review: the shared listing (StoreGens) — this was the third
+  // hand-copied list/strip/parse/marker walk across the two loops
   private def committed(dir: String, prefix: String): Seq[Long] =
-    Option(fs(dir).listFiles()).getOrElse(Array.empty)
-      .toSeq.map(_.getName).filter(_.startsWith(prefix))
-      .map(_.stripPrefix(prefix).toLong).sorted
-      .filter(g => new java.io.File(s"$dir/$prefix$g/_SUCCESS").exists())
+    StoreGens.committed(dir, prefix, "_SUCCESS")
 
   /** Highest COMPLETE full-assignment generation (-1 = initial build).
     * Loud when none exists: [[init]] never ran or never committed. */

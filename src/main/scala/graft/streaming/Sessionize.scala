@@ -51,7 +51,20 @@ object Sessionize {
             sorted.foreach { t =>
               cur match {
                 case Some(s) if t - s.last <= gapMicros =>
-                  cur = Some(s.copy(last = t, n = s.n + 1))
+                  // r20 review: a LATE cross-batch event (t < s.last —
+                  // events are sorted only WITHIN a batch, and this
+                  // path runs without a watermark) always lands in
+                  // this branch (negative gap), and `last = t` would
+                  // REGRESS the session edge — emitting end < start
+                  // and mis-anchoring every later gap test. Late
+                  // events merge monotonically instead: start only
+                  // moves backward, last only forward. (Splitting a
+                  // far-late event into its own earlier session would
+                  // need history the O(1) state no longer holds — the
+                  // documented trade of gap sessionization on an
+                  // unwatermarked stream.)
+                  cur = Some(SessionState(math.min(s.start, t),
+                    math.max(s.last, t), s.n + 1))
                 case Some(s) =>
                   closed ::= Session(uid, s.start, s.last, s.n)
                   cur = Some(SessionState(t, t, 1))

@@ -31,13 +31,18 @@ class FingerprintDedup
     // if the returned iterator were lazy and a downstream operator
     // stopped consuming early, seen.update would never run for the
     // unconsumed rows and the fingerprint could re-classify as new later.
-    val out = rows.map { case (_, uid) =>
+    // Sorted by uid first (r20 review): two uids sharing a fingerprint
+    // in ONE micro-batch arrive in shuffle order, so an arrival-order
+    // claim would make which row is "new" nondeterministic across runs
+    // and replays — the min-uid claim is the batch gate's
+    // "earlier id wins" rule, the same fix BandDedup below documents.
+    val out = rows.toVector.sortBy(_._2).map { case (_, uid) =>
       if (seen.exists()) (uid, "duplicate")
       else {
         seen.update(true)
         (uid, "new")
       }
-    }.toVector
+    }
     out.iterator
   }
 }

@@ -4,6 +4,24 @@ import graft.operators.DedupGate
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+/** The ONE generation-directory listing both store loops share (r20
+  * review: GateStoreLoop and CcStoreLoop carried three near-identical
+  * list/strip/parse/marker-filter copies — a fix to one had to be
+  * replicated by hand). A generation is committed when
+  * `$dir/$prefix<id>/$markerSubpath` exists; non-numeric strays (an
+  * editor backup, a half-renamed dir) are ignored rather than throwing
+  * NumberFormatException out of a directory listing. */
+private[streaming] object StoreGens {
+  /** Committed generation ids under `dir` for `prefix`, ascending. */
+  def committed(dir: String, prefix: String,
+      markerSubpath: String): Seq[Long] =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .toSeq.map(_.getName).filter(_.startsWith(prefix))
+      .flatMap(_.stripPrefix(prefix).toLongOption).sorted
+      .filter(g => new java.io.File(s"$dir/$prefix$g/$markerSubpath")
+        .exists())
+}
+
 /** The dedup gate's PRODUCTION posture wired through Structured
   * Streaming — ST7's per-batch loop end-to-end (reference contract:
   * `lambdas/check_duplicate/check_duplicate.py:183-289` classifies each
@@ -74,10 +92,7 @@ object GateStoreLoop {
     * committed), and probing a nonexistent store should not look like
     * an empty corpus. */
   private def baseGen(dir: String): Long = {
-    val complete = Option(fs(dir).listFiles()).getOrElse(Array.empty)
-      .toSeq.map(_.getName).filter(_.startsWith("base_"))
-      .map(_.stripPrefix("base_").toLong)
-      .filter(g => new java.io.File(s"$dir/base_$g/_SUCCESS").exists())
+    val complete = StoreGens.committed(dir, "base_", "_SUCCESS")
     if (complete.isEmpty)
       throw new IllegalStateException(
         s"GateStoreLoop: no committed base under $dir — run init() first " +
@@ -89,10 +104,7 @@ object GateStoreLoop {
   /** Committed generation ids under `dir` (tombs/_SUCCESS present),
     * ascending. */
   private def committedGens(dir: String): Seq[Long] =
-    Option(fs(dir).listFiles()).getOrElse(Array.empty)
-      .toSeq.map(_.getName).filter(_.startsWith("gen_"))
-      .map(_.stripPrefix("gen_").toLong).sorted
-      .filter(id => new java.io.File(s"$dir/gen_$id/tombs/_SUCCESS").exists())
+    StoreGens.committed(dir, "gen_", "tombs/_SUCCESS")
 
   /** (base frame, ordered open generations) as of now. */
   def state(spark: SparkSession, dir: String)
@@ -270,7 +282,14 @@ object GateStoreLoop {
         .exists())
     if (ids.isEmpty)
       // schema-stable empty frame: derived from the store's own base
-      // (always present once init ran), projected to the outcome shape
+      // (always present once init ran), projected to the outcome shape.
+      // The uid/matched_node_id/batch_twin types are the base's node_id
+      // type — stable because batch uids and store node ids live in ONE
+      // id space by the loop's contract (the applyOutcomes
+      // PRECONDITION: same id means same document, so the types must
+      // already agree for classification to compare them at all; a
+      // batch whose uid type diverged from the store key would fail in
+      // classifyStoredDeltas long before this frame mattered).
       spark.read.parquet(s"$dir/base_${baseGen(dir)}")
         .select(col("node_id").as("uid"),
           lit("new").as("outcome"),

@@ -76,6 +76,44 @@ class GraphMergeSpec extends SparkSpec {
     assert(d1(1).getAs[String]("text") == "resubmitted, similarity unknown")
   }
 
+  test("two incoming rows for ONE uid in a batch collapse before the " +
+    "merge: one live row per uid survives, lowest sim wins (r20 review)") {
+    // The gate's coalesce(matched_node_id, uid) routing can map two
+    // batch docs onto the same store node in one micro-batch; without a
+    // pre-collapse both match the same live row and the winning branch
+    // emits TWO live rows with the same version, fanning out every
+    // later merge. Policy: lowest sim survives (unknown ⇒ most changed,
+    // the same lossless bias as the null-sim fork), payload order
+    // breaks ties deterministically.
+    val incoming = Seq(
+      ("d1", "near identical rewrite", "en", 0.999),
+      ("d1", "radical rewrite", "en", 0.4))
+      .toDF("uid", "text", "lang", "sim")
+    val out = GraphMerge.merge(current, incoming, payload)
+    val live = out.filter($"uid" === "d1" && $"status" =!= "archive")
+      .collect()
+    assert(live.length == 1, s"one live row per uid, got ${live.length}")
+    assert(live.head.getAs[String]("text") == "radical rewrite" &&
+      live.head.getAs[Long]("version") == 2L,
+      "the lowest-sim row must win the batch slot (and fork)")
+    assert(out.filter($"uid" === "d1" && $"status" === "archive")
+      .count() == 1, "the superseded live row archives exactly once")
+  }
+
+  test("a store row with NULL status survives the rewrite as live " +
+    "(r20 review: it used to vanish from both partitions)") {
+    val cur = current.unionByName(
+      Seq(("d7", "status unknown", "en", 3L,
+        null.asInstanceOf[String]))
+        .toDF("uid", "text", "lang", "version", "status"))
+    val incoming = Seq(("d9", "unrelated", "fr", 1.0))
+      .toDF("uid", "text", "lang", "sim")
+    val out = GraphMerge.merge(cur, incoming, payload)
+    val d7 = out.filter($"uid" === "d7").collect()
+    assert(d7.length == 1, "null-status row must not be dropped")
+    assert(d7.head.getAs[Long]("version") == 3L)
+  }
+
   test("replay idempotence: merging the same near-identical batch twice " +
     "changes nothing the second time") {
     val incoming = Seq(("d2", "patched", "en", 0.999)).toDF("uid", "text", "lang", "sim")

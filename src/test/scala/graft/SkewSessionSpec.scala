@@ -150,9 +150,25 @@ class SkewSessionSpec extends SparkSpec {
     // an event past the gap closes the extended session (2 events)
     input.addData(Sessionize.Event(7L, ts("2024-01-01 15:00:00")))
     q.processAllAvailable()
+    // r20 review pin: a LATE cross-batch event (older than the open
+    // session's last-seen — events are only sorted within a batch)
+    // must merge monotonically, never regress the session edge: the
+    // session that eventually closes must still have start <= end,
+    // with the late event counted.
+    input.addData(Sessionize.Event(7L, ts("2024-01-01 14:59:00")))
+    q.processAllAvailable()
+    input.addData(Sessionize.Event(7L, ts("2024-01-01 18:00:00")))
+    q.processAllAvailable()
     q.stop()
     val all = spark.table("sessions").as[Sessionize.Session].collect()
-    assert(all.length == 2)
-    assert(all.map(_.n_events).sorted.toSeq == Seq(2L, 2L))
+    assert(all.length == 3)
+    assert(all.map(_.n_events).sorted.toSeq == Seq(2L, 2L, 2L))
+    assert(all.forall(s => s.startMicros <= s.endMicros),
+      s"a late event must not invert session bounds: ${all.toSeq}")
+    val lateSession = all.maxBy(_.startMicros)
+    assert(lateSession.startMicros ==
+      ts("2024-01-01 14:59:00").getTime * 1000L &&
+      lateSession.endMicros == ts("2024-01-01 15:00:00").getTime * 1000L,
+      "the late event extends the open session backward, last stays put")
   }
 }

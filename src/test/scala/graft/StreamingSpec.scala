@@ -372,6 +372,12 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       input.addData(("fpA", 4L), ("fpC", 5L)) // re-arrival + new
       q.processAllAvailable()
+      // r20 review pin: within-batch twins resolve by MIN uid, not by
+      // arrival order — the higher uid arrives FIRST here, and must
+      // still lose the claim (the batch gate's earlier-id-wins rule;
+      // arrival order is shuffle-dependent and would flip on replays)
+      input.addData(("fpD", 9L), ("fpD", 7L))
+      q.processAllAvailable()
       q.stop()
       val res = spark.table("sdedup")
         .as[(Long, String)].collect().toMap
@@ -379,6 +385,8 @@ class StreamingSpec extends SparkSpec {
       assert(res(3L) == "duplicate") // within-batch twin of uid 1
       assert(res(4L) == "duplicate") // cross-batch re-arrival
       assert(res(5L) == "new")
+      assert(res(7L) == "new" && res(9L) == "duplicate",
+        "fingerprint claim must go to the min uid regardless of arrival")
     } finally {
       prev match {
         case Some(p) =>
