@@ -23,6 +23,30 @@ object CorpusQueries {
   /** Tokens-per-chunk for passage-level dedup. */
   private val ChunkLen = 10
 
+  /** Census-derived `[lo, hi]` length keep-band as a ONE-ROW bounds
+    * frame — the 5th/95th-percentile trim by pure integer comparisons
+    * (20·cum vs total; no float quantile interpolation to diverge
+    * cross-engine). Shared by ta_quality_trim and the refinery's
+    * stage 1 (r20 review: the 12-line census/cumulative-window/bounds
+    * derivation was pasted in both — an edit to the trim rule in one
+    * place would silently desynchronize the pipeline from the
+    * individually-pinned operator). The census frame is bounded by the
+    * distinct length count at any corpus size. */
+  private def lengthTrimBounds(docs: DataFrame): DataFrame = {
+    val census = docs.groupBy("n_chars").agg(count(lit(1)).as("cnt"))
+    val cumW = Window.orderBy("n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    census
+      .withColumn("cum", sum("cnt").over(cumW))
+      .withColumn("total", sum("cnt").over(totW))
+      .agg(
+        min(when(col("cum") * 20 > col("total"), col("n_chars"))).as("lo"),
+        max(when((col("total") - col("cum") + col("cnt")) * 20 > col("total"),
+          col("n_chars"))).as("hi"))
+  }
+
   /** Explode `(doc_id, lang, text)` rows into 10-token chunk occurrences
     * `(doc_id, lang, chunk_idx, chunk, ck)` with a 60-bit chunk hash —
     * shared by dd_chunk_dedup and the refinery pipeline. */
@@ -244,19 +268,9 @@ object CorpusQueries {
     // pins the composition itself.
     "pipe_corpus_refinery" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      // stage 1: census-derived [lo, hi] keep band (see ta_quality_trim)
-      val census = docs.groupBy("n_chars").agg(count(lit(1)).as("cnt"))
-      val cumW = Window.orderBy("n_chars")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val totW = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing)
-      val bounds = census
-        .withColumn("cum", sum("cnt").over(cumW))
-        .withColumn("total", sum("cnt").over(totW))
-        .agg(
-          min(when(col("cum") * 20 > col("total"), col("n_chars"))).as("lo"),
-          max(when((col("total") - col("cum") + col("cnt")) * 20 > col("total"),
-            col("n_chars"))).as("hi"))
+      // stage 1: the SHARED census-derived [lo, hi] keep band — the
+      // same helper ta_quality_trim pins individually
+      val bounds = lengthTrimBounds(docs)
       // persisted: the trimmed survivor set feeds BOTH the
       // decontamination gram explode and the anti-join/chunk stages —
       // without this the census + trim filter re-run per consumer (the
@@ -389,18 +403,7 @@ object CorpusQueries {
     // corpus itself never shuffles at all.
     "ta_quality_trim" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val census = docs.groupBy("n_chars").agg(count(lit(1)).as("cnt"))
-      val cumW = Window.orderBy("n_chars")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val totW = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing)
-      val bounds = census
-        .withColumn("cum", sum("cnt").over(cumW))
-        .withColumn("total", sum("cnt").over(totW))
-        .agg(
-          min(when(col("cum") * 20 > col("total"), col("n_chars"))).as("lo"),
-          max(when((col("total") - col("cum") + col("cnt")) * 20 > col("total"),
-            col("n_chars"))).as("hi"))
+      val bounds = lengthTrimBounds(docs)
       docs.crossJoin(broadcast(bounds))
         .filter(col("n_chars").between(col("lo"), col("hi")))
         .select(col("doc_id"), col("lang"), col("n_chars"))
@@ -470,7 +473,14 @@ object CorpusQueries {
       // OOMs). AQE broadcasts it at every tested scale; at a scale
       // where the key set outgrows memory the anti-join degrades to a
       // keyed shuffle instead of dying.
-      val fkViol = o.join(
+      // r20 review: NULL keys are excluded from the ORPHAN count — a
+      // null FK is the null_count checks' finding, not a dangling
+      // reference (and the SQL oracle's NOT IN excludes them by
+      // three-valued logic anyway; a left_anti alone would count them,
+      // silently diverging on exactly the defective input this audit
+      // exists to flag).
+      val fkViol = o.filter(col("o_custkey").isNotNull)
+        .join(
           Tables.customer(s, d).select(col("c_custkey")),
           col("o_custkey") === col("c_custkey"), "left_anti")
         .agg(coalesce(count(lit(1)), lit(0L)).as("metric"))

@@ -52,18 +52,6 @@ object MixQueries {
             .otherwise("test").as("split"))
     }),
 
-    // Leakage-guarded split — the eval-contamination audit as a split
-    // assignment: the hash split above decides membership, then any
-    // train/val doc sharing a MinHash LSH band with ANY eval doc is
-    // QUARANTINED (near-duplicates of eval data must not be trained on —
-    // the decontamination direction the n-gram scrub doesn't cover).
-    // Composition of samp_hash_split + the portable 16-perm/4-band LSH
-    // (same banding as dd_minhash_lsh, so band collision ≈ Jaccard
-    // near-dup). Scale shape: the eval side is 10% of the corpus but its
-    // DISTINCT band-key set is eval-sized, i.e. small → broadcast; the
-    // train side probes it map-side and never shuffles on band_key, and
-    // only the (tiny) leaked id set rides a keyed join back onto the
-    // corpus. PlanSpec pins the broadcast and no-cartesian shape.
     // Length-curriculum phase assignment — the short→long sequencing a
     // curriculum-ordered training run consumes. NOT ntile: an exact
     // global ntile funnels the corpus through one ordered exchange;
@@ -97,6 +85,18 @@ object MixQueries {
             + (col("n_chars") > col("c4")).cast("int")).as("phase"))
     }),
 
+    // Leakage-guarded split — the eval-contamination audit as a split
+    // assignment: the hash split above decides membership, then any
+    // train/val doc sharing a MinHash LSH band with ANY eval doc is
+    // QUARANTINED (near-duplicates of eval data must not be trained on —
+    // the decontamination direction the n-gram scrub doesn't cover).
+    // Composition of samp_hash_split + the portable 16-perm/4-band LSH
+    // (same banding as dd_minhash_lsh, so band collision ≈ Jaccard
+    // near-dup). Scale shape: the eval side is 10% of the corpus but its
+    // DISTINCT band-key set is eval-sized, i.e. small → broadcast; the
+    // train side probes it map-side and never shuffles on band_key, and
+    // only the (tiny) leaked id set rides a keyed join back onto the
+    // corpus. PlanSpec pins the broadcast and no-cartesian shape.
     "samp_leakage_guard" -> ((s, d) => {
       import graft.functions.Hashes
       val bucket = Texts.md5Long(concat(lit("split#"), col("doc_id"))) % 100
@@ -220,12 +220,6 @@ object MixQueries {
             .as("avg_chars"))
     }),
 
-    // Fixed-budget sequence packing: greedy first-fit in (lang, doc_id)
-    // order — bin k holds the docs whose running token offset lands in
-    // [k·512, (k+1)·512). One keyed window per language partition; at
-    // 100 TB the window never concentrates (each language packs
-    // independently, and a finer pack key — e.g. (lang, shard) — drops
-    // in without changing the algebra).
     // Exact-size deterministic uniform sample: the k docs with the
     // smallest content hash. Rate-based sampling (samp_stratified) can't
     // promise a row COUNT; hash-order top-k can, stays reproducible
@@ -259,6 +253,12 @@ object MixQueries {
         .select(col("doc_id"), col("shard"), col("pos"))
     }),
 
+    // Fixed-budget sequence packing: greedy first-fit in (lang, doc_id)
+    // order — bin k holds the docs whose running token offset lands in
+    // [k·512, (k+1)·512). One keyed window per language partition; at
+    // 100 TB the window never concentrates (each language packs
+    // independently, and a finer pack key — e.g. (lang, shard) — drops
+    // in without changing the algebra).
     "pack_sequences" -> ((s, d) => {
       val nTok = size(Texts.tokens(col("text")))
       val w = Window.partitionBy("lang").orderBy("doc_id")

@@ -252,7 +252,12 @@ object Multimodal {
         .select(col("doc_id"), octet_length(col("content")).cast("long").as("len"),
           posexplode(col("features")).as(Seq("bucket", "f")))
         .select(col("doc_id"), col("bucket"),
-          round(col("f") * col("len")).cast("int").as("cnt"))
+          // r20 review: the native bit-identical fast_round — this
+          // round runs once per EXPLODED feature row (64 × corpus),
+          // exactly the per-row BigDecimal tax the knn path measured
+          // at 1.9× and removed (SCALE.md r20)
+          graft.plans.Native.fast_round(col("f") * col("len"), 0)
+            .cast("int").as("cnt"))
         .filter(col("cnt") > 0)
     }),
 
@@ -336,8 +341,11 @@ object Multimodal {
         .select(col("b_id").as("doc_id"))
       val survivors = withMediaMeta(phashSrc(s, d))
         .join(drop, Seq("doc_id"), "left_anti")
+      // r20 review: fast_round for the same 64×-corpus reason as
+      // mm_feature_hist above
       val counts = transform(col("features"),
-        f => round(f * col("meta.byte_len")).cast("int"))
+        f => graft.plans.Native.fast_round(f * col("meta.byte_len"), 0)
+          .cast("int"))
       extractFeatures(survivors, 64)
         .select(col("doc_id"), col("meta.media_type").as("media_type"),
           col("meta.byte_len").as("byte_len"), counts.as("cnts"))
@@ -349,25 +357,48 @@ object Multimodal {
     }))
 
   val oracles: Map[String, String] = Map(
+    // r20 review: the oracle RESTATES the magic sniff instead of
+    // hardcoding 'unknown' — a doc whose text begins with the ASCII
+    // bytes "ID3" (the one sniffable magic reachable from valid UTF-8)
+    // must classify as audio in BOTH engines, and a regression in the
+    // sniff expressions must fail the compare rather than pass unseen.
     "mm_media_meta" ->
-      """SELECT doc_id, 'unknown' AS media_type,
+      """SELECT doc_id,
+        |  CASE WHEN substr(upper(hex(text::BLOB)), 1, 4) = 'FFD8'
+        |         THEN 'image'
+        |       WHEN substr(upper(hex(text::BLOB)), 1, 8) = '89504E47'
+        |         THEN 'image'
+        |       WHEN substr(upper(hex(text::BLOB)), 1, 6) = '494433'
+        |         THEN 'audio'
+        |       ELSE 'unknown' END AS media_type,
         |  octet_length(text::BLOB)::BIGINT AS byte_len,
         |  substr(upper(hex(text::BLOB)), 1, 8) AS magic
         |FROM documents""".stripMargin,
     // DuckDB has no BLOB substr, so both frame/resize oracles slice the
     // hex rendering (2 chars per byte) — byte i lives at hex[2i+1, 2].
+    // r20 review: the stub emits min(8, byte_len) frames (a payload
+    // shorter than the frame count can't fill all slots), so the
+    // series is bounded by len too — the unconditional 0..7 emitted
+    // 8 rows (the tail ones empty) for sub-8-byte payloads, a
+    // contract the engine never had.
     "mm_frame_sample" ->
       """WITH b AS (SELECT doc_id, upper(hex(text::BLOB)) h,
         |             octet_length(text::BLOB) len FROM documents),
-        |s AS (SELECT doc_id, h, greatest(len // 8, 1) AS span FROM b)
+        |s AS (SELECT doc_id, h, len, greatest(len // 8, 1) AS span FROM b)
         |SELECT doc_id, CAST(i AS INT) AS frame_no,
         |       substr(h, 2 * i * span + 1, 2 * span) AS frame_hex
-        |FROM s, generate_series(0, 7) t(i)""".stripMargin,
+        |FROM s, generate_series(0, 7) t(i) WHERE i < len""".stripMargin,
+    // r20 review: a zero-length payload resizes to 256 ZERO bytes in
+    // the stub ("00" per position), not an empty string — the CASE
+    // mirrors that contract so the two engines agree on the degenerate
+    // input class too.
     "mm_resize" ->
       """WITH b AS (SELECT doc_id, upper(hex(text::BLOB)) h,
         |             octet_length(text::BLOB) len FROM documents),
         |g AS (SELECT doc_id, i,
-        |        substr(h, 2 * CAST((i * len) // 256 AS INT) + 1, 2) p
+        |        CASE WHEN len = 0 THEN '00'
+        |             ELSE substr(h, 2 * CAST((i * len) // 256 AS INT) + 1, 2)
+        |        END p
         |      FROM b, generate_series(0, 255) t(i))
         |SELECT doc_id, string_agg(p, '' ORDER BY i) AS resized_hex,
         |       16 AS out_w, 16 AS out_h
@@ -474,12 +505,19 @@ object Multimodal {
         |top AS (SELECT doc_id, bucket, c,
         |          row_number() OVER (PARTITION BY doc_id
         |            ORDER BY c DESC, bucket ASC) AS rk
-        |        FROM hist)
-        |SELECT h.doc_id, 'unknown' AS media_type, h.len::BIGINT AS byte_len,
+        |        FROM hist),
+        |m AS (SELECT doc_id,
+        |        CASE WHEN substr(h, 1, 4) = 'FFD8' THEN 'image'
+        |             WHEN substr(h, 1, 8) = '89504E47' THEN 'image'
+        |             WHEN substr(h, 1, 6) = '494433' THEN 'audio'
+        |             ELSE 'unknown' END AS media_type
+        |      FROM surv)
+        |SELECT h.doc_id, m.media_type, h.len::BIGINT AS byte_len,
         |  CAST(count(*) AS INT) AS nnz,
         |  CAST(max(CASE WHEN t.rk = 1 THEN t.bucket END) AS INT)
         |    AS top_bucket,
         |  CAST(max(CASE WHEN t.rk = 1 THEN t.c END) AS INT) AS top_cnt
         |FROM hist h JOIN top t USING (doc_id, bucket)
-        |GROUP BY h.doc_id, h.len""".stripMargin)
+        |  JOIN m ON m.doc_id = h.doc_id
+        |GROUP BY h.doc_id, h.len, m.media_type""".stripMargin)
 }

@@ -15,7 +15,12 @@ class MultimodalSpec extends SparkSpec {
   private def media = Seq(
     (1L, jpegHead ++ Array[Byte](1, 2, 3, 4, 5, 6)),
     (2L, pngHead ++ Array[Byte](9, 9)),
-    (3L, "plain text".getBytes("UTF-8")))
+    (3L, "plain text".getBytes("UTF-8")),
+    // r20 review: the ID3 magic is the one sniffable prefix reachable
+    // from valid UTF-8 text (FFD8/89504E47 cannot start a UTF-8
+    // string), so it is the branch the documents-table oracle can now
+    // exercise — pinned here on the engine side too
+    (4L, "ID3 tagged audio payload".getBytes("UTF-8")))
     .toDF("id", "content")
 
   test("media metadata: magic sniff + byte length") {
@@ -25,6 +30,8 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(1L) == ("image", 10L))
     assert(rows(2L) == ("image", 6L))
     assert(rows(3L)._1 == "unknown")
+    assert(rows(4L)._1 == "audio",
+      "the ID3 sniff branch must classify, not fall through to unknown")
   }
 
   test("feature extraction appends a fixed-dims float vector per row") {
