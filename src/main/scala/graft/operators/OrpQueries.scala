@@ -32,6 +32,17 @@ object OrpQueries {
     * on disk for this JVM — see the query's base-rebuild note. */
   private val streamLoopInit =
     scala.collection.mutable.Set.empty[(SparkSession, String)]
+  /** dg_gate_stored's catalog table name, keyed by the corpus dir like
+    * its on-disk path already was (r20 review: one global
+    * "graft_sig_store" meant a second dataset's store write re-pointed
+    * the table under a still-lazy classify plan from the first —
+    * silently probing the wrong corpus). Table names forbid most
+    * punctuation, so the key rides in as a hex suffix. Shared with the
+    * PlanSpec pins that read the store back. */
+  private[graft] def sigStoreTable(d: String): String =
+    "graft_sig_store_" + java.lang.Long.toHexString(
+      util.hashing.MurmurHash3.stringHash(d).toLong & 0xffffffffL)
+
   private[graft] def corpusSignatures(s: SparkSession, d: String): DataFrame =
     synchronized {
       // bound the cache: entries of STOPPED sessions pin their frames,
@@ -42,8 +53,15 @@ object OrpQueries {
       val dead = corpSigCache.keys
         .filter(_._1.sparkContext.isStopped).toSeq
       dead.foreach(corpSigCache.remove)
-      streamLoopInit.filter(_._1.sparkContext.isStopped)
-        .toSeq.foreach(streamLoopInit.remove)
+      // r20 review: streamLoopInit is guarded by ITS OWN monitor at the
+      // add site (dg_stream_loop) — this eviction sweep must take the
+      // same lock, or a concurrent session's add races an unsynchronized
+      // mutation of the set (lost init flags → double base-wipe under a
+      // live batch writer).
+      streamLoopInit.synchronized {
+        streamLoopInit.filter(_._1.sparkContext.isStopped)
+          .toSeq.foreach(streamLoopInit.remove)
+      }
       val sig = corpSigCache.getOrElseUpdate((s, d), {
         val docs = Tables.documents(s, d)
         MinHashPipeline.signatures(
@@ -180,7 +198,12 @@ object OrpQueries {
       val edge = Tables.lineitem(s, d).select(
         col("l_orderkey").as("uid"),
         concat(lit("leg/"), col("l_suppkey")).as("leg"))
-      page.join(edge, Seq("uid"), "left")
+      // broadcast(page) is a SIZE-CONTRACTED hint (r20 review): the page
+      // side is ≤ pageSize rows BY CONSTRUCTION (Search.plan's hard-cap
+      // truncation), so the corpus-sized edge table never shuffles for a
+      // page render — previously this held only via size-estimate
+      // propagation through the Window+Filter, with nothing pinning it.
+      page.hint("broadcast").join(edge, Seq("uid"), "left")
         .groupBy("rn", "uid", "dt_pub")
         .agg(array_join(array_sort(collect_set(col("leg"))), ",")
           .as("legislative_origins"))
@@ -486,10 +509,11 @@ object OrpQueries {
       val corpSig = corpusSignatures(s, d)
       val dir = new java.io.File(sys.props("java.io.tmpdir"),
         s"graft-sigstore-${d.replace('/', '_')}").getAbsolutePath
+      val tbl = sigStoreTable(d)
       Layout.bucketedStoreWrite(
         DedupGate.bandedSigStore(corp0.join(corpSig, "node_id"), 4, 4),
-        "graft_sig_store", dir, 8, Seq("bkey"))
-      val stored = s.table("graft_sig_store")
+        tbl, dir, 8, Seq("bkey"))
+      val stored = s.table(tbl)
       // Incremental maintenance FROM THE STORE: the reuse side is the
       // band-0 store rows. (Every non-mutated incoming uid is live —
       // archived ids are ≡9 mod 10, incoming ≡0 mod 5 — so the inner

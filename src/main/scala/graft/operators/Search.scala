@@ -15,6 +15,14 @@ import org.apache.spark.sql.expressions.Window
   */
 object Search {
 
+  /** The ONE date-only shape both the boundary's calendar guard and
+    * predicate()'s plan-time parse key on (r20 review: two hand-copied
+    * regexes could drift — a request passing the 400 guard under one
+    * copy but parsed under a wider other copy would throw
+    * DateTimeParseException at plan time, escaping the lambda's 400
+    * contract). */
+  private val DateOnly = """\d{4}-\d{2}-\d{2}""".r
+
   /** A search request — mirror of the reference's lambda event params
     * (`handler.py:16-20,49-59`). All filters conjunctive. */
   case class Request(
@@ -92,7 +100,7 @@ object Search {
       // end-of-day-exclusive form, and an uncaught DateTimeParseException
       // there would escape the lambda's 400 contract entirely.
       def calendarValid(side: Option[String]): Boolean = side.forall { v =>
-        !v.matches("""\d{4}-\d{2}-\d{2}""") ||
+        !DateOnly.matches(v) ||
           scala.util.Try(java.time.LocalDate.parse(v)).isSuccess
       }
       val dates: Either[BadRequest, (Option[String], Option[String])] =
@@ -171,11 +179,28 @@ object Search {
       // exact-midnight rows in the timestamp case (both the bare-date
       // and '..end' range forms hit this).
       r.dateTo.map { t =>
-        if (t.matches("""\d{4}-\d{2}-\d{2}"""))
-          col(b.date) < java.time.LocalDate.parse(t).plusDays(1).toString
-        else col(b.date) <= t
+        if (DateOnly.matches(t)) {
+          val next = java.time.LocalDate.parse(t).plusDays(1)
+          // r20 review: 9999-12-31 is the regex's last expressible day,
+          // and its next-day exclusive bound renders as "+10000-01-01" —
+          // a 5-digit year breaks the string comparison entirely (the
+          // leading '+' sorts below every digit, silently emptying the
+          // result set). The last day has nothing after it to exclude,
+          // so an INCLUSIVE bound is exact: "<= the bare date" keeps
+          // every earlier day and the date-only form of the day itself,
+          // and startsWith keeps that day's timestamp rows (whose time
+          // suffix makes them compare above the bare date string).
+          if (next.getYear > 9999)
+            col(b.date) <= lit(t) || col(b.date).startsWith(t)
+          else col(b.date) < next.toString
+        } else col(b.date) <= t
       },
-      r.titleContains.map(t => lower(col(b.title)).contains(t.toLowerCase))
+      // Locale.ROOT (r20 review): the column side lowercases with
+      // Spark's locale-independent lower(); a default-locale
+      // String.toLowerCase diverges under the Turkish-family locales
+      // ('I' → dotless ı) and silently excludes matching titles.
+      r.titleContains.map(t => lower(col(b.title))
+        .contains(t.toLowerCase(java.util.Locale.ROOT)))
     ).flatten.foldLeft(always)(_ && _)
   }
 
@@ -195,8 +220,14 @@ object Search {
     val keys =
       if (r.orderAscending) Seq(col(b.date).asc, col(b.uid).asc)
       else Seq(col(b.date).desc, col(b.uid).desc)
-    val lo = r.page * r.pageSize + 1
-    val hi = math.min((r.page + 1) * r.pageSize, r.hardCap)
+    // r20 review: LONG page arithmetic — page and pageSize each pass the
+    // boundary's non-negative Int guard, but their PRODUCT can overflow
+    // Int (page=214748364 × pageSize=10), turning hi negative and
+    // throwing AnalysisException out of limit() instead of returning the
+    // empty page the hard cap implies. The cap is 10k, so clamping the
+    // Long product back into Int is exact.
+    val lo = math.min(r.page.toLong * r.pageSize + 1, r.hardCap + 1L).toInt
+    val hi = math.min((r.page.toLong + 1) * r.pageSize, r.hardCap.toLong).toInt
     df.filter(predicate(r, b))
       .orderBy(keys: _*).limit(hi)
       .withColumn("rn", row_number().over(Window.orderBy(keys: _*)))

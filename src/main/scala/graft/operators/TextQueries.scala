@@ -96,8 +96,14 @@ object TextQueries {
   /** Decomposed (NFD-style) suffix for the F26 normalization probe:
     * "cafe" + COMBINING ACUTE, "nai" + COMBINING DIAERESIS + "ve" —
     * built from escapes so the source literal itself can't be silently
-    * precomposed by an editor. Shared verbatim with the DuckDB oracle. */
-  private val DecomposedSuffix = " café naïve"
+    * precomposed by an editor. Shared verbatim with the DuckDB oracle.
+    * (r20 review: the literal previously held the raw combining-mark
+    * BYTES -- exactly the form an NFC-normalizing formatter or git
+    * filter silently precomposes, degenerating the probe to comparing
+    * already-composed input with itself while this comment kept
+    * claiming the escape construction prevented it. Now the escapes
+    * are real: \u0301 COMBINING ACUTE, \u0308 COMBINING DIAERESIS.) */
+  private val DecomposedSuffix = " cafe\u0301 nai\u0308ve"
 
   val queries: Map[String, Q] = Map(
     // F1–F3 clean_text normalization chain (pdf_to_orpml.py:29-57).
@@ -110,10 +116,13 @@ object TextQueries {
     // Token array rendered to a ','-joined string at the output boundary
     // (driver's pandas compare can't hash array cells).
     "f4_stopword_tokens" -> ((s, d) => {
+      // no array_distinct (r20 review): removeStopwords is array_except,
+      // which already deduplicates — the extra pass was a per-row no-op
+      // over every token array at corpus scale
       Tables.documents(s, d)
         .select(col("doc_id"),
-          array_join(array_sort(array_distinct(
-            removeStopwords(tokens(col("text")), StopWords))), ",")
+          array_join(array_sort(
+            removeStopwords(tokens(col("text")), StopWords)), ",")
             .as("content_words"))
     }),
 

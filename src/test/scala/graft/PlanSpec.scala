@@ -1022,7 +1022,7 @@ class PlanSpec extends SparkSpec {
         .select(col("uid"),
           concat_ws("_", col("band.band_id"), col("band.band_key"))
             .as("bkey"))
-      val p = planOf(probe.join(spark.table("graft_sig_store"), Seq("bkey")))
+      val p = planOf(probe.join(spark.table(OrpQueries.sigStoreTable(sf)), Seq("bkey")))
       assert(p.contains("SelectedBucketsCount"),
         s"store read must be a bucketed scan:\n$p")
       val exchanges = "Exchange".r.findAllIn(p).size
@@ -1037,7 +1037,7 @@ class PlanSpec extends SparkSpec {
         case None =>
           spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
       }
-      spark.sql("DROP TABLE IF EXISTS graft_sig_store")
+      spark.sql(s"DROP TABLE IF EXISTS ${OrpQueries.sigStoreTable(sf)}")
     }
   }
 
@@ -1070,7 +1070,7 @@ class PlanSpec extends SparkSpec {
       // ingest-scale tombstone set must resolve to a broadcast from
       // SIZING (planner or AQE runtime), never a hint, so this pin
       // executes the join and reads the final adaptive plan
-      val liveBase = spark.table("graft_sig_store")
+      val liveBase = spark.table(OrpQueries.sigStoreTable(sf))
         .join(tombstones, Seq("node_id"), "left_anti")
       val joined = probe.join(liveBase, Seq("bkey"))
       val p = executedPlanOf(joined)
@@ -1084,13 +1084,13 @@ class PlanSpec extends SparkSpec {
       // store scan (the probe side's bkey exchange is on its own
       // branch; AQE stubs from runtime broadcast conversions never
       // have the store scan in their subtree)
-      val overBase = shufflesOverScan(joined, "graft_sig_store")
+      val overBase = shufflesOverScan(joined, OrpQueries.sigStoreTable(sf))
       assert(overBase == 0,
         s"$overBase shuffle exchanges over the bucketed store scan — " +
           s"the anti-join must preserve the base's bucket layout:\n$p")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
-      spark.sql("DROP TABLE IF EXISTS graft_sig_store")
+      spark.sql(s"DROP TABLE IF EXISTS ${OrpQueries.sigStoreTable(sf)}")
     }
   }
 

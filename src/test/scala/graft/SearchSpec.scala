@@ -197,6 +197,32 @@ class SearchSpec extends SparkSpec {
       .select("uid").as[String].collect().toSet == Set("a", "b"))
   }
 
+  test("dateTo at the last representable day (9999-12-31) keeps every " +
+    "row instead of silently emptying the result set (r20 review)") {
+    // the next-day exclusive bound of 9999-12-31 renders as
+    // '+10000-01-01', whose leading '+' sorts below every digit — the
+    // old compile turned 'until forever' into 'match nothing'
+    val tsDocs = Seq(
+      ("a", "t", "x", "GD", "published", "A", "2024-01-31 23:59:59"),
+      ("b", "t", "x", "GD", "published", "B", "9999-12-31 23:59:59"),
+      ("c", "t", "x", "GD", "published", "C", "9999-12-31"))
+      .toDF("uid", "topic", "text", "dt", "status", "title", "dt_pub")
+    val r = Search.fromEvent(Map("date_published" -> "..9999-12-31"))
+      .toOption.get.copy(excludeStatus = None)
+    assert(Search.plan(tsDocs, r, b)
+      .select("uid").as[String].collect().toSet == Set("a", "b", "c"),
+      "the max-date upper bound must keep all rows, incl. same-day " +
+        "timestamps")
+  }
+
+  test("page arithmetic that overflows Int yields the empty page the " +
+    "hard cap implies, not a negative-limit AnalysisException (r20)") {
+    val r = Search.Request(excludeStatus = None,
+      page = 214748364, pageSize = 10)
+    assert(Search.plan(docs, r, b).count() == 0L,
+      "a page beyond the hard cap is empty, never a plan-time throw")
+  }
+
   test("multi-separator date_published is a 400, not a dropped filter") {
     assert(Search.fromEvent(Map("date_published" -> "2024..2025..2026"))
       == Left(Search.MalformedDate))
