@@ -90,10 +90,16 @@ object Hashes {
     aggregate(bitVals, lit(0L), (acc, x) => acc + x)
   }
 
-  /** Hamming distance between two small (≤32-bit) fingerprints. */
+  /** Hamming distance between two small (≤32-bit) fingerprints.
+    * (r20 review: the fold previously walked bits 0–15 only — correct
+    * for the 16-bit simhash that motivated it, but this primitive's
+    * documented contract is 32 bits, and a 17–32-bit caller would get
+    * distances that silently ignore the upper half. Now the walk
+    * matches the contract; 64-bit fingerprints use `bit_count` on the
+    * XOR directly, as the phash path does.) */
   def hamming(a: Column, b: Column): Column = {
     val x = a.bitwiseXOR(b)
-    aggregate(sequence(lit(0), lit(15)), lit(0),
+    aggregate(sequence(lit(0), lit(31)), lit(0),
       (acc, bit) => acc + call_function("shiftright", x, bit)
         .bitwiseAND(lit(1L)).cast("int"))
   }

@@ -130,6 +130,12 @@ object TitleImpl {
     }
     // remove_trailing_stopwords_and_single_chars
     var n = cleaned.length
+    // NOTE (r20 review): the `!= "a"` exemption is UNREACHABLE — "a" is
+    // in the NLTK stop list, so the first disjunct already strips a
+    // trailing 'a'/'A'. The reference's own clause is dead the same way
+    // (transcribed verbatim in tools/dev_f9.py:47-50); it is kept here
+    // for parity, not because it ever fires — do not "fix" it into a
+    // divergence.
     def bad(w: String): Boolean =
       Stop(w.toLowerCase) ||
         (w.length == 1 && !w.forall(_.isDigit) && w.toLowerCase != "a")

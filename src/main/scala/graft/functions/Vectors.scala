@@ -212,6 +212,28 @@ object Vectors {
     sys.env.getOrElse("SPARK_GRAFT_SIDECAR_DENY", "/root/testdata")
       .split(':').toSeq.filter(_.nonEmpty)
 
+  /** Path-aware deny check (r20 review): a raw string-prefix test both
+    * over-matched siblings (`/root/testdata-v2` denied by
+    * `/root/testdata`, silently re-paying the derivation every session)
+    * and under-matched non-canonical spellings (`/root/./testdata/x`
+    * writing into the read-only fixture). Normalize both sides and
+    * compare on directory boundaries; symlink resolution is
+    * best-effort (toRealPath when the path exists). */
+  private def denied(dir: String): Boolean = {
+    val p = try {
+      val n = java.nio.file.Paths.get(dir).toAbsolutePath.normalize
+      try n.toRealPath() catch { case scala.util.control.NonFatal(_) => n }
+    } catch { case scala.util.control.NonFatal(_) => return true }
+    sidecarDeny.exists { root =>
+      try {
+        val r0 = java.nio.file.Paths.get(root).toAbsolutePath.normalize
+        val r = try r0.toRealPath()
+          catch { case scala.util.control.NonFatal(_) => r0 }
+        p == r || p.startsWith(r)
+      } catch { case scala.util.control.NonFatal(_) => false }
+    }
+  }
+
   /** Best-effort sidecar write (denied roots and unwritable dirs keep
     * deriving per JVM; everything the engine WRITES is
     * sidecar-bearing). `candPairs` is the occupancy audit's accepted
@@ -219,7 +241,7 @@ object Vectors {
     * artifact records the evidence, not just the verdict. */
   def writeSignWidthSidecar(dir: String, bits: Int, n: Long,
       candPairs: Long): Boolean =
-    if (sidecarDeny.exists(dir.startsWith)) false
+    if (denied(dir)) false
     else try {
       // r20 review: record the corpus parquet's filesystem fingerprint
       // (when one exists) so the read path can detect an out-of-band

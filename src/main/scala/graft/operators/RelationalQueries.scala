@@ -158,7 +158,16 @@ object RelationalQueries {
         .select(col("event_id"), col("user_id"), col("ts"),
           lit(1).as("side"), lit(null).cast("timestamp").as("v_ts"),
           lit(null).cast("double").as("v_value"))
+      // max(value) per (user, ts) FIRST (r20 review): two view events at
+      // the identical timestamp would otherwise make asof_value
+      // nondeterministic — the window orders by (ts, side) only, so
+      // last() picked whichever tied row the shuffle happened to place
+      // later (and DuckDB's ASOF pick is independently arbitrary). The
+      // collapse gives both engines the same well-defined tie rule; the
+      // oracle applies it verbatim.
       val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("value"))
         .select(lit(null).cast("long").as("event_id"), col("user_id"),
           col("ts"), lit(0).as("side"), col("ts").as("v_ts"),
           col("value").as("v_value"))
@@ -1234,7 +1243,9 @@ object RelationalQueries {
       """SELECT c.event_id, c.user_id, c.ts,
         |       v.ts AS asof_ts, v.value AS asof_value
         |FROM (SELECT * FROM events WHERE event_type = 'click') c
-        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS value
+        |                FROM events WHERE event_type = 'view'
+        |                GROUP BY 1, 2) v
         |  ON c.user_id = v.user_id AND c.ts >= v.ts""".stripMargin,
     "j10_range_join" ->
       """SELECT e.event_id, count(*) AS n_clicks

@@ -62,15 +62,29 @@ object SourceSinkQueries {
     // orc (s13), parquet+mergeSchema (s14), text (here).
     "s15_text_lines" -> ((s, d) => {
       val out = tmpDir(s"text-${d.replace('/', '_')}")
+      // Percent-encode line breaks before the line-per-record write
+      // (r20 review): a text() sink has no record framing beyond '\n',
+      // so an embedded newline used to split one doc into two rows (the
+      // second with an unparseable id). '%' expands first, so a literal
+      // "%0A" in user text can never collide with an encoded newline;
+      // decode reverses in the opposite order. Round-trip exact for ANY
+      // text.
+      def enc(c: org.apache.spark.sql.Column) =
+        regexp_replace(regexp_replace(regexp_replace(c,
+          "%", "%25"), "\n", "%0A"), "\r", "%0D")
+      def dec(c: org.apache.spark.sql.Column) =
+        regexp_replace(regexp_replace(regexp_replace(c,
+          "%0A", "\n"), "%0D", "\r"), "%25", "%")
       Tables.documents(s, d)
-        .select(concat(col("doc_id").cast("string"), lit("\t"), col("text"))
-          .as("value"))
+        .select(concat(col("doc_id").cast("string"), lit("\t"),
+          enc(col("text"))).as("value"))
         .write.mode("overwrite").text(out)
       val tab = instr(col("value"), "\t")
       s.read.text(out)
         .select(substring_index(col("value"), "\t", 1).cast("long")
           .as("doc_id"),
-          col("value").substr(tab + 1, length(col("value"))).as("text"))
+          dec(col("value").substr(tab + 1, length(col("value"))))
+            .as("text"))
     }),
 
     // S13/K-ORC: columnar ORC write partitioned by lang, read back with a
@@ -146,11 +160,20 @@ object SourceSinkQueries {
     // (StaxXmlGenerator — rowTag wrapper, 4-space indent, &/< escaped).
     // Oracle rebuilds the exact string with chr(10) + entity replaces.
     "k1_orpml_render" -> ((s, d) => {
+      // regexp_replace (r20 review): StAX providers disagree on whether
+      // text-node '>' is escaped (the JDK's sjsxp writes '&gt;',
+      // Woodstox leaves '>') and XML requires neither, so the rendered
+      // string is normalized to the unescaped form to make the output
+      // provider-independent. A literal "&gt;" IN the text arrives here
+      // as "&amp;gt;" (the '&' itself is escaped first), so the rewrite
+      // can never un-escape user content.
       Tables.documents(s, d)
         .select(col("doc_id"),
-          to_xml(struct(col("doc_id"), col("lang"), col("source"),
-            substring(col("text"), 1, 40).as("head")),
-            java.util.Map.of("rowTag", "orpml")).as("orpml"))
+          regexp_replace(
+            to_xml(struct(col("doc_id"), col("lang"), col("source"),
+              substring(col("text"), 1, 40).as("head")),
+              java.util.Map.of("rowTag", "orpml")),
+            "&gt;", ">").as("orpml"))
     }),
 
     // K1 read side — ORPML ingest (finalise_orpml.py:47-70 parse_orpml +

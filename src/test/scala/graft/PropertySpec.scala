@@ -493,6 +493,21 @@ class PropertySpec extends SparkSpec {
           "propertyspec-nocount") == 1)
   }
 
+  test("hamming honors its full 32-bit contract (r20 review: the fold " +
+    "walked bits 0-15 only, silently ignoring the upper half)") {
+    import graft.functions.Hashes
+    val rows = Seq(
+      (0x10000L, 0L, 1),          // bit 16 — the formerly ignored half
+      (0x80000000L, 0L, 1),       // bit 31, the contract's last bit
+      (0xFFFFL, 0L, 16),          // the old range still counts fully
+      (0xFFFFFFFFL, 0L, 32),      // all 32 bits differ
+      (0xABCD1234L, 0xABCD1234L, 0))
+      .toDF("a", "b", "want")
+      .withColumn("got", Hashes.hamming(col("a"), col("b")))
+    val bad = rows.filter(col("got") =!= col("want")).collect()
+    assert(bad.isEmpty, s"hamming mismatches: ${bad.mkString(", ")}")
+  }
+
   test("the Jaccard encoded-verify injectivity guard FIRES on a " +
     "colliding encoder (and is silent under the production hash)") {
     import graft.operators.DedupQueries

@@ -89,4 +89,28 @@ class RobustnessSpec extends SparkSpec {
     assert(chain(e).exists(_.toUpperCase.contains("MALFORMED")),
       chain(e).mkString(" | "))
   }
+
+  test("s15 text-lines round-trip survives embedded newlines and " +
+    "percent signs (r20 review: a raw '\\n' used to split one doc " +
+    "into two rows, the second with an unparseable id)") {
+    // a tiny documents table whose text exercises every encoding case:
+    // newline, CR, literal '%', and the adversarial literal "%0A"
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-s15-nl-").toString
+    val docs = Seq(
+      (1L, "line one\nline two", "en", "src", 17L),
+      (2L, "carriage\rreturn", "en", "src", 15L),
+      (3L, "50% of docs; literal %0A stays put", "en", "src", 34L),
+      (4L, "plain", "en", "src", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val back = operators.SourceSinkQueries
+      .queries("s15_text_lines")(spark, dir)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = docs.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(back.toSeq == want.toSeq,
+      s"round-trip diverged:\n got ${back.toSeq}\nwant ${want.toSeq}")
+  }
 }
