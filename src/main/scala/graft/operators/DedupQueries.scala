@@ -23,6 +23,17 @@ object DedupQueries {
   /** Unique memory-sink names for the streaming drain (bench runs a
     * query more than once in a session). */
   private val streamSeq = new java.util.concurrent.atomic.AtomicInteger
+  /** Per-SESSION previous memory-sink name for dg_stream_band_tier (r20
+    * review): temp views are session-scoped, so dropping
+    * `graft_stream_band_${seqNo-1}` by GLOBAL counter was a silent
+    * no-op whenever the previous run belonged to another session (the
+    * drained rows accumulated in driver memory for the whole sweep —
+    * the exact leak the drop exists to prevent) and could drop a view a
+    * CONCURRENT same-session run was still reading. The map swaps
+    * atomically per session; each previous sink is dropped exactly once
+    * and always in the catalog that owns it. */
+  private val lastStreamSink = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.sql.SparkSession, String]
   /** (sparkContext, sfDir) pairs whose dd_cluster_cc_stream base
     * assignment is already on disk for this JVM — see the query's
     * rebuild note. Keyed by the CONTEXT, not the session: the store dir
@@ -591,18 +602,19 @@ object DedupQueries {
       // contraction plus hop+pointer-jump resolves any residue whose
       // component diameter fits in ~2^20 — unreachable for real dup
       // graphs, so tripping this means a logic regression, not data.
+      // sym's cached blocks have served their purpose either way: every
+      // frame the returned plan references (labels0, labels) is a
+      // materialized checkpoint by the time the checksum loop exits, so
+      // release the corpus-scale edge cache BEFORE the convergence
+      // verdict (r20 review: the non-convergence throw used to skip the
+      // unpersist, pinning one corpus-sized cache per failed invocation
+      // into the shared context for callers that catch and continue).
+      sym.unpersist(false)
       if (!converged)
         throw new IllegalStateException(
           s"ccAssignments: fixed point not reached after $rounds rounds " +
             s"(checksum still moving) — refusing to return a truncated " +
             s"assignment that stored-state consumers would chain off")
-      // sym's cached blocks have served their purpose: every frame the
-      // returned plan references (labels0, labels) is a materialized
-      // checkpoint by the time the checksum loop exits, so release the
-      // corpus-scale edge cache here instead of leaking one pinned RDD
-      // per invocation (two per delta composition) into the shared
-      // context for the rest of the session.
-      sym.unpersist(false)
       // Compose: original vertex → its contraction representative → that
       // representative's final component (identity where the loop never
       // saw the representative, i.e. fully-contracted clusters). Both
@@ -941,10 +953,11 @@ object DedupQueries {
         val sink = s"graft_stream_band_$seqNo"
         // the previous invocation's memory sink is dead weight the
         // moment a new one starts (bench times this query more than
-        // once per session) — drop it so drained rows don't accumulate
-        // in driver memory across the sweep
-        if (seqNo > 1)
-          s.catalog.dropTempView(s"graft_stream_band_${seqNo - 1}")
+        // once per session) — drop THIS session's previous sink so
+        // drained rows don't accumulate in driver memory across the
+        // sweep (per-session tracking: see lastStreamSink)
+        Option(lastStreamSink.put(s, sink))
+          .foreach(prev => s.catalog.dropTempView(prev))
         val q = StreamDedup.dedupByBands(input.toDS())
           .toDF("doc_id", "band_key", "outcome")
           .writeStream.outputMode("update").format("memory")
@@ -1289,11 +1302,6 @@ object DedupQueries {
   private val wsSql =
     "list_sort(list_distinct(list_filter(string_split(text, ' '), x -> x <> '')))"
 
-  private val cleanSql =
-    """lower(trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-      |text, '<[^>]*>', ' ', 'g'), '\.\.\.+', '.', 'g'),
-      |'([.]|,|;|:|!|\?)[.,;:!?]+', '.', 'g'), '\s+', ' ', 'g')))""".stripMargin
-
   /** CTE chain producing the portable 16-perm LSH candidate `pairs`
     * (shared by the dd_minhash_lsh oracle and the clustering oracle). */
   private val lshPairsCtes =
@@ -1429,6 +1437,13 @@ object DedupQueries {
          |FROM t a JOIN t c ON a.lang = c.lang AND a.doc_id < c.doc_id
          |WHERE round(len(list_intersect(a.ws, c.ws))::DOUBLE /
          |    (len(a.ws) + len(c.ws) - len(list_intersect(a.ws, c.ws))), 6) >= 0.9""".stripMargin,
+    // The prunes bound with the EFFECTIVE threshold (2·p−1)/(2·10^6) =
+    // 1799999/2000000 in exact integer arithmetic, not the raw 0.9
+    // (r20 review): the final filter keeps round(jac,6) >= 0.9, i.e.
+    // exact jac >= 0.8999995, and a prefix/length prune at 0.9 could
+    // drop a boundary pair the round keeps — the same rational-bound
+    // discipline the ENGINE adopted in r16 (candidatesOverOrdered),
+    // restated on the oracle side. ceil(num·n/den) = (num·n+den−1)//den.
     "dd_jaccard_prefix" ->
       s"""WITH t AS (SELECT doc_id, $wsSql AS ws FROM documents),
          |toks AS (SELECT doc_id, unnest(ws) AS tok FROM t),
@@ -1438,12 +1453,15 @@ object DedupQueries {
          |  FROM toks JOIN dfreq USING (tok) GROUP BY doc_id),
          |pre AS (
          |  SELECT doc_id, len(ows) AS n,
-         |    unnest(ows[1 : (len(ows) - ceil(0.9*len(ows)) + 1)::INT]) AS tok
+         |    unnest(ows[1 : (len(ows)
+         |      - ((1799999*len(ows) + 1999999) // 2000000) + 1)::INT])
+         |      AS tok
          |  FROM ordered),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
          |  FROM pre a JOIN pre b ON a.tok = b.tok AND a.doc_id < b.doc_id
-         |   AND b.n <= a.n / 0.9 AND a.n <= b.n / 0.9),
+         |   AND b.n * 1799999 <= a.n * 2000000
+         |   AND a.n * 1799999 <= b.n * 2000000),
          |j AS (
          |  SELECT a_id, b_id,
          |    round(len(list_intersect(ta.ws, tb.ws))::DOUBLE /

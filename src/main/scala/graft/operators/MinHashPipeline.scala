@@ -53,7 +53,10 @@ object MinHashPipeline {
        |       + (40503 * (p+7) % 2147483647)) % 2147483647))) AS sig
        |FROM (
        |  SELECT $id,
-       |    list_transform(generate_series(1, greatest(strlen(ct) - 4, 1)),
+       |    -- length (CHARACTERS), not strlen (BYTES) — the engine's
+       |    -- shingle window is Spark length(); strlen diverged the
+       |    -- window count on any multibyte text (r20 review)
+       |    list_transform(generate_series(1, greatest(length(ct) - 4, 1)),
        |      i -> ('0x' || substr(md5(substr(ct, i, 5)), 1, 15))::BIGINT
        |           % 2147483647) AS hashes
        |  FROM (SELECT $id,

@@ -60,6 +60,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("nfc_normalize",
         "nfc_normalize(s) - Unicode NFC canonical composition"),
       (es: Seq[Expression]) => NfcNormalize(es.head)))
+    // r20 review: gear_boundaries was registered only on the
+    // Native.register in-session path, contradicting this class's doc
+    // that both paths install the same functions — a cluster deployed
+    // via spark.sql.extensions got UNRESOLVED_ROUTINE for a query that
+    // works in any session that called Native.register.
+    e.injectFunction((FunctionIdentifier("gear_boundaries"),
+      info("gear_boundaries",
+        "gear_boundaries(s) - FastCDC gear-hash boundary candidates"),
+      (es: Seq[Expression]) => GearBoundaries(es.head)))
     e.injectFunction((FunctionIdentifier("json_find_key"),
       info("json_find_key",
         "json_find_key(json, key) - recursive document-order key search"),

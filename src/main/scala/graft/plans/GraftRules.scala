@@ -44,7 +44,15 @@ object RewriteMinHashAgreement extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan transformAllExpressions {
-      case d @ Divide(num, den, _) =>
+      // r20 review: only a DOUBLE division is replaced — a decimal-typed
+      // match would swap in the DoubleType SigAgree and change a
+      // resolved plan's schema from inside the optimizer. The
+      // empty-array edge (NULL off ANSI, DIVIDE_BY_ZERO under ANSI —
+      // Spark 4's default) is replicated INSIDE SigAgree, which captures
+      // the session's ANSI mode at plan build exactly like Divide's own
+      // evalMode, so the rewrite stays semantics-preserving in both
+      // modes.
+      case d @ Divide(num, den, _) if d.dataType == DoubleType =>
         (stripCast(num), stripCast(den)) match {
           case (
             Size(

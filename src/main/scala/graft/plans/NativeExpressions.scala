@@ -86,6 +86,15 @@ object NativeImpl {
       .setScale(scale, scala.math.BigDecimal.RoundingMode.HALF_UP)
       .toDouble
 
+  /** The ANSI divide-by-zero error SigAgree raises on an empty
+    * denominator array — Divide's own semantics, replicated (the
+    * message mirrors Spark's DIVIDE_BY_ZERO guidance). */
+  def sigAgreeDivideByZero(): ArithmeticException =
+    new ArithmeticException(
+      "[DIVIDE_BY_ZERO] sig_agree: empty signature array divides by " +
+        "zero. Use try_divide semantics (set spark.sql.ansi.enabled " +
+        "to false) to tolerate it and return NULL instead.")
+
   private val MinHashPrime = 2147483647L
 
   /** Single-pass MinHash: k-char shingles over the UTF8 text, one 64-bit
@@ -523,14 +532,37 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 }
 
 /** sig_agree(array<long>, array<long>) → double (fraction equal). */
-case class SigAgree(left: Expression, right: Expression)
+case class SigAgree(left: Expression, right: Expression,
+    failOnError: Boolean = org.apache.spark.sql.internal.SQLConf.get
+      .ansiEnabled)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
-  override def nullSafeEval(a: Any, b: Any): Any =
-    NativeImpl.sigAgreeFrac(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def nullable: Boolean = true
+  // r20 review: an EMPTY first (denominator) array replicates exactly
+  // what the Divide(0, 0) this expression replaces would do — NULL off
+  // ANSI, DIVIDE_BY_ZERO under ANSI (captured at plan build like
+  // Divide's own evalMode) — instead of the previous 0.0/0 = NaN, which
+  // silently flipped NULL→NaN through RewriteMinHashAgreement (NaN
+  // poisons any avg/sum above it, where NULL is ignored) and suppressed
+  // the error ANSI mode mandates.
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    if (arr.numElements() == 0) {
+      if (failOnError) throw NativeImpl.sigAgreeDivideByZero()
+      null
+    } else NativeImpl.sigAgreeFrac(arr, b.asInstanceOf[ArrayData])
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      (a, b) => s"graft.plans.NativeImpl.sigAgreeFrac($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |if ($a.numElements() == 0) {
+         |  ${if (failOnError)
+             "throw graft.plans.NativeImpl.sigAgreeDivideByZero();"
+           else s"${ev.isNull} = true;"}
+         |} else {
+         |  ${ev.value} = graft.plans.NativeImpl.sigAgreeFrac($a, $b);
+         |}
+       """.stripMargin)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SigAgree =
     copy(left = newLeft, right = newRight)
@@ -613,6 +645,17 @@ case class SigMin(child: Expression,
 
   override def createAggregationBuffer(): Array[Long] = null
 
+  // r20 review: ragged input lengths REFUSE loudly instead of
+  // min-walking the shorter prefix — the buffer is sized by whichever
+  // row a task consumed first, so silent truncation would make the
+  // answer depend on partition/arrival order (nondeterministic across
+  // runs, with no warning). Signatures in one group share a width by
+  // construction; a mixed-width group is a caller bug.
+  private def requireWidth(got: Int, want: Int): Unit =
+    if (got != want) throw new IllegalArgumentException(
+      s"sig_min: mixed signature widths in one group ($want then $got) " +
+        "— element-wise min is only defined over equal-length arrays")
+
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v == null) buf
@@ -620,9 +663,9 @@ case class SigMin(child: Expression,
       val arr = v.asInstanceOf[ArrayData]
       val n = arr.numElements()
       val b = if (buf == null) Array.fill(n)(Long.MaxValue) else buf
+      requireWidth(n, b.length)
       var i = 0
-      val m = math.min(n, b.length)
-      while (i < m) {
+      while (i < n) {
         val x = arr.getLong(i)
         if (x < b(i)) b(i) = x
         i += 1
@@ -635,9 +678,9 @@ case class SigMin(child: Expression,
     if (b1 == null) b2
     else if (b2 == null) b1
     else {
+      requireWidth(b2.length, b1.length)
       var i = 0
-      val m = math.min(b1.length, b2.length)
-      while (i < m) { if (b2(i) < b1(i)) b1(i) = b2(i); i += 1 }
+      while (i < b1.length) { if (b2(i) < b1(i)) b1(i) = b2(i); i += 1 }
       b1
     }
 

@@ -266,6 +266,47 @@ class PlanSpec extends SparkSpec {
       graft.plans.Native.sig_agree(col("a"), col("b")).as("v"))
       .collect().map(_.getDouble(0))
     assert(hof.toSeq == native.toSeq)
+    // r20 review: an EMPTY first (denominator) array replicates the
+    // Divide(0, 0) it replaces — DIVIDE_BY_ZERO under ANSI (Spark 4's
+    // default), NULL off it — never the old 0.0/0=NaN (NaN would poison
+    // avg/sum above it, where NULL is ignored). Both modes pinned.
+    val empty = spark.createDataFrame(java.util.Arrays.asList(
+      Row(Seq.empty[Long], Seq.empty[Long])), schema)
+    def emptyEval() = empty
+      .select(graft.plans.Native.sig_agree(col("a"), col("b"))).collect()
+    val prevAnsi = spark.conf.get("spark.sql.ansi.enabled")
+    try {
+      spark.conf.set("spark.sql.ansi.enabled", "true")
+      val e = intercept[Exception](emptyEval())
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(e).exists(c => c.getMessage != null &&
+        c.getMessage.contains("DIVIDE_BY_ZERO")),
+        s"ANSI mode must raise DIVIDE_BY_ZERO on an empty array: $e")
+      spark.conf.set("spark.sql.ansi.enabled", "false")
+      assert(emptyEval().head.isNullAt(0),
+        "off ANSI, sig_agree on an empty array must be NULL like Divide")
+    } finally spark.conf.set("spark.sql.ansi.enabled", prevAnsi)
+  }
+
+  test("sig_min refuses mixed signature widths in one group instead of " +
+    "silently truncating by arrival order (r20 review)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("g", IntegerType),
+      StructField("s", ArrayType(LongType, containsNull = false))))
+    val df = spark.createDataFrame(java.util.Arrays.asList(
+      Row(1, Seq(5L, 1L, 7L)), Row(1, Seq(2L, 9L))), schema)
+    val e = intercept[Exception] {
+      df.groupBy("g")
+        .agg(graft.plans.Native.sig_min_agg(col("s")).as("m")).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(_.getMessage != null) &&
+      causes(e).exists(c => c.getMessage != null &&
+        c.getMessage.contains("mixed signature widths")),
+      s"expected the loud mixed-width refusal, got: $e")
   }
 
   test("native expressions run inside whole-stage codegen (no fallback)") {
