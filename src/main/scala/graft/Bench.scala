@@ -50,13 +50,24 @@ object Bench {
     * on it, because the driver's refresh runs on the round commit,
     * one rev after the committed re-pin by construction. Shared with
     * ScaleProbe so every bench/probe artifact carries it. */
-  def codeRev: String = try {
-    val p = new ProcessBuilder("git", "rev-parse", "--short", "HEAD")
-      .redirectErrorStream(true).start()
-    val out = new String(p.getInputStream.readAllBytes()).trim
-    if (p.waitFor() == 0 && out.matches("[0-9a-f]{6,16}")) out
-    else "unknown"
-  } catch { case NonFatal(_) => "unknown" }
+  def codeRev: String = {
+    // r20 review: the process is destroyed on every exit path (a hung
+    // git — lock contention, credential prompt — used to leak), and the
+    // cwd caveat is explicit: rev-parse answers for the LAUNCH
+    // directory's repo, which for the driver contract is the repo root;
+    // a run launched from an unrelated checkout stamps that repo's
+    // HEAD, so treat code_rev as forensic only (the guard never asserts
+    // on it).
+    var p: Process = null
+    try {
+      p = new ProcessBuilder("git", "rev-parse", "--short", "HEAD")
+        .redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes()).trim
+      if (p.waitFor() == 0 && out.matches("[0-9a-f]{6,16}")) out
+      else "unknown"
+    } catch { case NonFatal(_) => "unknown" }
+    finally if (p != null) p.destroy()
+  }
 
   private def gcMillis: Long = {
     import scala.jdk.CollectionConverters._
@@ -103,7 +114,17 @@ object Bench {
     // RELIABILITY posture there, completing everything at <=1.45x the
     // wall of a lucky flat run. The rule stands: partition count
     // follows the hot stream's per-task sort volume, not corpus size.
+    // r20 review: validated like SPARK_GRAFT_BENCH_RUNS (r18) — a typo
+    // ('auto') used to fail every query AND corrupt the artifact, whose
+    // initial_partitions field is an unquoted JSON number.
     val initParts = sys.env.get("SPARK_GRAFT_INITIAL_PARTITIONS")
+      .flatMap { s =>
+        val p = s.toIntOption.filter(_ > 0)
+        if (p.isEmpty) System.err.println(
+          s"[bench] SPARK_GRAFT_INITIAL_PARTITIONS='$s' is not a " +
+            "positive int — ignoring (flat-cpus posture)")
+        p.map(_.toString)
+      }
     // Shuffle/spill IO codec knob (r16): the ~sf100 third-decade battery
     // writes ~100 GB of shuffle files per jaccard run — past this box's
     // free disk under the lz4 default; zstd fits it. Like the posture
@@ -297,16 +318,26 @@ object Bench {
     // output so the methodology is visible next to the data. The gc/heap
     // canaries follow the KEPT (fastest) run — they explain the number
     // that gets reported, not a run that was discarded.
+    // r20 review: a rerun that FAILS is a flakiness signal the artifact
+    // must carry — previously only firstPass failures reached the
+    // errors list, so a query that passed run 1 and died on run 2
+    // (the OOM-edge class) self-reported as clean with n_errors=0 and
+    // the signal survived only as a stderr line. The kept time is
+    // still the best SUCCESSFUL run; the name additionally lands in
+    // errors (n_errors counts queries with ANY failed run).
+    val rerunFailed = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = firstPass.map { case (name, fn, m1) =>
       if (runCap > 1 && m1.ok && m1.sec > 1.0) {
         val m2 = timeOne(name, fn)
+        if (!m2.ok) rerunFailed += name
         var best = if (m2.ok && m2.sec < m1.sec) m2 else m1
-        var n = 2
+        var n = if (m2.ok) 2 else 1
         // the slowest queries carry the most residual noise (GC phase,
         // page cache) AND dominate the total — buy them a third run
         if (runCap > 2 && m2.ok && best.sec > 2.5) {
           val m3 = timeOne(name, fn)
           if (m3.ok) { if (m3.sec < best.sec) best = m3; n = 3 }
+          else rerunFailed += name
         }
         System.err.println(f"[bench] $name%-28s ${best.sec}%8.2f s " +
           f"(min of $n, gc ${best.gcSec}%5.2f s)")
@@ -361,15 +392,30 @@ object Bench {
       System.err.println(s"[bench] median_vs_ref unavailable: $e")
       Left("ref_parse_error")
     }
-    val qsFlat = results.map { case (k, m) => "\"" + k + "\":" + f"${m.sec}%.3f" }
-      .mkString("{", ",", "}")
+    // r20 review, two JSON-contract hardenings applied consistently:
+    //  - Locale.ROOT number rendering (the f-interpolator formats in
+    //    the JVM default locale, so a comma-decimal locale would emit
+    //    "sec":1,234 — invalid JSON — into the stdout contract line and
+    //    the artifact);
+    //  - the same backslash/quote escaping medianVsRef's reason already
+    //    had, applied to EVERY interpolated env/path string (sf,
+    //    io_codec, knn_impl) — the threat model was accepted but
+    //    applied to one field only.
+    def num(fmt: String, v: Double): String =
+      String.format(java.util.Locale.ROOT, fmt, Double.box(v))
+    def jesc(s: String): String =
+      s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val qsFlat = results.map { case (k, m) =>
+      "\"" + k + "\":" + num("%.3f", m.sec)
+    }.mkString("{", ",", "}")
     val qsRich = results.map { case (k, m) =>
-      "\"" + k + "\":" + f"""{"sec":${m.sec}%.3f,"gc_sec":${m.gcSec}%.3f,""" +
-        f""""heap_mb_delta":${m.heapMbDelta}%.1f,"rows":${m.rows},""" +
+      "\"" + k + "\":" + s"""{"sec":${num("%.3f", m.sec)},""" +
+        s""""gc_sec":${num("%.3f", m.gcSec)},""" +
+        s""""heap_mb_delta":${num("%.1f", m.heapMbDelta)},"rows":${m.rows},""" +
         s""""exchanges":${m.exchanges},""" +
-        f""""shuffle_write_mb":${m.shuffleWriteMb}%.1f,""" +
-        f""""shuffle_read_mb":${m.shuffleReadMb}%.1f,""" +
-        f""""spill_mb":${m.spillMb}%.1f}"""
+        s""""shuffle_write_mb":${num("%.1f", m.shuffleWriteMb)},""" +
+        s""""shuffle_read_mb":${num("%.1f", m.shuffleReadMb)},""" +
+        s""""spill_mb":${num("%.1f", m.spillMb)}}"""
     }.mkString("{", ",", "}")
     val total = results.map(_._2.sec).sum
     val gcTotal = results.map(_._2.gcSec).sum
@@ -377,36 +423,37 @@ object Bench {
     // consistent with gc_sec_total
     val swTotal = results.map(_._2.shuffleWriteMb).sum
     val spillTotal = results.map(_._2.spillMb).sum
-    val failed = firstPass.collect { case (n, _, m) if !m.ok => n }
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val failed = (firstPass.collect { case (n, _, m) if !m.ok => n } ++
+      rerunFailed).distinct
+    val failedJson = failed.map("\"" + jesc(_) + "\"").mkString("[", ",", "]")
     val commonFields =
-      f""""metric":"total","value":$total%.3f,"unit":"sec",""" +
+      s""""metric":"total","value":${num("%.3f", total)},"unit":"sec",""" +
         s""""agg":"${
           if (runCap <= 1) s"single run (SPARK_GRAFT_BENCH_RUNS=$runCap)"
           else if (runCap == 2) s"min-of-2 for queries >1s (SPARK_GRAFT_BENCH_RUNS=$runCap)"
           else "min-of-2 for queries >1s, min-of-3 >2.5s"}",""" +
-        f""""canary_warmup_sec":$warmupSec%.2f,""" +
-        f""""canary_loadavg_at_start":$loadavg%.2f,""" +
-        f""""canary_max_heap_mb":$maxHeapMb%.0f,""" +
-        s""""code_rev":"$codeRevNow",""" +
+        s""""canary_warmup_sec":${num("%.2f", warmupSec)},""" +
+        s""""canary_loadavg_at_start":${num("%.2f", loadavg)},""" +
+        s""""canary_max_heap_mb":${num("%.0f", maxHeapMb)},""" +
+        s""""code_rev":"${jesc(codeRevNow)}",""" +
         s""""initial_partitions":${initParts.getOrElse(cpus)},""" +
-        s""""io_codec":"${ioCodec.getOrElse("lz4")}",""" +
+        s""""io_codec":"${jesc(ioCodec.getOrElse("lz4"))}",""" +
         s""""sign_bits":${graft.functions.Vectors.SignBucketBits},""" +
-        s""""knn_impl":"$knnImpl",""" +
+        s""""knn_impl":"${jesc(knnImpl)}",""" +
         s""""median_vs_ref":${
           // r20 (ADVICE): the reason interpolates refFile/sfDir paths —
-          // escape backslashes/quotes so a hostile path can't produce an
-          // invalid artifact. (Schema note, also artifact-visible: the
-          // field is a NUMBER when a comparable ref exists, else a
-          // reason STRING — never null.)
-          medianVsRef.fold(r => "\"" + r.replace("\\", "\\\\")
-            .replace("\"", "\\\"") + "\"", v => f"$v%.3f")},""" +
-        f""""gc_sec_total":$gcTotal%.3f,""" +
-        f""""shuffle_write_mb_total":$swTotal%.1f,""" +
-        f""""spill_mb_total":$spillTotal%.1f,""" +
+          // escaped so a hostile path can't produce an invalid artifact.
+          // (Schema note, also artifact-visible: the field is a NUMBER
+          // when a comparable ref exists, else a reason STRING — never
+          // null.)
+          medianVsRef.fold(r => "\"" + jesc(r) + "\"",
+            v => num("%.3f", v))},""" +
+        s""""gc_sec_total":${num("%.3f", gcTotal)},""" +
+        s""""shuffle_write_mb_total":${num("%.1f", swTotal)},""" +
+        s""""spill_mb_total":${num("%.1f", spillTotal)},""" +
         s""""n_errors":${failed.size},"errors":$failedJson"""
-    val line = s"""{$commonFields,"queries":$qsFlat,"sf":"$sfDir"}"""
-    val rich = s"""{$commonFields,"queries":$qsRich,"sf":"$sfDir"}"""
+    val line = s"""{$commonFields,"queries":$qsFlat,"sf":"${jesc(sfDir)}"}"""
+    val rich = s"""{$commonFields,"queries":$qsRich,"sf":"${jesc(sfDir)}"}"""
     Files.writeString(Paths.get(outFile), rich)
     // Contract: the final stdout line IS the JSON result, with the
     // per-query seconds inline (build.sbt's StdoutOutput strategy keeps

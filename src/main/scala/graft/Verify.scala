@@ -31,8 +31,14 @@ object Verify {
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      catch {
+        // NonFatal only (r20 review, the Bench policy): swallowing an
+        // OOM/LinkageError would keep the sweep running on a broken JVM
+        // — later queries fail spuriously or write short dumps, the
+        // process exits rc=0, and the driver treats the surviving
+        // parquet as the round's authoritative correctness results.
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       spark.catalog.clearCache()
       // localCheckpoint RDDs (dd_cluster_cc) bypass the CacheManager, so

@@ -66,12 +66,14 @@ object Texts {
   def md5Long(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** Salted md5Long — the portable permutation family for MinHash. */
-  def md5LongSalted(c: Column, salt: Column): Column =
-    md5Long(concat(c, lit("#"), salt))
-
   /** F11 `smart_shortener` (reference `lambdas/summarisation/utils.py:4-15`):
-    * first `maxWords` whitespace tokens re-joined. */
+    * first `maxWords` tokens of a LITERAL single-space split, re-joined.
+    * Deliberately NOT a whitespace-class split and NOT empty-filtering
+    * (r20 review considered both): the reference is `text.split(' ')`,
+    * which keeps the empty strings doubled spaces produce — so under
+    * consecutive whitespace the shortened text carries fewer real words,
+    * faithfully. Parity beats prettiness here; `tokens` is the
+    * empty-filtering whitespace split for everything non-reference. */
   def smartShorten(c: Column, maxWords: Int): Column =
     array_join(slice(split(c, " "), 1, maxWords), " ")
 

@@ -24,14 +24,6 @@ object Skew {
       .groupBy("key")
       .agg(sum("partial_n").as("n"))
 
-  /** sum(value) per key, salted. */
-  def saltedSum(df: DataFrame, key: Column, value: Column,
-      saltSource: Column, salts: Int): DataFrame =
-    df.groupBy(key.as("key"), pmod(hash(saltSource), lit(salts)).as("salt"))
-      .agg(sum(value).as("partial_s"))
-      .groupBy("key")
-      .agg(sum("partial_s").as("s"))
-
   /** Replicate-salt a self equi-join against band-key skew (the LSH hot
     * spot: near-identical boilerplate docs share every band, so one
     * band_key can hold a large clique and its n² pair work lands on ONE
