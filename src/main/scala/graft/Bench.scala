@@ -51,20 +51,24 @@ object Bench {
     * one rev after the committed re-pin by construction. Shared with
     * ScaleProbe so every bench/probe artifact carries it. */
   def codeRev: String = {
-    // r20 review: the process is destroyed on every exit path (a hung
-    // git — lock contention, credential prompt — used to leak), and the
-    // cwd caveat is explicit: rev-parse answers for the LAUNCH
-    // directory's repo, which for the driver contract is the repo root;
-    // a run launched from an unrelated checkout stamps that repo's
-    // HEAD, so treat code_rev as forensic only (the guard never asserts
-    // on it).
+    // r21 (ADVICE): the hang case is handled with a BOUNDED wait — a
+    // git that never exits (lock contention, credential prompt) used to
+    // block readAllBytes forever despite the finally-destroy; now we
+    // waitFor(5s) FIRST (rev-parse emits one short line, far below the
+    // pipe buffer, so exit-then-read cannot deadlock) and stamp
+    // "unknown" on timeout. Cwd caveat unchanged: rev-parse answers for
+    // the LAUNCH directory's repo, so treat code_rev as forensic only
+    // (the guard never asserts on it).
     var p: Process = null
     try {
       p = new ProcessBuilder("git", "rev-parse", "--short", "HEAD")
         .redirectErrorStream(true).start()
-      val out = new String(p.getInputStream.readAllBytes()).trim
-      if (p.waitFor() == 0 && out.matches("[0-9a-f]{6,16}")) out
-      else "unknown"
+      if (!p.waitFor(5, java.util.concurrent.TimeUnit.SECONDS)) "unknown"
+      else {
+        val out = new String(p.getInputStream.readAllBytes()).trim
+        if (p.exitValue() == 0 && out.matches("[0-9a-f]{6,16}")) out
+        else "unknown"
+      }
     } catch { case NonFatal(_) => "unknown" }
     finally if (p != null) p.destroy()
   }

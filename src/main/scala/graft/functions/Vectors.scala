@@ -123,7 +123,10 @@ object Vectors {
   /** test hook: simulate a fresh session for one corpus (the sidecar
     * read path is only observable when the JVM memo is cold). */
   private[graft] def forgetSizedWidth(memoKey: String): Unit = {
-    sizedMemo.remove(memoKey); ()
+    sizedMemo.remove(memoKey)
+    // r21 (ADVICE): the forced-width occupancy memo describes the same
+    // corpus — forget it in lockstep or it outlives the data
+    graft.operators.SimilarityQueries.forgetForcedOcc(memoKey)
   }
 
   /** Sidecar file carrying the persisted width beside the corpus —
@@ -270,6 +273,7 @@ object Vectors {
   def rederiveSignBits(vecs: => DataFrame, v: => Column,
       dir: String): Int = {
     sizedMemo.remove(dir)
+    graft.operators.SimilarityQueries.forgetForcedOcc(dir)
     try java.nio.file.Files.deleteIfExists(sidecarPath(dir))
     catch { case scala.util.control.NonFatal(_) => }
     sizedSignBitsFor(vecs, v, dir)

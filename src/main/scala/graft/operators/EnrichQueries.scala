@@ -49,11 +49,13 @@ object EnrichQueries {
     "m2_title_gate" -> ((s, d) => {
       val toks = Texts.tokens(col("text"))
       val cand = slice(toks, 1, 6)
-      // Int.MaxValue, not an arbitrary cap (r20 review): the oracle's
-      // toks[7:] is unbounded, so a 100k cap silently diverged on any
-      // document longer than 100,006 tokens — slice's length is only an
-      // upper bound, so the full-tail semantics cost nothing.
-      val rest = slice(toks, 7, Int.MaxValue)
+      // size(toks), not Int.MaxValue (r21, ADVICE): the oracle's toks[7:]
+      // is unbounded and slice's length is only an upper bound, so
+      // size(toks) ≥ the true tail length preserves full-tail semantics —
+      // while Int.MaxValue overflowed in the INTERPRETED Slice eval path
+      // (data.slice(start, start + length) wraps negative → empty tail),
+      // silently zeroing the overlap on any runtime codegen fallback.
+      val rest = slice(toks, lit(7), size(toks))
       val overlap = size(array_intersect(array_distinct(cand),
         array_distinct(rest)))
       val title = when(overlap >= 3 && size(cand) >= 3,

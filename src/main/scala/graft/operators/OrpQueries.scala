@@ -39,9 +39,15 @@ object OrpQueries {
     * silently probing the wrong corpus). Table names forbid most
     * punctuation, so the key rides in as a hex suffix. Shared with the
     * PlanSpec pins that read the store back. */
-  private[graft] def sigStoreTable(d: String): String =
-    "graft_sig_store_" + java.lang.Long.toHexString(
-      util.hashing.MurmurHash3.stringHash(d).toLong & 0xffffffffL)
+  private[graft] def sigStoreTable(d: String): String = {
+    // r21 (ADVICE): 128-bit MD5 of the dir, not 32-bit murmur — a
+    // 32-bit collision between two corpus dirs would silently recreate
+    // exactly the cross-corpus table-repointing bug this key fixes.
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(d.getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    "graft_sig_store_" + hex
+  }
 
   private[graft] def corpusSignatures(s: SparkSession, d: String): DataFrame =
     synchronized {

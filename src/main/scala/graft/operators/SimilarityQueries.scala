@@ -85,6 +85,19 @@ object SimilarityQueries {
   private val forcedOccMemo =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]
 
+  /** r21 (ADVICE): the occupancy memo must die with the data it
+    * describes — ScaleSynth / compactEmbeddings rewrite a corpus in the
+    * same JVM and invalidate the width sidecar/memo; without this hook
+    * the stale count could wrongly suppress (or fire) the forced-width
+    * occupancy warning for the rewritten dir. Called from
+    * [[graft.functions.Vectors.forgetSizedWidth]] /
+    * [[graft.functions.Vectors.rederiveSignBits]], the two places the
+    * sized-width memo is forgotten. Advisory-only either way (the memo
+    * feeds a stderr note, never a result). */
+  private[graft] def forgetForcedOcc(memoKey: String): Unit = {
+    forcedOccMemo.remove(memoKey); ()
+  }
+
   private[graft] def forcedBucketSalt(n: => Long, bits: Int,
       memoKey: String): Int = {
     val knob = sys.env.get("SPARK_GRAFT_BUCKET_SALT").flatMap(_.toIntOption)
