@@ -31,6 +31,16 @@ object Bench {
     val shuffleWrite = new AtomicLong
     val shuffleRead = new AtomicLong
     val spill = new AtomicLong
+    // r21 additive discriminators: executor task time and job/task
+    // counts. Wall time on a shared box carries ±20-50% weather; the
+    // summed task run time and the number of jobs/tasks a query
+    // launches are near-deterministic for a fixed plan, so an
+    // optimization round can tell "the query does less work" from "the
+    // box was quieter" without a UI. Rich-artifact fields only — the
+    // stdout contract line is unchanged.
+    val taskMs = new AtomicLong
+    val tasks = new AtomicLong
+    val jobs = new AtomicLong
     override def onTaskEnd(
         te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
       val m = te.taskMetrics
@@ -38,10 +48,17 @@ object Bench {
         shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
         shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
         spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+        taskMs.addAndGet(m.executorRunTime)
+        tasks.incrementAndGet()
       }
     }
-    def snapshot: (Long, Long, Long) =
-      (shuffleWrite.get, shuffleRead.get, spill.get)
+    override def onJobStart(
+        js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+      jobs.incrementAndGet(); ()
+    }
+    def snapshot: (Long, Long, Long, Long, Long, Long) =
+      (shuffleWrite.get, shuffleRead.get, spill.get,
+        taskMs.get, tasks.get, jobs.get)
   }
 
   /** Short git revision for artifact stamping (r20, verdict Next 6a):
@@ -92,7 +109,8 @@ object Bench {
     * zero extra builder invocations). */
   private case class Meas(sec: Double, ok: Boolean, gcSec: Double,
     heapMbDelta: Double, rows: Long, exchanges: Int,
-    shuffleWriteMb: Double, shuffleReadMb: Double, spillMb: Double)
+    shuffleWriteMb: Double, shuffleReadMb: Double, spillMb: Double,
+    taskSec: Double, tasks: Long, jobs: Long)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -264,7 +282,7 @@ object Bench {
       // the previous query's task-end events must be consumed before we
       // snapshot, or its tail IO lands in this query's delta
       Bridge.drainListenerBus(spark.sparkContext)
-      val (sw0, sr0, sp0) = IoTally.snapshot
+      val (sw0, sr0, sp0, tm0, tk0, jb0) = IoTally.snapshot
       val gc0 = gcMillis
       val h0 = heapUsedMb
       val t0 = System.nanoTime()
@@ -294,7 +312,7 @@ object Bench {
       val gcSec = (gcMillis - gc0) / 1e3
       val heapDelta = heapUsedMb - h0
       Bridge.drainListenerBus(spark.sparkContext)
-      val (sw1, sr1, sp1) = IoTally.snapshot
+      val (sw1, sr1, sp1, tm1, tk1, jb1) = IoTally.snapshot
       // Queries that persist intermediates (the self-join dedup family)
       // would otherwise accumulate storage across the run and skew later
       // timings with eviction/GC pressure. Unpersist BLOCKING so the
@@ -304,7 +322,8 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       System.gc()
       Meas(dt, ok, gcSec, heapDelta, rows, exchanges,
-        (sw1 - sw0) / 1e6, (sr1 - sr0) / 1e6, (sp1 - sp0) / 1e6)
+        (sw1 - sw0) / 1e6, (sr1 - sr0) / 1e6, (sp1 - sp0) / 1e6,
+        (tm1 - tm0) / 1e3, tk1 - tk0, jb1 - jb0)
       } finally prevThreshold.foreach(spark.conf.set(heapThresholdKey, _))
     }
     val firstPass = selected.map { case (name, fn) =>
@@ -419,7 +438,9 @@ object Bench {
         s""""exchanges":${m.exchanges},""" +
         s""""shuffle_write_mb":${num("%.1f", m.shuffleWriteMb)},""" +
         s""""shuffle_read_mb":${num("%.1f", m.shuffleReadMb)},""" +
-        s""""spill_mb":${num("%.1f", m.spillMb)}}"""
+        s""""spill_mb":${num("%.1f", m.spillMb)},""" +
+        s""""task_sec":${num("%.3f", m.taskSec)},""" +
+        s""""tasks":${m.tasks},"jobs":${m.jobs}}"""
     }.mkString("{", ",", "}")
     val total = results.map(_._2.sec).sum
     val gcTotal = results.map(_._2.gcSec).sum

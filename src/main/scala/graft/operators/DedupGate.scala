@@ -75,10 +75,26 @@ object DedupGate {
     *  - corpus candidates are class-determined, so the class's verified
     *    corpus hits attach to every member unchanged.
     */
-  private def sigClassMembers(incoming: DataFrame): DataFrame = {
+  /** @param cache persist the (ingest-batch-sized) membership frame.
+    *        Measured r21: every classify variant reads this frame from
+    *        four lazy branches (class reps → two banded probes,
+    *        corpus-hit expansion, within-twin emission), and WITHOUT a
+    *        persist each branch re-pays the sig-keyed window exchange
+    *        plus the whole incoming subtree under it — the in-memory
+    *        and derived-delta gates win 11-26% wall from the cache.
+    *        But the ON-DISK store postures (classifyStored against the
+    *        bucketed table, the stream loop) LOSE with it (+18% wall,
+    *        4x tasks): their probe branches were already cheap fused
+    *        scans, and the cache build/read stages cost more than the
+    *        re-derivation they avoid — so those callers pass false. */
+  private def sigClassMembers(incoming: DataFrame,
+      cache: Boolean): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("sig")
-    incoming.select(col("uid"), col("sig"))
+    val m = incoming.select(col("uid"), col("sig"))
       .withColumn("cls", min("uid").over(w))
+    if (cache)
+      m.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else m
   }
 
   /** One row per signature class, under the probe's id column name:
@@ -138,7 +154,7 @@ object DedupGate {
     // at all. This mirrors the reference's probe direction (one incoming
     // document against the indexed store, check_duplicate.py:90-101).
     val corpusLive = corpus.filter(col("status") =!= "archive")
-    val memberOf = sigClassMembers(incoming)
+    val memberOf = sigClassMembers(incoming, cache = true)
     val classes = classReps(memberOf)
     val bandedCls = banded(classes, "uid")
     val probe = if (broadcastIncoming) broadcast(bandedCls) else bandedCls
@@ -219,7 +235,7 @@ object DedupGate {
       numBands: Int, rowsPerBand: Int)
       : (DataFrame, DataFrame, DataFrame) = {
     val corpusLive = corpus.filter(col("status") =!= "archive")
-    val classes = classReps(sigClassMembers(incoming))
+    val classes = classReps(sigClassMembers(incoming, cache = false))
     val bandedCls = bandedStruct(classes, "uid", numBands, rowsPerBand)
     val twinHits = saltedSlimSelfPairs(
       bandedCls.select("uid", "band_id", "band_key"),
@@ -338,7 +354,7 @@ object DedupGate {
   def classifyStored(incoming: DataFrame, store: DataFrame,
       numBands: Int, rowsPerBand: Int): DataFrame = {
 
-    val memberOf = sigClassMembers(incoming)
+    val memberOf = sigClassMembers(incoming, cache = false)
     val classes = classReps(memberOf)
     val probe = bandedBkey(classes, "uid", numBands, rowsPerBand)
     val corpusHits = probe.alias("q")
@@ -563,9 +579,10 @@ object DedupGate {
     */
   def classifyStoredDelta(incoming: DataFrame, base: DataFrame,
       delta: DataFrame, tombstones: DataFrame,
-      numBands: Int, rowsPerBand: Int): DataFrame =
+      numBands: Int, rowsPerBand: Int,
+      cacheBatch: Boolean = false): DataFrame =
     classifyStoredDeltas(incoming, base, Seq((delta, tombstones)),
-      numBands, rowsPerBand)
+      numBands, rowsPerBand, cacheBatch)
 
   /** `classifyStored` against BASE + ACCUMULATED DELTA GENERATIONS —
     * the per-batch probe shape of the delta-store posture with several
@@ -600,7 +617,8 @@ object DedupGate {
     */
   def classifyStoredDeltas(incoming: DataFrame, base: DataFrame,
       generations: Seq[(DataFrame, DataFrame)],
-      numBands: Int, rowsPerBand: Int): DataFrame = {
+      numBands: Int, rowsPerBand: Int,
+      cacheBatch: Boolean = false): DataFrame = {
 
     // r18: no static broadcast on the tombstone union either — it is
     // the SAME no-size-contract defect class as the delta probe hint
@@ -623,7 +641,7 @@ object DedupGate {
     val liveDeltas = generations.zipWithIndex.map { case ((delta, _), i) =>
       minus(delta, allTombs.drop(i + 1))
     }
-    val memberOf = sigClassMembers(incoming)
+    val memberOf = sigClassMembers(incoming, cacheBatch)
     val classes = classReps(memberOf)
     val probe = bandedBkey(classes, "uid", numBands, rowsPerBand)
     def storeHits(side: DataFrame) = probe.alias("q")

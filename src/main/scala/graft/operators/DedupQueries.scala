@@ -895,8 +895,16 @@ object DedupQueries {
     // shuffle is the keyed partial-min aggregation — the plan that
     // survives a 100 TB corpus.
     "dd_minhash_lsh" -> ((s, d) => {
+      // r21 (measured): the signature table is persisted — the salted
+      // band self-join's two sides are DIFFERENT plans (side A carries
+      // the pmod slice, side B the explode), so no exchange reuse
+      // applies and the shingle-explode + 16-min-agg signature pipeline
+      // executed twice per run. Same posture bandPairJoin (the native
+      // variants) has had since r14; the cc family's edge builds
+      // (dd_cluster_cc{,_delta,_stream}) inherit the saving.
       val sig = MinHashPipeline.signatures(
         Tables.documents(s, d), "doc_id", col("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val banded = sig.select(col("doc_id"), col("sig"),
         explode(Hashes.bands(col("sig"), 4, 4)).as("band"))
         .select(col("doc_id"), col("sig"),

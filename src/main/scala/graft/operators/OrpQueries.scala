@@ -111,13 +111,32 @@ object OrpQueries {
     * band-0 store rows, …). At production scale the batch never re-signs
     * the store; sig is a pure function of the text, so the oracle is
     * unaffected. */
+  /** @param cache persist the signed batch (SLIM — itext dropped: no
+    *        consumer reads it past the signature build; classify takes
+    *        uid/sig/meta_key). Measured r21: classify reads the signed
+    *        batch from six lazy branches, and without a persist each
+    *        branch re-ran this subtree — dg_dedup_gate's executed plan
+    *        carried 70 separate parquet scans of `documents`; with the
+    *        slim cache the in-memory and derived-delta gates win
+    *        11-26% wall. The text-carrying (unslimmed) cache LOSES to
+    *        no cache at all (10.2 s vs 7.9 s on dg_dedup_gate —
+    *        materializing every column defeats column pruning), and
+    *        the ON-DISK store postures lose with any cache here (their
+    *        reuse side is a cheap band-0 store scan, so the cache
+    *        build/read stages outweigh the re-derivation — see
+    *        DedupGate.sigClassMembers), so dg_gate_stored /
+    *        dg_stream_loop pass false. */
   private[graft] def signedIncoming(inc0: DataFrame,
-      reuse: DataFrame): DataFrame = {
+      reuse: DataFrame, cache: Boolean = false): DataFrame = {
     val mutSig = MinHashPipeline.signatures(
       inc0.filter(col("uid") % 10 === 0), "uid", col("itext"))
     val reusedSig = inc0.filter(col("uid") % 10 =!= 0).select(col("uid"))
       .join(reuse, "uid")
-    inc0.join(mutSig.unionByName(reusedSig), "uid")
+    val signed = inc0.join(mutSig.unionByName(reusedSig), "uid")
+      .select(col("uid"), col("meta_key"), col("sig"))
+    if (cache)
+      signed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else signed
   }
 
   val queries: Map[String, Q] = Map(
@@ -495,7 +514,7 @@ object OrpQueries {
       // otherwise.
       val corpSig = corpusSignatures(s, d)
       val incoming = signedIncoming(inc0,
-        corpSig.withColumnRenamed("node_id", "uid"))
+        corpSig.withColumnRenamed("node_id", "uid"), cache = true)
       val corpus = corp0.join(corpSig, "node_id")
       DedupGate.classify(incoming, corpus, 4, 4)
     }),
@@ -556,8 +575,9 @@ object OrpQueries {
       val tombstones = corp0.filter(col("status") === "archive")
         .select("node_id")
       val incoming = signedIncoming(inc0,
-        corpSig.withColumnRenamed("node_id", "uid"))
-      DedupGate.classifyStoredDelta(incoming, base, delta, tombstones, 4, 4)
+        corpSig.withColumnRenamed("node_id", "uid"), cache = true)
+      DedupGate.classifyStoredDelta(incoming, base, delta, tombstones, 4, 4,
+        cacheBatch = true)
     }),
 
     // ST7 in the STREAMING delta-store posture, drained to a batch

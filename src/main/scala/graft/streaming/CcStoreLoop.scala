@@ -88,7 +88,11 @@ object CcStoreLoop {
     val s = DedupQueries.ccSession(spark)
     DedupQueries.ccAssignments(
         DedupQueries.truncatedDf(onSession(s, baseEdges), eager = true))
-      .write.mode("overwrite").parquet(s"$dir/assign_-1")
+      // r21 (guide §6): size-targeted files via AQE rebalance — the
+      // assignment is corpus-sized; without the hint the write inherits
+      // the CC loop's partitioning (dozens of tiny files at bench scale,
+      // per-file open cost on every later overlay read)
+      .hint("rebalance").write.mode("overwrite").parquet(s"$dir/assign_-1")
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {
@@ -137,6 +141,9 @@ object CcStoreLoop {
     val base = DedupQueries.truncatedDf(
       state(s, dir, below = batchId), eager = true)
     DedupQueries.ccApplyDelta(s, base, onSession(s, b), deltaOnly = true)
+      // r21: NO rebalance on the per-batch layer (measured: the extra
+      // exchange costs more than the small files it saves at batch
+      // cadence; corpus-sized writes — init/compaction — do rebalance)
       .write.mode("overwrite").parquet(s"$dir/gen_$batchId")
   }
 
@@ -155,6 +162,7 @@ object CcStoreLoop {
     // loop's compact
     if (open.nonEmpty && open.size >= maxOpenGenerations) {
       state(spark, dir, below = upTo)
+        .hint("rebalance")
         .write.mode("overwrite").parquet(s"$dir/assign_${open.max}")
       true
     } else false

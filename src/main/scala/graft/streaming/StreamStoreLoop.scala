@@ -120,7 +120,8 @@ object GateStoreLoop {
   /** Write the initial store as generation -1. */
   def init(store: DataFrame, dir: String): Unit = {
     fs(dir).mkdirs()
-    store.write.mode("overwrite").parquet(s"$dir/base_-1")
+    // r21: size-targeted base files (AQE rebalance; see handleBatch)
+    store.hint("rebalance").write.mode("overwrite").parquet(s"$dir/base_-1")
   }
 
   /** The foreachBatch handler: classify, derive the delta, persist the
@@ -192,6 +193,13 @@ object GateStoreLoop {
     // invisible (and overwritable) half-generation — never a probe
     // against delta-without-tombstones, and never queryable outcomes the
     // store itself has not committed
+    // r21: per-batch artifacts write WITHOUT a rebalance — an A/B
+    // measured the three extra rebalance exchanges costing +25% wall
+    // per batch at bench scale while the artifacts are ingest-sized
+    // either way; file sizing matters on the CORPUS-sized writes (init
+    // and compaction below, which do rebalance). Generation fan-in is
+    // bounded by maxOpenGenerations, so small gen files stay a bounded
+    // read cost by construction.
     outcomes.write.mode("overwrite").parquet(s"$dir/gen_$batchId/outcomes")
     append.write.mode("overwrite").parquet(s"$dir/gen_$batchId/delta")
     tombs.write.mode("overwrite").parquet(s"$dir/gen_$batchId/tombs")
@@ -245,7 +253,11 @@ object GateStoreLoop {
   def compact(spark: SparkSession, dir: String,
       upTo: Long = Long.MaxValue): Unit =
     foldedBase(spark, dir, upTo).foreach { case (g, folded) =>
-      folded.write.mode("overwrite").parquet(s"$dir/base_$g")
+      // r21: size-targeted base files (see the handleBatch rebalance
+      // note) — the fold is the corpus-sized write, where file sizing
+      // matters most
+      folded.hint("rebalance").write.mode("overwrite")
+        .parquet(s"$dir/base_$g")
     }
 
   /** The fold compact writes, as `(target generation, frame)` — None
