@@ -282,9 +282,11 @@ object CorpusQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // stage 2: benchmark decontamination (see dd_decontaminate — the
       // bench slice comes from the FULL corpus, not the trimmed one)
+      // native distinct grams (r21, guide §4) — one compiled pass in
+      // place of the interpreted HOF chain; NgramSpec pins equivalence
       def grams(df: DataFrame) = df.select(col("doc_id"),
-        explode(array_distinct(
-          Texts.wordNgrams(Texts.tokens(col("text")), 8))).as("gram"))
+        explode(
+          graft.plans.Native.dist_word_ngrams(col("text"), 8)).as("gram"))
       val benchGrams = grams(docs.filter(col("doc_id") < 20))
         .select("gram").distinct()
       val flagged = grams(trimmed.filter(col("doc_id") >= 20))
@@ -321,10 +323,14 @@ object CorpusQueries {
     "sk_kmv_distinct" -> ((s, d) => {
       val k = 64
       val tk = Texts.tokens(col("text"))
+      // r21: per-row DISTINCT grams via the native pass — the frame-
+      // level distinct over (lang, g3) still collapses cross-doc dups,
+      // so the sketch input set is unchanged while the explode emits
+      // fewer rows and no interpreted HOF runs (NgramSpec equivalence)
       val grams = Tables.documents(s, d)
         .filter(size(tk) >= 3)
-        .select(col("lang"), tk.as("tk"))
-        .select(col("lang"), explode(Texts.wordNgrams(col("tk"), 3)).as("g3"))
+        .select(col("lang"), explode(
+          graft.plans.Native.dist_word_ngrams(col("text"), 3)).as("g3"))
         .distinct()
         .select(col("lang"), Texts.md5Long(col("g3")).as("h"))
       val w = Window.partitionBy("lang").orderBy("h")
@@ -354,10 +360,11 @@ object CorpusQueries {
     "sk_kmv_overlap" -> ((s, d) => {
       val k = 64
       val tk = Texts.tokens(col("text"))
+      // r21: native per-row distinct grams (see sk_kmv_distinct)
       val grams = Tables.documents(s, d)
         .filter(size(tk) >= 3)
-        .select(col("source"), tk.as("tk"))
-        .select(col("source"), explode(Texts.wordNgrams(col("tk"), 3)).as("g3"))
+        .select(col("source"), explode(
+          graft.plans.Native.dist_word_ngrams(col("text"), 3)).as("g3"))
         .distinct()
         .select(col("source"), Texts.md5Long(col("g3")).as("h"))
       val w = Window.partitionBy("source").orderBy("h")
@@ -564,10 +571,13 @@ object CorpusQueries {
       // wordNgrams' greatest(size-7, 1) floor would otherwise emit a
       // short (or empty-string) artifact gram that pollutes the census.
       Tables.documents(s, d)
-        .select(col("doc_id"), Texts.tokens(col("text")).as("tk"))
+        .select(col("doc_id"), col("text"),
+          Texts.tokens(col("text")).as("tk"))
         .filter(size(col("tk")) >= 8)
-        .select(col("doc_id"), explode(array_distinct(
-          Texts.wordNgrams(col("tk"), 8))).as("gram"))
+        // r21: native one-pass distinct grams (the token array stays
+        // only for the >=8 row filter); NgramSpec pins equivalence
+        .select(col("doc_id"), explode(
+          graft.plans.Native.dist_word_ngrams(col("text"), 8)).as("gram"))
         .groupBy("gram")
         .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
         .filter(col("n_docs") >= 3)

@@ -697,9 +697,13 @@ object DedupQueries {
     // shuffle until the per-doc count aggregation on doc_id.
     "dd_decontaminate" -> ((s, d) => {
       val docs = Tables.documents(s, d)
+      // r21 (guide §4): the distinct-8-gram build is the native
+      // one-pass dist_word_ngrams — set/order-identical to the
+      // interpreted split/filter/transform/array_join/array_distinct
+      // HOF chain it replaces (NgramSpec pins the equivalence)
       def grams(df: org.apache.spark.sql.DataFrame) = df
-        .select(col("doc_id"), explode(array_distinct(
-          Texts.wordNgrams(Texts.tokens(col("text")), 8))).as("gram"))
+        .select(col("doc_id"), explode(
+          graft.plans.Native.dist_word_ngrams(col("text"), 8)).as("gram"))
       val benchGrams = grams(docs.filter(col("doc_id") < 20))
         .select("gram").distinct()
       grams(docs.filter(col("doc_id") >= 20))
@@ -738,9 +742,10 @@ object DedupQueries {
           col("doc_id") % 100 =!= 37)
         .select(col("doc_id"), col("text"))
         .unionByName(planted)
+      // native distinct grams (r21) — see dd_decontaminate's note
       def grams(df: org.apache.spark.sql.DataFrame) = df
-        .select(col("doc_id"), explode(array_distinct(
-          Texts.wordNgrams(Texts.tokens(col("text")), 8))).as("gram"))
+        .select(col("doc_id"), explode(
+          graft.plans.Native.dist_word_ngrams(col("text"), 8)).as("gram"))
       val evalGrams = grams(evals)
         .select(col("doc_id").as("eval_id"), col("gram"))
       val evalSizes = evalGrams.groupBy("eval_id")
@@ -809,9 +814,10 @@ object DedupQueries {
     // forced a codegen boundary and boxed every gram.
     "dd_bloom_decontaminate" -> ((s, d) => {
       val docs = Tables.documents(s, d)
+      // native distinct grams (r21) — see dd_decontaminate's note
       def grams(df: DataFrame) = df
-        .select(col("doc_id"), explode(array_distinct(
-          Texts.wordNgrams(Texts.tokens(col("text")), 8))).as("gram"))
+        .select(col("doc_id"), explode(
+          graft.plans.Native.dist_word_ngrams(col("text"), 8)).as("gram"))
       val benchGrams = grams(docs.filter(col("doc_id") < 20))
         .select("gram").distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

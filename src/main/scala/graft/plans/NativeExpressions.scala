@@ -132,6 +132,77 @@ object NativeImpl {
     new GenericArrayData(sig)
   }
 
+  /** Per-document DISTINCT word n-grams, in one compiled pass over the
+    * UTF8 bytes — the decontamination family's hot scalar (guide §4:
+    * no interpreted HOFs in the hot path). SET- and ORDER-identical to
+    * `array_distinct(transform(sequence(1, greatest(size(toks)-(n-1),
+    * 1)), i => array_join(slice(toks, i, n), " ")))` over
+    * `toks = filter(split(text, " "), t => t <> "")`, including the
+    * edge cases that chain implies:
+    *  - tokens are maximal runs of non-0x20 bytes (the literal
+    *    single-space split with empties dropped; '\n'/'\t' are NOT
+    *    separators, and 0x20 never occurs inside a UTF-8 multibyte
+    *    sequence, so the byte walk is exact);
+    *  - zero tokens (empty / all-space text) yields [""] — the HOF's
+    *    greatest(..., 1) floor joins an empty slice;
+    *  - fewer than n tokens yields one clamped gram (the whole list);
+    *  - distinct keeps FIRST occurrence order.
+    * Every output gram copies its bytes: the input UTF8String may be a
+    * view into a reused row buffer, and the returned array outlives
+    * the row. */
+  def distWordNgrams(text: UTF8String, n: Int): ArrayData = {
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val nb = text.numBytes()
+    // token spans as (startByte, lenBytes), discovered in one walk
+    var starts = new Array[Int](16)
+    var lens = new Array[Int](16)
+    var m = 0
+    var i = 0
+    while (i < nb) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) != 0x20) {
+        val s0 = i
+        while (i < nb &&
+          org.apache.spark.unsafe.Platform.getByte(base, off + i) != 0x20)
+          i += 1
+        if (m == starts.length) {
+          starts = java.util.Arrays.copyOf(starts, m * 2)
+          lens = java.util.Arrays.copyOf(lens, m * 2)
+        }
+        starts(m) = s0; lens(m) = i - s0; m += 1
+      } else i += 1
+    }
+    val count = math.max(m - (n - 1), 1)
+    // LinkedHashSet: first-occurrence order, exactly array_distinct's
+    val seen = new java.util.LinkedHashSet[UTF8String](count * 2)
+    var g = 0
+    while (g < count) {
+      val last = math.min(g + n, m) // exclusive token bound (slice clamps)
+      var bytes = 0
+      var t = g
+      while (t < last) { bytes += lens(t); t += 1 }
+      if (last > g) bytes += (last - g - 1) // single-space separators
+      val out = new Array[Byte](bytes)
+      var p = 0
+      t = g
+      while (t < last) {
+        if (t > g) { out(p) = 0x20; p += 1 }
+        org.apache.spark.unsafe.Platform.copyMemory(base, off + starts(t),
+          out, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + p,
+          lens(t))
+        p += lens(t)
+        t += 1
+      }
+      seen.add(UTF8String.fromBytes(out))
+      g += 1
+    }
+    val arr = new Array[AnyRef](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { arr(k) = it.next(); k += 1 }
+    new GenericArrayData(arr)
+  }
+
   /** |A ∩ B| for two SORTED string arrays — O(n+m) merge walk with raw
     * UTF8String comparisons, replacing per-pair hash-set construction
     * (`array_intersect`) in the blocked Jaccard join's hot loop.
@@ -486,6 +557,27 @@ case class MinHashSig(child: Expression, numPerms: Int, k: Int)
     defineCodeGen(ctx, ev,
       t => s"graft.plans.NativeImpl.minhashSig($t, $numPerms, $k)")
   override protected def withNewChildInternal(c: Expression): MinHashSig =
+    copy(child = c)
+}
+
+/** dist_word_ngrams(text, n) → array<string> of the document's DISTINCT
+  * word n-grams in first-occurrence order — one compiled pass replacing
+  * the interpreted split → filter → transform/slice/array_join →
+  * array_distinct HOF chain in the decontamination family's hot scalar
+  * (see NativeImpl.distWordNgrams for the exact equivalence contract;
+  * NgramSpec pins it property-wise against the HOF chain). */
+case class DistWordNgrams(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1, s"dist_word_ngrams: n must be >= 1, got $n")
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(t: Any): Any =
+    NativeImpl.distWordNgrams(t.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.NativeImpl.distWordNgrams($c, $n)")
+  override def prettyName: String = "dist_word_ngrams"
+  override protected def withNewChildInternal(c: Expression): DistWordNgrams =
     copy(child = c)
 }
 
@@ -982,6 +1074,8 @@ object Native {
   def simhash64(c: Column): Column = column(SimHash64(expression(c)))
   def sorted_intersect_count(a: Column, b: Column): Column =
     column(SortedIntersectCount(expression(a), expression(b)))
+  def dist_word_ngrams(c: Column, n: Int): Column =
+    column(DistWordNgrams(expression(c), n))
   def sig_agree(a: Column, b: Column): Column =
     column(SigAgree(expression(a), expression(b)))
   def sig_min_agg(c: Column): Column =

@@ -1,0 +1,59 @@
+package graft
+
+import graft.functions.Texts
+import org.apache.spark.sql.functions._
+
+/** Pins the r21 native `dist_word_ngrams` to the HOF chain it replaces:
+  * `array_distinct(wordNgrams(tokens(text), n))` — element-for-element,
+  * ORDER included (first-occurrence), across the chain's edge cases
+  * (empty text, all-spaces, multibyte, newlines/tabs inside tokens,
+  * fewer tokens than n, duplicate grams, consecutive spaces). One Spark
+  * job per n over a generated corpus (the PropertySpec discipline). */
+class NgramSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(0xBEEF21)
+
+  private def randomText(): String = {
+    val words = Seq("alpha", "beta", "Gamma!", "δelta", "a", "x9",
+      "tab\tinside", "new\nline", "alpha", "beta") // dups on purpose
+    val k = rnd.nextInt(14) // 0..13 tokens — below and above n
+    (0 until k).map { _ =>
+      val w = words(rnd.nextInt(words.size))
+      // occasional doubled space: the literal split drops the empty
+      if (rnd.nextInt(5) == 0) w + " " else w
+    }.mkString(" ")
+  }
+
+  test("dist_word_ngrams(text, n) equals " +
+    "array_distinct(wordNgrams(tokens(text), n)) on 4000 generated " +
+    "texts plus pinned edge cases, for n in {3, 8}") {
+    val texts = Seq("", " ", "   ", "one", "one two", "a b c d e f g h i",
+      "dup dup dup dup dup dup dup dup dup",
+      "μυλτι βψτε κείμενο with mixed ascii μυλτι βψτε") ++
+      Seq.fill(4000)(randomText())
+    val df = texts.toDF("text")
+    for (n <- Seq(3, 8)) {
+      val hof = array_distinct(Texts.wordNgrams(Texts.tokens(col("text")), n))
+      val bad = df.select(col("text"),
+          hof.as("expected"),
+          graft.plans.Native.dist_word_ngrams(col("text"), n).as("got"))
+        .filter(not(col("expected") <=> col("got")))
+        .limit(5).collect()
+      assert(bad.isEmpty, s"n=$n diverged on: ${bad.mkString("; ")}")
+    }
+  }
+
+  test("dist_word_ngrams survives the interpreted (non-codegen) eval " +
+    "path with identical output") {
+    // force interpreted eval by calling the expression directly
+    val e = graft.plans.DistWordNgrams(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(
+          "a b a b c  d")), 3)
+    val got = e.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val strs = (0 until got.numElements()).map(got.getUTF8String(_).toString)
+    assert(strs == Seq("a b a", "b a b", "a b c", "b c d"))
+  }
+}
