@@ -961,6 +961,21 @@ object DedupQueries {
         s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // r21 (measured): the stream's STATE PARTITION count is a
+      // capacity decision, not a host-core mirror — each partition is
+      // one RocksDB instance whose per-batch checkpoint copy + cleanup
+      // is pure file churn (jstack: FileOutputStream.open0 /
+      // UnixFileSystem.delete0 dominated this query's runnable samples
+      // at 32 stores for KB-scale state; 8 stores measured -25% wall,
+      // sentinel-normalized). The drained rollup is partition-count-
+      // invariant (keyed state — same band lands in the same store at
+      // any count), which the unchanged oracle checks. Scoped
+      // set/restore like the provider;
+      // SPARK_GRAFT_STREAM_STATE_PARTITIONS overrides for deployments
+      // whose keyed-state volume warrants more instances.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8"))
       try {
         val input = MemoryStream[(Long, Seq[String])]
         val seqNo = streamSeq.incrementAndGet()
@@ -994,11 +1009,14 @@ object DedupQueries {
             min(when(col("outcome") =!= "new",
               substring_index(col("outcome"), ":", -1).cast("long")))
               .as("first_owner"))
-      } finally prevProvider match {
-        case Some(p) =>
-          s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None =>
-          s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        prevProvider match {
+          case Some(p) =>
+            s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None =>
+            s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
       }
     }),
 
