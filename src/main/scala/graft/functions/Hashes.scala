@@ -52,6 +52,17 @@ object Hashes {
     * probe loop is `range(0, len+1, stride)`): 256 hashes at stride 6 ⇒
     * numBands=43, last band 4 elements. */
   def bands(sig: Column, numBands: Int, rowsPerBand: Int): Column =
+    // r21 (guide §4): compiled one-pass banding — the former HOF chain
+    // paid an interpreted transform + slice + ArrayJoin + long→string
+    // cast per band per row (43 bands/row on the 256-perm paths).
+    // Output-identical (NgramSpec pins it against [[bandsHof]]).
+    graft.plans.Native.lsh_bands(sig, numBands, rowsPerBand)
+
+  /** The declarative HOF form [[bands]] compiled away — kept as the
+    * equivalence-test reference (NgramSpec) and the readable statement
+    * of the banding semantics. */
+  private[graft] def bandsHof(sig: Column, numBands: Int,
+      rowsPerBand: Int): Column =
     transform(sequence(lit(0), lit(numBands - 1)),
       b => struct(b.as("band_id"),
         array_join(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), "_")

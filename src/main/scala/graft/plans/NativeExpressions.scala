@@ -203,6 +203,37 @@ object NativeImpl {
     new GenericArrayData(arr)
   }
 
+  /** LSH banding in one compiled pass (r21, guide §4) — exactly
+    * `transform(sequence(0, numBands-1), b => struct(b as band_id,
+    * array_join(slice(sig, b*rowsPerBand+1, rowsPerBand), "_") as
+    * band_key))` over an array<long> signature, including the clamped
+    * trailing partial band (slice past the end yields a short or empty
+    * slice; array_join of an empty slice is ""). The HOF chain paid an
+    * interpreted transform + slice allocation + ArrayJoin eval +
+    * implicit long→string cast per band per row — 43 bands/row on the
+    * 256-perm paths. Long rendering is Long.toString, identical to the
+    * cast. */
+  def lshBands(sig: ArrayData, numBands: Int, rowsPerBand: Int): ArrayData = {
+    val n = sig.numElements()
+    val out = new Array[AnyRef](numBands)
+    var b = 0
+    while (b < numBands) {
+      val start = b * rowsPerBand
+      val end = math.min(start + rowsPerBand, n)
+      val sb = new java.lang.StringBuilder(rowsPerBand * 12)
+      var i = start
+      while (i < end) {
+        if (i > start) sb.append('_')
+        sb.append(sig.getLong(i))
+        i += 1
+      }
+      out(b) = org.apache.spark.sql.catalyst.InternalRow(
+        b, UTF8String.fromString(sb.toString))
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** |A ∩ B| for two SORTED string arrays — O(n+m) merge walk with raw
     * UTF8String comparisons, replacing per-pair hash-set construction
     * (`array_intersect`) in the blocked Jaccard join's hot loop.
@@ -578,6 +609,30 @@ case class DistWordNgrams(child: Expression, n: Int)
       c => s"graft.plans.NativeImpl.distWordNgrams($c, $n)")
   override def prettyName: String = "dist_word_ngrams"
   override protected def withNewChildInternal(c: Expression): DistWordNgrams =
+    copy(child = c)
+}
+
+/** lsh_bands(sig, numBands, rowsPerBand) →
+  * array<struct<band_id: int, band_key: string>> — the compiled LSH
+  * banding (see NativeImpl.lshBands for the exact HOF equivalence;
+  * NgramSpec pins it). */
+case class LshBands(child: Expression, numBands: Int, rowsPerBand: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(numBands >= 1 && rowsPerBand >= 1,
+    s"lsh_bands: numBands/rowsPerBand must be >= 1, got $numBands/$rowsPerBand")
+  override def inputTypes = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("band_id", IntegerType, nullable = false),
+      StructField("band_key", StringType, nullable = false))),
+    containsNull = false)
+  override def nullSafeEval(sig: Any): Any =
+    NativeImpl.lshBands(sig.asInstanceOf[ArrayData], numBands, rowsPerBand)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.NativeImpl.lshBands($c, $numBands, $rowsPerBand)")
+  override def prettyName: String = "lsh_bands"
+  override protected def withNewChildInternal(c: Expression): LshBands =
     copy(child = c)
 }
 
@@ -1076,6 +1131,8 @@ object Native {
     column(SortedIntersectCount(expression(a), expression(b)))
   def dist_word_ngrams(c: Column, n: Int): Column =
     column(DistWordNgrams(expression(c), n))
+  def lsh_bands(sig: Column, numBands: Int, rowsPerBand: Int): Column =
+    column(LshBands(expression(sig), numBands, rowsPerBand))
   def sig_agree(a: Column, b: Column): Column =
     column(SigAgree(expression(a), expression(b)))
   def sig_min_agg(c: Column): Column =

@@ -44,6 +44,22 @@ class NgramSpec extends SparkSpec {
     }
   }
 
+  test("native lsh_bands equals the HOF banding (Hashes.bandsHof) on " +
+    "random signatures, including the clamped trailing partial band") {
+    import graft.functions.Hashes
+    val sigs = Seq.fill(2000)(
+      Seq.fill(1 + rnd.nextInt(300))(rnd.nextLong().abs % 2147483647L))
+    val df = sigs.toDF("sig")
+    for ((nb, rpb) <- Seq((4, 4), (43, 6), (3, 7))) {
+      val bad = df.select(
+          Hashes.bandsHof(col("sig"), nb, rpb).as("expected"),
+          Hashes.bands(col("sig"), nb, rpb).as("got"))
+        .filter(not(col("expected") <=> col("got")))
+        .limit(3).collect()
+      assert(bad.isEmpty, s"bands($nb,$rpb) diverged: ${bad.mkString(";")}")
+    }
+  }
+
   test("dist_word_ngrams survives the interpreted (non-codegen) eval " +
     "path with identical output") {
     // force interpreted eval by calling the expression directly
