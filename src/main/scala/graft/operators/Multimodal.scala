@@ -198,6 +198,30 @@ object Multimodal {
     * of per-band bit_counts the old re-attachment computed, without the
     * pair stream ever touching an exchange (see mm_phash_dedup). */
   private[graft] def phashBands(s: SparkSession, d: String): DataFrame = {
+    // r21 (guide §4): the whole resize→hex→px→bit chain is the native
+    // one-pass dhash_bands — the former shape paid a mapPartitions
+    // Row-codec boundary (decode/re-encode per row) plus an
+    // upper(hex()) render and 72 substring+conv extractions per row.
+    // Integer-identical output (MultimodalSpec pins parity against the
+    // declarative chain, which phashBandsDeclarative retains); the
+    // codec-stage OPERATORS (mm_resize, mm_frame_sample,
+    // mm_feature_hist) keep the real partition-batched plumbing —
+    // that boundary is their semantics, not a means.
+    phashSrc(s, d)
+      .select(col("doc_id"),
+        graft.plans.Native.dhash_bands(col("content")).as("bs"))
+      .select(col("doc_id"),
+        (col("bs")(0) + shiftleft(col("bs")(1), 16) +
+          shiftleft(col("bs")(2), 32) + shiftleft(col("bs")(3), 48))
+          .as("h64"),
+        posexplode(col("bs")).as(Seq("band_id", "band_val")))
+  }
+
+  /** The declarative resize→hex→conv dHash chain [[phashBands]]
+    * compiled away — kept as the equivalence-test reference
+    * (MultimodalSpec) and the readable statement of the semantics. */
+  private[graft] def phashBandsDeclarative(s: SparkSession,
+      d: String): DataFrame = {
     val rs = resize(phashSrc(s, d), 9, 8)
       .select(col("doc_id"), upper(hex(col("resized"))).as("h"))
     def px(i: Int) = conv(substring(col("h"), 2 * i + 1, 2), 16, 10)

@@ -234,6 +234,36 @@ object NativeImpl {
     new GenericArrayData(out)
   }
 
+  /** dHash band values from a raw payload in one compiled pass (r21,
+    * guide §4): exactly the mm_phash pipeline's
+    * StubCodec.resize(bytes, 9, 8) nearest-neighbor byte gather
+    * (out(i) = bytes((i·len/72).toInt), 0x00 when empty) followed by
+    * the adjacent-pixel comparisons summed into four 16-bit band
+    * values — replacing a mapPartitions Row-codec boundary plus an
+    * upper(hex(...)) render and 72 substring+conv extractions per row.
+    * All integer arithmetic; MultimodalSpec pins parity against the
+    * declarative chain. */
+  def dhashBands(bytes: Array[Byte]): ArrayData = {
+    val len = bytes.length
+    val px = new Array[Int](72)
+    var i = 0
+    while (i < 72) {
+      px(i) = if (len == 0) 0
+        else bytes(((i.toLong * len) / 72).toInt) & 0xff
+      i += 1
+    }
+    val bands = new Array[Long](4)
+    var k = 0
+    while (k < 64) {
+      val r = k / 8
+      val c = k % 8
+      if (px(r * 9 + c) < px(r * 9 + c + 1))
+        bands(k / 16) |= (1L << (k % 16))
+      k += 1
+    }
+    new GenericArrayData(bands)
+  }
+
   /** |A ∩ B| for two SORTED string arrays — O(n+m) merge walk with raw
     * UTF8String comparisons, replacing per-pair hash-set construction
     * (`array_intersect`) in the blocked Jaccard join's hot loop.
@@ -633,6 +663,21 @@ case class LshBands(child: Expression, numBands: Int, rowsPerBand: Int)
       c => s"graft.plans.NativeImpl.lshBands($c, $numBands, $rowsPerBand)")
   override def prettyName: String = "lsh_bands"
   override protected def withNewChildInternal(c: Expression): LshBands =
+    copy(child = c)
+}
+
+/** dhash_bands(content: binary) → array<long> of the 4 dHash band
+  * values (see NativeImpl.dhashBands; MultimodalSpec pins parity). */
+case class DhashBands(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(b: Any): Any =
+    NativeImpl.dhashBands(b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.NativeImpl.dhashBands($c)")
+  override def prettyName: String = "dhash_bands"
+  override protected def withNewChildInternal(c: Expression): DhashBands =
     copy(child = c)
 }
 
@@ -1133,6 +1178,7 @@ object Native {
     column(DistWordNgrams(expression(c), n))
   def lsh_bands(sig: Column, numBands: Int, rowsPerBand: Int): Column =
     column(LshBands(expression(sig), numBands, rowsPerBand))
+  def dhash_bands(c: Column): Column = column(DhashBands(expression(c)))
   def sig_agree(a: Column, b: Column): Column =
     column(SigAgree(expression(a), expression(b)))
   def sig_min_agg(c: Column): Column =

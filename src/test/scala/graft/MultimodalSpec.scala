@@ -118,4 +118,14 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(lens.values.sum == 8 && lens.keySet.forall(_ >= 120))
   }
+
+  test("native dhash_bands phash table equals the declarative " +
+      "resize→hex→conv chain row-for-row (r21 native swap)") {
+    val a = Multimodal.phashBands(spark, sf)
+      .orderBy("doc_id", "band_id").collect()
+    val b = Multimodal.phashBandsDeclarative(spark, sf)
+      .orderBy("doc_id", "band_id").collect()
+    assert(a.length == b.length && a.length > 0)
+    a.zip(b).foreach { case (x, y) => assert(x == y, s"$x != $y") }
+  }
 }
