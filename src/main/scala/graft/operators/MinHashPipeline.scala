@@ -17,6 +17,25 @@ object MinHashPipeline {
     * truncation"). */
   def signatures(df: DataFrame, idCol: String, text: Column,
       numPerms: Int = 16, maxWords: Int = 24): DataFrame = {
+    // r21 (guide §4): the signature is ONE compiled per-row pass
+    // (portable_minhash_sig) — value-identical to the former explode →
+    // md5Long → %P → grouped-min pipeline (kept below as
+    // [[signaturesExplode]]; NgramSpec pins bit-equality on the real
+    // corpus), with no shingle Generate, no hex/conv parse per
+    // shingle, and no keyed aggregation: the signature build now
+    // touches ZERO shuffles at any corpus size — strictly better than
+    // the explode shape's one keyed partial-min exchange.
+    df.select(col(idCol),
+      graft.plans.Native.portable_minhash_sig(
+        Texts.smartShorten(Texts.cleanText(text), maxWords), numPerms)
+        .as("sig"))
+  }
+
+  /** The explode + grouped-min statement of [[signatures]] — the
+    * readable form the DuckDB mirror restates, retained as the parity
+    * reference (NgramSpec) for the compiled per-row pass. */
+  private[graft] def signaturesExplode(df: DataFrame, idCol: String,
+      text: Column, numPerms: Int = 16, maxWords: Int = 24): DataFrame = {
     val P = Hashes.MinHashPrime
     val cleaned = df.select(col(idCol),
       Texts.smartShorten(Texts.cleanText(text), maxWords).as("ct"))

@@ -264,6 +264,55 @@ object NativeImpl {
     new GenericArrayData(bands)
   }
 
+  /** The PORTABLE (md5-permutation) MinHash signature in one compiled
+    * pass per document (r21, guide §4) — value-identical to the
+    * explode → md5Long → %P → 16-min-aggregate pipeline
+    * ([[graft.operators.MinHashPipeline.signatures]] kept the explode
+    * form as `signaturesExplode` for the parity pin): shingles are the
+    * k=5 char windows `substr(ct, i, 5)` for i in 1..max(len-4, 1)
+    * (clamped tails and the empty-text single "" shingle included),
+    * each hashed md5 and folded to the SAME 60-bit value
+    * `conv(substring(md5hex, 1, 15), 16, 10)` reads — the first 15 hex
+    * digits are digest bytes 0..6 big-endian plus byte 7's high
+    * nibble — then reduced mod 2^31−1 and swept through the affine
+    * permutation family. No hex string, no conv parse, no shingle
+    * explode, no aggregate: the signature never touches a shuffle. */
+  def portableMinhashSig(text: UTF8String, numPerms: Int): ArrayData = {
+    val P = MinHashPrime
+    val sig = new Array[Long](numPerms)
+    val as = new Array[Long](numPerms)
+    val bs = new Array[Long](numPerms)
+    var p = 0
+    while (p < numPerms) {
+      sig(p) = Long.MaxValue
+      as(p) = 2654435761L * (p + 1) % P
+      bs(p) = 40503L * (p + 7) % P
+      p += 1
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val chars = text.numChars()
+    val n = math.max(chars - 4, 1)
+    var i = 0
+    while (i < n) {
+      val sh = text.substringSQL(i + 1, 5)
+      md.reset()
+      val d = md.digest(sh.getBytes)
+      var v = 0L
+      var j = 0
+      while (j < 7) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+      v = (v << 4) | ((d(7) & 0xf0L) >>> 4)
+      val h = v % P
+      p = 0
+      while (p < numPerms) {
+        val x = (as(p) * h + bs(p)) % P
+        if (x < sig(p)) sig(p) = x
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
   /** |A ∩ B| for two SORTED string arrays — O(n+m) merge walk with raw
     * UTF8String comparisons, replacing per-pair hash-set construction
     * (`array_intersect`) in the blocked Jaccard join's hot loop.
@@ -679,6 +728,25 @@ case class DhashBands(child: Expression)
   override def prettyName: String = "dhash_bands"
   override protected def withNewChildInternal(c: Expression): DhashBands =
     copy(child = c)
+}
+
+/** portable_minhash_sig(ct, numPerms) → array<long> — the md5-family
+  * (oracle-portable) MinHash signature as one per-row pass (see
+  * NativeImpl.portableMinhashSig; parity pinned in NgramSpec against
+  * the explode+aggregate pipeline). */
+case class PortableMinHashSig(child: Expression, numPerms: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(numPerms >= 1, s"portable_minhash_sig: numPerms >= 1, got $numPerms")
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(t: Any): Any =
+    NativeImpl.portableMinhashSig(t.asInstanceOf[UTF8String], numPerms)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.NativeImpl.portableMinhashSig($c, $numPerms)")
+  override def prettyName: String = "portable_minhash_sig"
+  override protected def withNewChildInternal(
+      c: Expression): PortableMinHashSig = copy(child = c)
 }
 
 /** sorted_intersect_count(array<string>|array<long>, same) → int.
@@ -1179,6 +1247,8 @@ object Native {
   def lsh_bands(sig: Column, numBands: Int, rowsPerBand: Int): Column =
     column(LshBands(expression(sig), numBands, rowsPerBand))
   def dhash_bands(c: Column): Column = column(DhashBands(expression(c)))
+  def portable_minhash_sig(c: Column, numPerms: Int): Column =
+    column(PortableMinHashSig(expression(c), numPerms))
   def sig_agree(a: Column, b: Column): Column =
     column(SigAgree(expression(a), expression(b)))
   def sig_min_agg(c: Column): Column =

@@ -60,6 +60,25 @@ class NgramSpec extends SparkSpec {
     }
   }
 
+  test("native portable_minhash_sig is bit-identical to the explode + " +
+    "grouped-min pipeline on the real corpus plus adversarial texts") {
+    import graft.operators.MinHashPipeline
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .unionByName(Seq(
+        (900001L, ""), (900002L, "ab"), (900003L, "abcd"),
+        (900004L, "abcde"), (900005L, "   "),
+        (900006L, "μυλτι βψτε κείμενο abcdef"),
+        (900007L, "<b>tag</b> soup... and,, doubled;; punct  here"))
+        .toDF("doc_id", "text"))
+    val a = MinHashPipeline.signatures(docs, "doc_id", col("text"))
+    val b = MinHashPipeline.signaturesExplode(docs, "doc_id", col("text"))
+    val bad = a.alias("a").join(b.alias("b"), "doc_id")
+      .filter(not(col("a.sig") <=> col("b.sig")))
+      .limit(3).collect()
+    assert(bad.isEmpty, s"signatures diverged: ${bad.mkString(";")}")
+    assert(a.count() == b.count())
+  }
+
   test("dist_word_ngrams survives the interpreted (non-codegen) eval " +
     "path with identical output") {
     // force interpreted eval by calling the expression directly
