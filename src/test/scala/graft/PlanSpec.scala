@@ -948,16 +948,26 @@ class PlanSpec extends SparkSpec {
   }
 
   test("sig_store_refresh: the signature pipeline runs ONLY over the " +
-    "mutated delta — one Generate in the whole plan, store rows pass " +
-    "through as a projection") {
+    "mutated delta — zero Generates, exactly one compiled " +
+    "portable_minhash_sig, store rows pass through as a projection") {
+    // r21 (commit 6c68700): the explode → md5 → grouped-min signature
+    // was compiled into the per-row portable_minhash_sig native, so the
+    // delta-side shingle Generate and its partial_min keyed aggregation
+    // are GONE from the plan. The new invariants: no Generate anywhere
+    // (a reappearing explode means the native swap regressed), and the
+    // native appears exactly once — on the mutated-delta side only. A
+    // second occurrence would mean kept rows are being re-signed
+    // instead of passing the stored signature through.
     val p = planOf(DedupQueries.queries("sig_store_refresh")(spark, sf))
     val generates = p.linesIterator.count(_.contains("Generate"))
-    assert(generates == 1,
-      s"expected exactly 1 Generate (the delta-side shingle explode), " +
-        s"got $generates — kept rows must reuse the stored signature, " +
+    assert(generates == 0,
+      s"expected 0 Generates (signature build is the compiled per-row " +
+        s"portable_minhash_sig), got $generates")
+    val sigs = "portable_minhash_sig".r.findAllIn(p).size
+    assert(sigs == 1,
+      s"expected exactly 1 portable_minhash_sig (delta side only), " +
+        s"got $sigs — kept rows must reuse the stored signature, " +
         "never recompute")
-    assert(p.contains("partial_min"),
-      "signature min-agg must combine map-side")
   }
 
   test("ix_postings: postings cap prunes map-side BEFORE collection; " +
