@@ -79,6 +79,38 @@ class NgramSpec extends SparkSpec {
     assert(a.count() == b.count())
   }
 
+  test("portable_minhash_sig null-text contract: the native emits " +
+    "(id, null sig); the retired explode form kept the row with an " +
+    "array of null minima (r21 ADVICE, pinned not patched)") {
+    // The r21 ADVICE flagged a null-text divergence between the native
+    // and the explode pipeline. Measured shape: NEITHER drops the row
+    // (greatest(length(null)-4, 1) = 1 keeps one shingle window in the
+    // explode form); the explode form emits a 16-element array whose
+    // every element is null (min over null hashes per permutation),
+    // while the native emits a null ARRAY — which is what the DuckDB
+    // oracle mirror (signaturesSql: list_transform over null → null)
+    // computes, so the native is the oracle-graded semantics. Pinned
+    // here so a future change that silently drops null-text rows or
+    // un-nulls the signature (diverging from the oracle) fails loudly.
+    import graft.operators.MinHashPipeline
+    val docs = Seq[(Long, String)]((1L, "some real text here"))
+      .toDF("doc_id", "text")
+      .unionByName(Seq(Tuple1(2L)).toDF("doc_id")
+        .withColumn("text", lit(null).cast("string")))
+    val a = MinHashPipeline.signatures(docs, "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) -> (r.get(1) != null)).toMap
+    assert(a == Map(1L -> true, 2L -> false),
+      s"native null-text rows must surface with a null sig, got $a")
+    val b = MinHashPipeline.signaturesExplode(docs, "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    assert(b.keySet == Set(1L, 2L),
+      s"explode form keeps null-text rows too, got ${b.keySet}")
+    val sig2 = b(2L).asInstanceOf[scala.collection.Seq[Any]]
+    assert(sig2 != null && sig2.length == 16 && sig2.forall(_ == null),
+      s"documentation pin: the explode form's null-text signature is an " +
+        s"array of 16 null minima, got $sig2")
+  }
+
   test("dist_word_ngrams survives the interpreted (non-codegen) eval " +
     "path with identical output") {
     // force interpreted eval by calling the expression directly
