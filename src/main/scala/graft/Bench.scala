@@ -41,6 +41,19 @@ object Bench {
     val taskMs = new AtomicLong
     val tasks = new AtomicLong
     val jobs = new AtomicLong
+    // r22 (verdict item 6): EXECUTED exchanges, deduplicated by shuffle
+    // dependency id — one entry per shuffle whose map stage completed,
+    // retries and exchange reuse counted once. The rich artifact's
+    // plan-string `exchanges` field stays (it fingerprints plan
+    // STRUCTURE incl. persisted subtrees); `shuffles_exec` is the
+    // runtime truth plan claims should be checked against.
+    val shuffleIds = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      org.apache.spark.sql.graftbridge.Bridge
+        .stageShuffleDepId(sc.stageInfo).foreach(shuffleIds.add(_))
+      ()
+    }
     override def onTaskEnd(
         te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
       val m = te.taskMetrics
@@ -56,9 +69,9 @@ object Bench {
         js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
       jobs.incrementAndGet(); ()
     }
-    def snapshot: (Long, Long, Long, Long, Long, Long) =
+    def snapshot: (Long, Long, Long, Long, Long, Long, Long) =
       (shuffleWrite.get, shuffleRead.get, spill.get,
-        taskMs.get, tasks.get, jobs.get)
+        taskMs.get, tasks.get, jobs.get, shuffleIds.size.toLong)
   }
 
   /** Short git revision for artifact stamping (r20, verdict Next 6a):
@@ -110,12 +123,20 @@ object Bench {
   private case class Meas(sec: Double, ok: Boolean, gcSec: Double,
     heapMbDelta: Double, rows: Long, exchanges: Int,
     shuffleWriteMb: Double, shuffleReadMb: Double, spillMb: Double,
-    taskSec: Double, tasks: Long, jobs: Long)
+    taskSec: Double, tasks: Long, jobs: Long, shufflesExec: Long)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_queries.json")
+    // r22: the DEFAULT rich-artifact path is untracked (gitignored) —
+    // the driver's scaling pass runs this main at 8 cores with the
+    // default out, and under the old bench_queries.json default that
+    // run clobbered the committed 32-core calibration pin in the
+    // end-of-round snapshot (how the r21 suite went red). Deliberate
+    // re-pins set SPARK_GRAFT_BENCH_OUT=bench_queries.json explicitly;
+    // the stdout contract line is unchanged either way.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "bench_rich_last.json")
     // Deployment-posture knob (r15): SPARK_GRAFT_INITIAL_PARTITIONS=N
     // turns on AQE's "start wide, coalesce by size" shuffle posture —
     // the production setting a real cluster scales WITH input size and
@@ -282,7 +303,7 @@ object Bench {
       // the previous query's task-end events must be consumed before we
       // snapshot, or its tail IO lands in this query's delta
       Bridge.drainListenerBus(spark.sparkContext)
-      val (sw0, sr0, sp0, tm0, tk0, jb0) = IoTally.snapshot
+      val (sw0, sr0, sp0, tm0, tk0, jb0, sx0) = IoTally.snapshot
       val gc0 = gcMillis
       val h0 = heapUsedMb
       val t0 = System.nanoTime()
@@ -312,7 +333,7 @@ object Bench {
       val gcSec = (gcMillis - gc0) / 1e3
       val heapDelta = heapUsedMb - h0
       Bridge.drainListenerBus(spark.sparkContext)
-      val (sw1, sr1, sp1, tm1, tk1, jb1) = IoTally.snapshot
+      val (sw1, sr1, sp1, tm1, tk1, jb1, sx1) = IoTally.snapshot
       // Queries that persist intermediates (the self-join dedup family)
       // would otherwise accumulate storage across the run and skew later
       // timings with eviction/GC pressure. Unpersist BLOCKING so the
@@ -323,7 +344,7 @@ object Bench {
       System.gc()
       Meas(dt, ok, gcSec, heapDelta, rows, exchanges,
         (sw1 - sw0) / 1e6, (sr1 - sr0) / 1e6, (sp1 - sp0) / 1e6,
-        (tm1 - tm0) / 1e3, tk1 - tk0, jb1 - jb0)
+        (tm1 - tm0) / 1e3, tk1 - tk0, jb1 - jb0, sx1 - sx0)
       } finally prevThreshold.foreach(spark.conf.set(heapThresholdKey, _))
     }
     val firstPass = selected.map { case (name, fn) =>
@@ -440,7 +461,8 @@ object Bench {
         s""""shuffle_read_mb":${num("%.1f", m.shuffleReadMb)},""" +
         s""""spill_mb":${num("%.1f", m.spillMb)},""" +
         s""""task_sec":${num("%.3f", m.taskSec)},""" +
-        s""""tasks":${m.tasks},"jobs":${m.jobs}}"""
+        s""""tasks":${m.tasks},"jobs":${m.jobs},""" +
+        s""""shuffles_exec":${m.shufflesExec}}"""
     }.mkString("{", ",", "}")
     val total = results.map(_._2.sec).sum
     val gcTotal = results.map(_._2.gcSec).sum

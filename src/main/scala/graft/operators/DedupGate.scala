@@ -132,7 +132,21 @@ object DedupGate {
     *        store, and broadcasting it removes the corpus band-key
     *        shuffle entirely). Pass false for bulk backfills whose
     *        banded probe would exceed the broadcast limit; the join
-    *        then falls back to a keyed shuffle. */
+    *        then falls back to a keyed shuffle.
+    *
+    *        CACHE LIFECYCLE (r22, documenting the r21 ADVICE finding):
+    *        this variant persists one ingest-batch-sized frame per call
+    *        (sigClassMembers, MEMORY_AND_DISK) and returns a lazy frame
+    *        that reads it; there is no unpersist hook inside the
+    *        operator because the result's consumption point is the
+    *        caller's. The Bench/Verify runners release it in their
+    *        per-query sweep (clearCache + getPersistentRDDs.unpersist);
+    *        a LONG-LIVED session calling classify per batch must do the
+    *        same after consuming each result, or one cached frame (and
+    *        its disk blocks) accumulates per invocation. The streaming
+    *        store loops are unaffected — they route through
+    *        classifyStored*, whose postures measured FASTER with no
+    *        cache and never persist here. */
   def classify(incoming: DataFrame, corpus: DataFrame,
       numBands: Int, rowsPerBand: Int,
       broadcastIncoming: Boolean = true): DataFrame = {
@@ -554,20 +568,33 @@ object DedupGate {
     * never a corpus-sized action.
     */
   private[graft] def resolveTargets(outcomes: DataFrame): DataFrame = {
-    var t = outcomes.select(col("uid"), col("outcome"),
-      when(col("outcome") === "new", col("uid"))
-        .otherwise(col("matched_node_id")).as("target"),
-      col("batch_twin").as("twin"))
+    // r22 (guide §5-driver, verdict item 8): each round's frame is
+    // lineage-truncated (lazy — the checkpoint materializes FUSED with
+    // the convergence count in one Spark job, the dd_cluster_cc
+    // pattern). The former shape re-executed the whole growing join
+    // lineage once per emptiness probe AND once more in every
+    // downstream consumer (outcomesDeltaParts reads the resolved frame
+    // from three branches); now each round is one shallow job over the
+    // previous round's materialized rows, and consumers read the final
+    // checkpoint. Frames here are ingest-sized, never corpus-sized.
+    val unresolved = col("target").isNull && col("twin").isNotNull
+    var t = DedupQueries.truncatedDf(
+      outcomes.select(col("uid"), col("outcome"),
+        when(col("outcome") === "new", col("uid"))
+          .otherwise(col("matched_node_id")).as("target"),
+        col("batch_twin").as("twin")), eager = false)
     var rounds = 0
-    while (rounds < 64 &&
-        !t.filter(col("target").isNull && col("twin").isNotNull).isEmpty) {
-      val hop = t.select(col("uid").as("twin"),
+    var pending = t.filter(unresolved).count()
+    while (rounds < 64 && pending > 0) {
+      val hop = DedupQueries.reidDf(t).select(col("uid").as("twin"),
         col("target").as("twin_target"), col("twin").as("twin_twin"))
-      t = t.join(hop, Seq("twin"), "left")
+      t = DedupQueries.truncatedDf(t.join(hop, Seq("twin"), "left")
         .select(col("uid"), col("outcome"),
           coalesce(col("target"), col("twin_target")).as("target"),
           when(col("target").isNull && col("twin_target").isNull,
-            col("twin_twin")).otherwise(col("twin")).as("twin"))
+            col("twin_twin")).otherwise(col("twin")).as("twin")),
+        eager = false)
+      pending = t.filter(unresolved).count()
       rounds += 1
     }
     t.select(col("uid"), col("outcome"), col("target"))

@@ -141,20 +141,38 @@ object DedupQueries {
     * lexicographic) per representative — (rep_id[, lang], ows). Split
     * out (r17) so a caller measuring several prune configurations can
     * persist this decade-sized frame ONCE. */
-  private[graft] def orderedPrefix(reps: DataFrame, byLang: Boolean): DataFrame = {
+  private[graft] def orderedPrefix(reps: DataFrame, byLang: Boolean): DataFrame =
+    orderedPrefixWithDfreq(reps, byLang)._1
+
+  /** [[orderedPrefix]] plus the PERSISTED per-token document-frequency
+    * frame it is built from — `(tok[, lang], df)`, one row per distinct
+    * (token[, lang]). r22 (guide §2.3/§2.4): the frame is exactly the
+    * corpus vocabulary, so the xxhash64 injectivity guard in
+    * [[jaccardPrefixPairs]] derives from it with a vocabulary-sized
+    * aggregation instead of paying its own corpus-token-level
+    * explode + distinct exchange — the df pass computes the vocabulary
+    * anyway; folding the guard in drops one token-level exchange from
+    * every prefix-filter query. The persist is vocabulary-sized (tiny
+    * next to the token stream) and lazy; the `ordered` build
+    * materializes it as a side effect, and the runners' cache sweep
+    * releases it with the rest of the family's persists. */
+  private[graft] def orderedPrefixWithDfreq(reps: DataFrame,
+      byLang: Boolean): (DataFrame, DataFrame) = {
+    import org.apache.spark.storage.StorageLevel
     val toks =
       if (byLang) reps.select(col("rep_id"), col("lang"), explode(col("ws")).as("tok"))
       else reps.select(col("rep_id"), explode(col("ws")).as("tok"))
     val dfKeys = if (byLang) Seq("lang", "tok") else Seq("tok")
     val dfreq = toks.groupBy(dfKeys.map(col): _*).agg(count(lit(1)).as("df"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val sorted = sort_array(collect_list(struct(col("df"), col("tok")))).as("o")
     val grouped =
       if (byLang) toks.join(dfreq, dfKeys).groupBy("rep_id")
         .agg(first("lang").as("lang"), sorted)
       else toks.join(dfreq, dfKeys).groupBy("rep_id").agg(sorted)
-    grouped
+    (grouped
       .withColumn("ows", transform(col("o"), x => x.getField("tok")))
-      .drop("o")
+      .drop("o"), dfreq)
   }
 
   /** Candidate generation over an already-built (and caller-persisted)
@@ -264,7 +282,15 @@ object DedupQueries {
 
     val repCols = if (byLang) Seq(col("rep_id"), col("lang"), col("ws"))
       else Seq(col("rep_id"), col("ws"))
-    val cand = prefixRepCandidates(groups.select(repCols: _*), t, byLang)
+    // r22: inlines prefixRepCandidates so the candidate build's own
+    // document-frequency pass (one row per distinct token — the corpus
+    // vocabulary) also feeds the injectivity guard below, instead of
+    // the guard re-exploding the reps and paying a second
+    // corpus-token-level distinct exchange (guide §2.4).
+    val (ordered0, dfreq) =
+      orderedPrefixWithDfreq(groups.select(repCols: _*), byLang)
+    val ordered = ordered0.persist(StorageLevel.MEMORY_AND_DISK)
+    val cand = candidatesOverOrdered(ordered, t, byLang)
     // r15: the verify arrays are dictionary-ENCODED to sorted 64-bit
     // token ids before they ride the candidate joins. At the ~sf10 text
     // decade the attach of two UTF8 token arrays onto 207M candidate
@@ -278,10 +304,16 @@ object DedupQueries {
     // collision fails the query loudly rather than returning a silently
     // inflated intersection (64-bit collisions are ~impossible below
     // billions of distinct tokens, but exactness is the contract).
-    val vocab = groups.select(explode(col("ws")).as("tok")).distinct()
-    val nBad = broadcast(vocab
+    // r22: the guard input is the candidate build's (persisted) dfreq
+    // frame — one row per distinct (token[, lang]) — so the id-collision
+    // count costs a vocabulary-sized aggregation, not a second
+    // corpus-token explode + distinct. countDistinct (not count):
+    // under byLang a token present in several langs carries one dfreq
+    // row per lang, and the guard counts distinct TOKENS per id —
+    // identical to the retired distinct-vocab shape in both modes.
+    val nBad = broadcast(dfreq
       .groupBy(idOf(col("tok")).as("id"))
-      .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+      .agg(countDistinct(col("tok")).as("c")).filter(col("c") > 1)
       .agg(count(lit(1)).as("n_bad")))
     val encoded = groups
       .select(col("rep_id"),
@@ -463,12 +495,34 @@ object DedupQueries {
       deltaEdges: DataFrame, deltaOnly: Boolean = false): DataFrame = {
     val bmap = baseAssign
       .select(col("doc_id").as("v"), col("canonical_id").as("c"))
+    // r22 (guide §2.4/§3.1): every decision in the fold depends only on
+    // the DELTA-sized endpoint set, so the corpus-sized base is PROBED
+    // (one keyed join against the distinct delta endpoints, one
+    // pass-through scan) and never unioned, distinct'd, or re-shuffled
+    // at corpus size. The former shape joined bmap three times and ran
+    // a corpus-sized union+distinct per fold — four to five
+    // corpus-level exchanges PER MICRO-BATCH in the stream posture; the
+    // probe shape pays at most the one endpoint-map join (AQE
+    // runtime-sizes the delta side: ingest-scale endpoint sets
+    // broadcast, a backfill tranche degrades to a keyed join instead of
+    // OOMing — the same de-hinted posture as CcStoreLoop.state's
+    // overlay anti-joins, probe_fallback_store_*.json).
+    val deltaVerts = truncatedDf(
+      deltaEdges.select(col("a_id").as("v"))
+        .unionByName(deltaEdges.select(col("b_id").as("v")))
+        .distinct(), eager = false)
+    // endpoint → stored canonical, for the endpoints present in the
+    // base (delta-sized output; the only corpus-keyed join of the fold)
+    val em = truncatedDf(
+      bmap.join(deltaVerts, Seq("v")).select(col("v"), col("c")),
+      eager = false)
     // contract delta-edge endpoints onto stored canonicals (self where
-    // the endpoint is new or was base-isolated at T0)
+    // the endpoint is new or was base-isolated at T0) — delta × delta
+    // joins only from here on
     val contraction = deltaEdges
-      .join(bmap.withColumnRenamed("v", "a_id")
+      .join(em.withColumnRenamed("v", "a_id")
         .withColumnRenamed("c", "ca"), Seq("a_id"), "left")
-      .join(reidDf(bmap).withColumnRenamed("v", "b_id")
+      .join(reidDf(em).withColumnRenamed("v", "b_id")
         .withColumnRenamed("c", "cb"), Seq("b_id"), "left")
       .select(coalesce(col("ca"), col("a_id")).as("a_id"),
         coalesce(col("cb"), col("b_id")).as("b_id"))
@@ -476,15 +530,19 @@ object DedupQueries {
       .distinct()
     val cAssign = ccAssignments(truncatedDf(contraction, eager = true))
       .select(col("doc_id").as("cnode"), col("canonical_id").as("fin"))
-    // every vertex of the merged graph: its contraction node is its
-    // stored canonical (base) or itself (new / base-isolated)
-    val verts = baseAssign.select(col("doc_id").as("v"))
-      .unionByName(deltaEdges.select(col("a_id").as("v")))
-      .unionByName(deltaEdges.select(col("b_id").as("v")))
-      .distinct()
-    val composed = verts
-      .join(reidDf(bmap), Seq("v"), "left")
-      .select(col("v"), col("c"), coalesce(col("c"), col("v")).as("cnode"))
+    // every vertex of the merged graph, as base-pass-through ∪ new
+    // arrivals: a base vertex's contraction node is its stored
+    // canonical; a delta endpoint absent from the base (new /
+    // base-isolated at T0) contracts onto itself. baseAssign is unique
+    // per doc_id (the assignment invariant every layer maintains) and
+    // the anti-join makes the two sides disjoint, so no corpus-sized
+    // distinct is needed.
+    val newVerts = deltaVerts.join(reidDf(em).select("v"), Seq("v"),
+      "left_anti")
+    val cType = baseAssign.schema("canonical_id").dataType
+    val composed = bmap.select(col("v"), col("c"), col("c").as("cnode"))
+      .unionByName(newVerts.select(col("v"),
+        lit(null).cast(cType).as("c"), col("v").as("cnode")))
       .join(cAssign, Seq("cnode"), "left")
       .select(col("v").as("doc_id"), col("c"),
         coalesce(col("fin"), col("cnode")).as("canonical_id"))
@@ -959,8 +1017,6 @@ object DedupQueries {
       val feed = keyed.collect().sortBy(_._1)
       val prevProvider =
         s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-      s.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       // r21 (measured): the stream's STATE PARTITION count is a
       // capacity decision, not a host-core mirror — each partition is
       // one RocksDB instance whose per-batch checkpoint copy + cleanup
@@ -974,9 +1030,17 @@ object DedupQueries {
       // SPARK_GRAFT_STREAM_STATE_PARTITIONS overrides for deployments
       // whose keyed-state volume warrants more instances.
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8"))
+      // r22 (ADVICE): BOTH overrides execute inside the try whose
+      // finally restores them — the partition set used to run between
+      // the provider set and the try, so a throwing conf.set (e.g. a
+      // non-integer SPARK_GRAFT_STREAM_STATE_PARTITIONS failing the int
+      // value converter) leaked the RocksDB provider into the session
+      // for every later query
       try {
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        s.conf.set("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8"))
         val input = MemoryStream[(Long, Seq[String])]
         val seqNo = streamSeq.incrementAndGet()
         val sink = s"graft_stream_band_$seqNo"

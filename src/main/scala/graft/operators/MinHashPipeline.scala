@@ -14,7 +14,14 @@ object MinHashPipeline {
   /** Signature frame: (idCol, sig array<long>) from a text expression.
     * Text is cleaned and truncated to `maxWords` words before k=5 char
     * shingling (reference truncation heuristics, SURVEY §4 "input
-    * truncation"). */
+    * truncation").
+    *
+    * NULL-TEXT CONTRACT (r22, pinning the r21 ADVICE finding): a
+    * null-text row surfaces as (id, null sig) — exactly what the DuckDB
+    * oracle mirror ([[signaturesSql]]: list_transform over null → null)
+    * computes, so this is the oracle-graded semantics. The retired
+    * explode form kept the row too but rendered the signature as an
+    * array of 16 null minima; NgramSpec pins both shapes. */
   def signatures(df: DataFrame, idCol: String, text: Column,
       numPerms: Int = 16, maxWords: Int = 24): DataFrame = {
     // r21 (guide §4): the signature is ONE compiled per-row pass

@@ -26,6 +26,19 @@ object Bridge {
     try sc.listenerBus.waitUntilEmpty()
     catch { case _: java.util.concurrent.TimeoutException => () }
 
+  /** The shuffle-dependency id a stage materializes, if it is a shuffle
+    * map stage (`StageInfo.shuffleDepId` is `private[spark]`, so the
+    * accessor lives here — same shim technique as above). Used by
+    * Bench's executed-exchange counter: each distinct shuffle
+    * dependency that COMPLETES a map stage is one executed Exchange,
+    * with reused exchanges and skipped stages counted once — unlike
+    * counting "Exchange" lines in the executed-plan string, which
+    * inlines every persisted subtree's build exchanges per reference
+    * (the r21 verdict's 71-vs-193 discrepancy). */
+  def stageShuffleDepId(
+      si: org.apache.spark.scheduler.StageInfo): Option[Int] =
+    si.shuffleDepId
+
   /** Bounded per-group top-k collection — Spark's own `CollectTopK`
     * aggregate (a k-element BoundedPriorityQueue per group with
     * map-side partial merge), `private[aggregate]` upstream so exposed
