@@ -237,6 +237,39 @@ class BenchGuardSpec extends SparkSpec {
           f"${b(k).swMb}%.1f MB)").mkString("; "))
   }
 
+  test("calibration-pair freshness vet: no committed src/main change " +
+      "after the bench_queries.json re-pin (r20/r21 verdict item — a " +
+      "stale pin invalidates every weather-normalized claim)") {
+    // The weather guard above compares committed artifacts; its
+    // same-code premise silently breaks when src/main moves after the
+    // re-pin commit (r19's dd_minhash_lsh false alarm; r21's unnoticed
+    // 8-core clobber). Make staleness LOUD: fail when any COMMITTED
+    // src/main change postdates the last commit touching the pin.
+    // Working-tree edits are ignored (mid-iteration dev must stay
+    // green); git being unavailable cancels rather than fails.
+    def git(args: String*): Option[String] = try {
+      val p = new ProcessBuilder(("git" +: args): _*)
+        .redirectErrorStream(true).start()
+      if (!p.waitFor(10, java.util.concurrent.TimeUnit.SECONDS)) None
+      else {
+        val out = new String(p.getInputStream.readAllBytes()).trim
+        if (p.exitValue() == 0) Some(out) else None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+    val pinRev = git("log", "-1", "--format=%H", "--", "bench_queries.json")
+    assume(pinRev.exists(_.nonEmpty), "git unavailable — vet skipped")
+    val drift = git("log", "--format=%h %s",
+      s"${pinRev.get}..HEAD", "--", "src/main")
+    assume(drift.isDefined, "git range log unavailable — vet skipped")
+    assert(drift.get.isEmpty,
+      "src/main commits postdate the bench_queries.json re-pin — the " +
+        "calibration pair no longer measures HEAD's code. Re-pin BOTH " +
+        "halves (two back-to-back 32-core sf0.1 sweeps with " +
+        "SPARK_GRAFT_BENCH_OUT=bench_queries.json / " +
+        "bench_repin_r22.json) before trusting any weather-normalized " +
+        s"number. Stale-making commits:\n${drift.get}")
+  }
+
   test("zero-spill invariant, live: the heaviest shuffle users run " +
       "spill-free at sf0.1 in this session") {
     // In-process counterpart to the artifact pin: measure, don't trust.
